@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation combinators (SURVEY.md §2.4, A1–A9).
+  *
+  * All use hash aggregation with map-side partial aggregation — the only
+  * shuffle is on the grouping keys, which is the minimum possible. At
+  * 100 TB the fact table should be date-partitioned so the time-bucketed
+  * variants scan only the needed partitions.
+  */
+object Aggs {
+
+  /** Fraction of NULLs as a percentage, one decimal — the reference's
+    * `*_PCT_NULL` columns (R/_pull_data.R:341-342).
+    */
+  def pctNull(c: Column): Column =
+    Numeric.roundAway(avg(when(c.isNull, 1.0).otherwise(0.0)) * 100, 1)
+
+  /** NA-skipping sum that returns 0 (not NULL) for all-NULL groups —
+    * R's `sum(x, na.rm=TRUE)` is 0 on empty input while SQL SUM is NULL
+    * (SURVEY.md §7 hazard 2). Kept as an explicit, tested decision.
+    */
+  def sumNaRm(c: Column): Column = coalesce(sum(c), lit(0))
+
+  /** A1 — time-bucketed aggregation: group by `keys` + ts floored to
+    * `widthSec`, apply `aggs`. The 15-minute sensor rollup
+    * (R/_pull_data.R:336-348) is `timeBucketAgg(df, "ts", 900, ...)`.
+    */
+  def timeBucketAgg(df: DataFrame, tsCol: String, widthSec: Long,
+                    keys: Seq[String], aggs: Seq[Column],
+                    bucketName: String = "bucket_start"): DataFrame =
+    df.withColumn(bucketName, TimeOps.floorTs(col(tsCol), widthSec))
+      .groupBy((keys :+ bucketName).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** A3 — two-level rollup: inner groupBy at fine grain, outer groupBy at
+    * coarse grain (detector→node, R/_analyze_data.R:121-154). Chained
+    * hash aggregations; the second shuffle is on strictly fewer keys.
+    */
+  def twoLevelRollup(df: DataFrame,
+                     innerKeys: Seq[String], innerAggs: Seq[Column],
+                     outerKeys: Seq[String], outerAggs: Seq[Column]): DataFrame =
+    df.groupBy(innerKeys.map(col): _*)
+      .agg(innerAggs.head, innerAggs.tail: _*)
+      .groupBy(outerKeys.map(col): _*)
+      .agg(outerAggs.head, outerAggs.tail: _*)
+
+  /** A6/A7 — append per-group count and exact median as columns (the
+    * QAQC gauntlet appends, not collapses: R/_analyze_data.R:54-60).
+    * Exact percentile, not approx — the oracle diff must be 0.
+    */
+  def withGroupCountMedian(df: DataFrame, keys: Seq[String], valueCol: String,
+                           nCol: String = "n", medianCol: String = "med"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn(nCol, count(lit(1)).over(w))
+      .withColumn(medianCol, expr(s"percentile($valueCol, 0.5)").over(w))
+  }
+
+  /** A8 — completeness admission filter (R/_analyze_data.R:62-73): keep
+    * groups whose per-period row-completeness is >= `minPct` in EVERY
+    * period. Returns the admitted key set (semi-join it back).
+    */
+  def completeKeys(df: DataFrame, keys: Seq[String], periodCol: String,
+                   expectedPerPeriod: Column, minPct: Double): DataFrame =
+    df.groupBy((keys :+ periodCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__pct", col("__n") / expectedPerPeriod)
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("__pct")).as("__minpct"))
+      .where(col("__minpct") >= minPct)
+      .select(keys.map(col): _*)
+
+  /** A9 — scalar max watermark (incremental driver,
+    * R/4) Update-SensorData-Nightly.R:7).
+    */
+  def watermark(df: DataFrame, c: String): Option[java.sql.Date] = {
+    val r = df.agg(max(col(c)).cast("date")).head()
+    if (r.isNullAt(0)) None else Some(r.getDate(0))
+  }
+}

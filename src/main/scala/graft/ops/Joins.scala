@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join combinators (SURVEY.md §2.5).
+  *
+  * Scale posture: dimension sides are broadcast (bounded tables — config
+  * is a few thousand rows even statewide); fact-to-fact self-joins are
+  * equi-joins on (key, timestamp) so they sort-merge/shuffle-hash on the
+  * same partitioning and never materialize a cross product.
+  */
+object Joins {
+
+  /** J10 — point-in-interval join: equi keys + `point BETWEEN lo AND hi`.
+    * With a broadcast dimension Catalyst plans BroadcastHashJoin on the
+    * equi key with the range as a residual filter — optimal for a
+    * bounded dim; no O(n·m) nested loop
+    * (R/_analyze_data.R:157-163 `on=.(NODE_NAME, DATE>=START, DATE<=END)`).
+    */
+  def intervalJoin(fact: DataFrame, dim: DataFrame, equiKeys: Seq[String],
+                   point: Column, lo: Column, hi: Column,
+                   joinType: String = "inner",
+                   broadcastDim: Boolean = true): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    val cond = equiKeys.map(k => fact(k) === d(k)).reduceOption(_ && _) match {
+      case Some(eq) => eq && point.between(lo, hi)
+      case None     => point.between(lo, hi)
+    }
+    val joined = fact.join(d, cond, joinType)
+    // drop the dim-side duplicates of the equi keys
+    equiKeys.foldLeft(joined)((j, k) => j.drop(d(k)))
+  }
+
+  /** J9 — lag-join: attach values from the same key exactly `lagSec`
+    * earlier (day-7/day-14 history fill, R/_pull_data.R:564-575).
+    * Implemented as a self-equi-join on (keys, ts) with the right side
+    * shifted forward — both sides shuffle on identical keys, so at scale
+    * this is one co-partitioned sort-merge join, not an N+1 lookup.
+    */
+  def lagJoin(df: DataFrame, keys: Seq[String], tsCol: String, lagSec: Long,
+              valueCols: Seq[String], suffix: String): DataFrame = {
+    val shifted = df
+      .select((keys :+ tsCol).map(col) ++ valueCols.map(col): _*)
+      .withColumn(tsCol, col(tsCol) + make_interval(lit(0), lit(0), lit(0),
+        lit(0), lit(0), lit(0), lit(lagSec)))
+      .select(keys.map(col) ++ Seq(col(tsCol)) ++
+        valueCols.map(c => col(c).as(c + suffix)): _*)
+    df.join(shifted, keys :+ tsCol, "left")
+  }
+
+  /** J4 — calendar × dimension expansion with validity filter
+    * (R/_pull_data.R:383-386): cross join a (small) date grid with a
+    * dimension, keep dates inside each row's validity interval.
+    */
+  def expandValidDates(dates: DataFrame, dim: DataFrame, dateCol: String,
+                       startCol: String, endCol: String): DataFrame =
+    dates.crossJoin(dim)
+      .where(col(dateCol).between(col(startCol), col(endCol)))
+
+  /** J5 — rows of `newDf` whose key is absent from `oldDf` (inserts). */
+  def newKeys(newDf: DataFrame, oldDf: DataFrame, key: String): DataFrame =
+    newDf.join(oldDf.select(key), Seq(key), "left_anti")
+
+  /** J12 — semi-join filter: keep fact rows whose key is in `keys`. */
+  def semiFilter(fact: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
+    fact.join(keys, on, "left_semi")
+}

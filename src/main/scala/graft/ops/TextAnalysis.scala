@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, document
+  * fingerprinting. All pure Catalyst expressions (higher-order array
+  * functions) — codegen-friendly, no UDFs, fully distributed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word segmentation count: word pieces + digit runs +
+    * punctuation, the common pre-tokenizer regex shape.
+    */
+  def bpeishCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(t) > 0 && t =!= " "))
+
+  /** Character n-gram shingles (distinct), the dedup/Jaccard unit. */
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
+      i => text.substr(i, lit(n))))
+
+  /** Exact Jaccard similarity of two shingle sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(a) + size(b) - inter
+    when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(lit(1.0))
+  }
+
+  /** Share of tokens found in `words` (stopword ratio — a standard
+    * fluency signal in quality filters).
+    */
+  def wordSetRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val hits = size(filter(toks, t => t.isInCollection(words)))
+    when(size(toks) > 0, hits.cast("double") / size(toks).cast("double")).otherwise(0.0)
+  }
+
+  /** Fraction of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val stripped = length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    when(length(text) > 0,
+      (length(text) - stripped).cast("double") / length(text).cast("double")).otherwise(0.0)
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Composite quality score in [0,1]: length sweet-spot + stopword
+    * presence − punctuation noise (the length/punct/stopword-ratio recipe
+    * used by web-scale corpus filters).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val n = tokenCount(text)
+    val lengthScore = least(n.cast("double") / 20.0, lit(1.0))
+    val stopScore = least(wordSetRatio(text, stopwords) * 5.0, lit(1.0))
+    val punctPenalty = punctRatio(text)
+    greatest(lit(0.0), least(lit(1.0),
+      lengthScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2))
+  }
+
+  /** Language-ID heuristic: marker-stopword hit counts per language,
+    * deterministic argmax (ties broken by the order given). Returns the
+    * language code whose marker set scores highest, or `fallback`.
+    */
+  def langIdScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(markers)))
+
+  val defaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "pour", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  def langId(text: Column,
+             markers: Seq[(String, Seq[String])] = defaultMarkers,
+             fallback: String = "und"): Column = {
+    val scores = markers.map { case (lang, ws) => lang -> langIdScore(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit(fallback)) { case ((lang, sc), acc) =>
+      when(sc > 0 && sc === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** 64-bit document fingerprint: order-sensitive rolling combination of
+    * token hashes (Rabin-style). Uses xxhash64 per token and a bit-mixed
+    * positional combine; overflow-free under ANSI mode (bit ops only).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => shiftleft(acc, 5).bitwiseXOR(shiftright(acc, 59)).bitwiseXOR(xxhash64(t)))
+}

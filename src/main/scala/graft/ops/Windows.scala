@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered/window combinators (SURVEY.md §2.6, W1–W3). */
+object Windows {
+
+  /** W1 — centered rolling mean of width `2k+1` rows per key, NULL when
+    * the window is incomplete — reproducing data.table
+    * `frollapply(x, 5, mean, align="center", na.rm=TRUE)` edge-NA
+    * semantics (R/_pull_data.R:486-502): the first/last k slots get NULL,
+    * and NULLs inside a full window are skipped (mean of the non-null).
+    *
+    * `count(lit(1))` counts rows in frame (guard for full window);
+    * `avg` already skips NULL values inside the frame.
+    */
+  def centeredRollingMean(df: DataFrame, keys: Seq[String], orderCol: String,
+                          valueCol: String, k: Int, out: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-k, k)
+    df.withColumn(out,
+      when(count(lit(1)).over(w) === (2 * k + 1), avg(col(valueCol)).over(w)))
+  }
+
+  /** W2 — fill NULLs in `valueCol` from `fillCol` (rolling-mean impute,
+    * R/_pull_data.R:497-502), with optional rounding.
+    */
+  def fillFrom(df: DataFrame, valueCol: String, fillCol: String,
+               out: String, roundTo: Option[Int] = None): DataFrame = {
+    val filled = coalesce(col(valueCol), roundTo match {
+      case Some(d) => round(col(fillCol), d)
+      case None    => col(fillCol)
+    })
+    df.withColumn(out, filled)
+  }
+}

@@ -1,0 +1,402 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops._
+
+/** Relational operator queries (SURVEY.md §2.2–§2.8) over the driver's
+  * TPC-H-ish fixtures, each with a DuckDB oracle.
+  *
+  * Float discipline for cross-engine hash parity: sums/avgs of
+  * non-integral doubles are rounded (addition order differs between
+  * engines); integral doubles (l_quantity) and raw column passthroughs
+  * are exact and left unrounded.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Shadows functions.round for (Column, Int): every rounded double in
+    * these queries must use DuckDB's double-rounding semantics for hash
+    * parity — see graft.ops.Numeric.roundAway.
+    */
+  private def round(c: org.apache.spark.sql.Column, scale: Int) =
+    Numeric.roundAway(c, scale)
+
+  /** Exact 2-dp decimal view of a double column. Every oracle-compared
+    * SUM over non-integral doubles goes through this: double addition is
+    * non-associative, so Spark's partial-agg order vs DuckDB's scan
+    * order can differ in the last ULP and land on opposite sides of a
+    * rounding boundary. The fixture doubles are all 2-dp values, so
+    * summing DECIMAL(18,2) is exact and order-independent in both
+    * engines; the final cast back to double is then deterministic.
+    */
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- A1/A2-style pricing summary: filter pushdown + hash agg ----
+    Q("q01_pricing_summary",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).cast("double").as("sum_disc_price"),
+            round(avg(col("l_quantity")), 6).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+              sum(l_quantity) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+              round(avg(l_quantity), 6) AS avg_qty,
+              count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus""")),
+
+    // ---- P6/P16-19-style filter + projection (pushed to parquet) ----
+    Q("q02_filter_project",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .where(col("l_shipdate").between(
+            to_timestamp(lit("1996-01-01")), to_timestamp(lit("1996-12-31")))
+            && col("l_discount") >= 0.05 && col("l_quantity") < 10)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+              round(l_extendedprice * (1 - l_discount), 2) AS net_price
+              FROM lineitem
+              WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+                AND l_discount >= 0.05 AND l_quantity < 10""")),
+
+    // ---- J8-style broadcast dimension join + agg ----
+    Q("q03_join_agg",
+      (s, dir) => {
+        val c = broadcast(t(s, dir, "customer"))
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("order_year"))
+          .agg(
+            sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).cast("double").as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+      },
+      Some("""SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+              count(DISTINCT o_orderkey) AS n_orders
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment, CAST(year(o_orderdate) AS INTEGER)""")),
+
+    // ---- J12 semi-join ----
+    Q("q04_semi_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val big = t(s, dir, "lineitem").where(col("l_quantity") >= 45)
+          .select(col("l_orderkey"))
+        Joins.semiFilter(o.withColumnRenamed("o_orderkey", "l_orderkey"), big, Seq("l_orderkey"))
+          .select(col("l_orderkey").as("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              WHERE EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey AND l_quantity >= 45)""")),
+
+    // ---- J5/J6 anti-join ----
+    Q("q05_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+        Joins.newKeys(c, o, "c_custkey").select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // ---- J4/D7 calendar × dimension with validity filter ----
+    Q("q06_calendar_expand",
+      (s, dir) => {
+        val dates = TimeOps.dateGrid(s, "1995-01-01", "1995-03-31")
+        val dim = t(s, dir, "region").select(
+          col("r_regionkey"), col("r_name"),
+          date_add(to_date(lit("1995-01-01")), col("r_regionkey") * 7).as("valid_from"),
+          date_add(to_date(lit("1995-01-01")), col("r_regionkey") * 7 + 30).as("valid_to"))
+        Joins.expandValidDates(dates, dim, "data_date", "valid_from", "valid_to")
+      },
+      Some("""SELECT d.data_date, r.* FROM
+              (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                       INTERVAL 1 DAY)) AS DATE) AS data_date) d
+              CROSS JOIN (SELECT r_regionkey, r_name,
+                          DATE '1995-01-01' + r_regionkey * 7 AS valid_from,
+                          DATE '1995-01-01' + r_regionkey * 7 + 30 AS valid_to
+                          FROM region) r
+              WHERE d.data_date BETWEEN r.valid_from AND r.valid_to""")),
+
+    // ---- J10 point-in-interval join (equi key + range residual) ----
+    Q("q07_interval_join",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey").as("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        Joins.intervalJoin(l, o, Seq("l_orderkey"),
+          point = l("l_shipdate"), lo = col("o_orderdate"),
+          hi = col("o_orderdate") + expr("interval 90 days"),
+          broadcastDim = false)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_in_window"), sum(col("l_quantity")).as("qty"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_in_window, sum(l_quantity) AS qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+              GROUP BY o_orderpriority""")),
+
+    // ---- J9 lag-join: hourly per-user series joined to itself -24h ----
+    Q("q08_lag_join",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour_ts"))
+          .agg(sum(dec2(col("value"))).cast("double").as("v"))
+        Joins.lagJoin(hourly, Seq("user_id"), "hour_ts", 86400, Seq("v"), "_prev")
+          .select(col("user_id"), col("hour_ts"), col("v"), col("v_prev"))
+      },
+      Some("""WITH hourly AS (
+                SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+                       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                FROM events GROUP BY 1, 2)
+              SELECT a.user_id, a.hour_ts, a.v, b.v AS v_prev
+              FROM hourly a LEFT JOIN hourly b
+                ON a.user_id = b.user_id
+               AND b.hour_ts + INTERVAL 24 HOURS = a.hour_ts""")),
+
+    // ---- W1/W2 centered rolling mean with frollapply edge-NULLs ----
+    Q("q09_rolling_impute",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"))
+        Windows.centeredRollingMean(daily, Seq("user_id"), "d", "n", 2, "roll")
+          .select(col("user_id"), col("d"), col("n"), round(col("roll"), 4).as("roll"))
+      },
+      Some("""WITH daily AS (
+                SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+                FROM events GROUP BY 1, 2)
+              SELECT user_id, d, n,
+                round(CASE WHEN count(*) OVER w = 5 THEN avg(n) OVER w END, 4) AS roll
+              FROM daily
+              WINDOW w AS (PARTITION BY user_id ORDER BY d
+                           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""")),
+
+    // ---- A6/A7 QAQC: appended per-group count + exact median ----
+    Q("q10_qaqc_median",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+        Aggs.withGroupCountMedian(e, Seq("event_type"), "value")
+          .where(col("n") > 100 && col("med") >= 40)
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("n"), round(col("med"), 4).as("med"))
+      },
+      Some("""SELECT event_id, event_type, value, n, round(med, 4) AS med FROM (
+                SELECT event_id, event_type, value,
+                       count(*) OVER w AS n, median(value) OVER w AS med
+                FROM events
+                WINDOW w AS (PARTITION BY event_type)) q
+              WHERE n > 100 AND med >= 40""")),
+
+    // ---- A8 completeness admission filter ----
+    Q("q11_completeness",
+      (s, dir) => {
+        val e = t(s, dir, "events").withColumn("d", to_date(col("ts")))
+        Aggs.completeKeys(e, Seq("user_id"), "d", lit(2.0), 0.5)
+      },
+      Some("""SELECT user_id FROM (
+                SELECT user_id, min(n / 2.0) AS m FROM (
+                  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+                  FROM events GROUP BY 1, 2) g
+                GROUP BY user_id) q
+              WHERE m >= 0.5""")),
+
+    // ---- A3/A5 two-level rollup detector→node analogue ----
+    Q("q12_two_level_rollup",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .withColumn("hour_ts", date_trunc("hour", col("ts")))
+        Aggs.twoLevelRollup(e,
+          Seq("user_id", "hour_ts"),
+          Seq(sum(dec2(col("value"))).as("v"), count(lit(1)).as("n")),
+          Seq("hour_ts"),
+          Seq(sum(col("v")).cast("double").as("v_sum"), count(col("v")).as("v_num"),
+            sum(col("n")).as("n_total"),
+            round(sum(col("v")).cast("double") / count(col("v")), 4).as("v_avg")))
+      },
+      Some("""WITH inner_agg AS (
+                SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+                       sum(CAST(value AS DECIMAL(18,2))) AS v, count(*) AS n
+                FROM events GROUP BY 1, 2)
+              SELECT hour_ts, CAST(sum(v) AS DOUBLE) AS v_sum, count(v) AS v_num,
+                     CAST(sum(n) AS BIGINT) AS n_total,
+                     round(CAST(sum(v) AS DOUBLE) / count(v), 4) AS v_avg
+              FROM inner_agg GROUP BY hour_ts""")),
+
+    // ---- A1/D2 15-minute bucketed agg with NA-skipping sum + pct-null ----
+    Q("q13_window_15min",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .withColumn("v", when(col("value") < 20, lit(null)).otherwise(col("value")))
+        Aggs.timeBucketAgg(e, "ts", 900, Seq("event_type"),
+          Seq(count(lit(1)).as("n"),
+            coalesce(sum(dec2(col("v"))), lit(0)).cast("double").as("v_sum"),
+            Aggs.pctNull(col("v")).as("pct_null")))
+      },
+      Some("""SELECT event_type,
+                time_bucket(INTERVAL 15 MINUTES, ts) AS bucket_start,
+                count(*) AS n,
+                CAST(coalesce(sum(CAST(v AS DECIMAL(18,2))), 0) AS DOUBLE) AS v_sum,
+                round(avg(CASE WHEN v IS NULL THEN 1.0 ELSE 0.0 END) * 100, 1) AS pct_null
+              FROM (SELECT event_type, ts,
+                      CASE WHEN value < 20 THEN NULL ELSE value END AS v
+                    FROM events) e
+              GROUP BY 1, 2""")),
+
+    // ---- P13 scale-up imputation over synthesized gaps ----
+    Q("q14_impute_scale",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .withColumn("v", when(col("l_discount") < 0.02, lit(null)).otherwise(col("l_quantity")))
+        l.groupBy(col("l_orderkey"))
+          .agg(Aggs.pctNull(col("v")).as("pct_null"),
+            Aggs.sumNaRm(col("v")).as("v_sum"))
+          .withColumn("v_impute", Tidy.scaleUpImpute(col("v_sum"), col("pct_null")))
+      },
+      Some("""SELECT l_orderkey,
+                round(avg(CASE WHEN v IS NULL THEN 1.0 ELSE 0.0 END) * 100, 1) AS pct_null,
+                coalesce(sum(v), 0) AS v_sum,
+                CASE WHEN round(avg(CASE WHEN v IS NULL THEN 1.0 ELSE 0.0 END) * 100, 1) < 100
+                     THEN round(coalesce(sum(v), 0) /
+                          (1 - round(avg(CASE WHEN v IS NULL THEN 1.0 ELSE 0.0 END) * 100, 1) / 100))
+                END AS v_impute
+              FROM (SELECT l_orderkey,
+                      CASE WHEN l_discount < 0.02 THEN NULL ELSE l_quantity END AS v
+                    FROM lineitem) l
+              GROUP BY l_orderkey""")),
+
+    // ---- P8/P12 gated ratio derivation (speed formula shape) ----
+    Q("q15_gated_ratio",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            Tidy.speed(col("l_quantity"), col("l_discount"), lit(500.0)).as("speed"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_quantity <> 0 AND l_discount >= 0.002
+                     THEN round((l_quantity * 2.0 * 500.0) / (5280 * l_discount), 1)
+                END AS speed
+              FROM lineitem""")),
+
+    // ---- rollup grouping sets (generalized engine surface) ----
+    Q("q16_rollup_cube",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = broadcast(t(s, dir, "customer"))
+        val n = broadcast(t(s, dir, "nation"))
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .rollup(col("n_name"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+          .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n_orders"), col("total"))
+      },
+      Some("""SELECT coalesce(n_name, 'ALL') AS nation,
+                     coalesce(o_orderpriority, 'ALL') AS priority,
+                     count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY ROLLUP(n_name, o_orderpriority)""")),
+
+    // ---- A9 watermark (incremental driver) ----
+    Q("q17_watermark",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .agg(max(to_date(col("o_orderdate"))).as("max_date"))
+          .withColumn("next_start", date_add(col("max_date"), 1))
+      },
+      Some("""SELECT CAST(max(o_orderdate) AS DATE) AS max_date,
+                     CAST(max(o_orderdate) AS DATE) + 1 AS next_start
+              FROM orders""")),
+
+    // ---- D1/D5/D6 date-part extraction + timestamp recomposition ----
+    Q("q18_date_parts",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.select(col("event_id"),
+          year(col("ts")).as("y"),
+          dayofyear(col("ts")).as("doy"),
+          hour(col("ts")).as("h"),
+          TimeOps.weekdaySunFirst(col("ts")).as("dow"),
+          TimeOps.secondsOfDay(col("ts")).as("sod"),
+          TimeOps.composeTimestamp(to_date(col("ts")), hour(col("ts")),
+            minute(col("ts")).cast("double") +
+              when(second(col("ts")) >= 30, 0.5).otherwise(0.0)).as("ts30"))
+      },
+      Some("""SELECT event_id,
+                CAST(year(ts) AS INTEGER) AS y,
+                CAST(dayofyear(ts) AS INTEGER) AS doy,
+                CAST(hour(ts) AS INTEGER) AS h,
+                CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+                CAST(floor(epoch(ts)) - floor(epoch(date_trunc('day', ts))) AS INTEGER) AS sod,
+                CAST(ts AS DATE)::TIMESTAMP
+                  + (hour(ts) * 3600 + minute(ts) * 60
+                     + CASE WHEN CAST(second(ts) AS INTEGER) >= 30 THEN 30 ELSE 0 END)
+                    * INTERVAL 1 SECOND AS ts30
+              FROM events""")),
+
+    // ---- P1/P2/P3 string path split / join / trim ----
+    Q("q19_split_unite",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val split3 = Tidy.pathSplit(
+          p.select(col("p_partkey"), col("p_name")), "p_name", " ",
+          Seq("seg1", "seg2", "seg3"), keepSrc = false)
+        Tidy.pathJoin(split3, "rejoined", "/", Seq("seg1", "seg2", "seg3"))
+          .select(col("p_partkey"), col("seg1"), col("seg2"), col("seg3"), col("rejoined"))
+      },
+      Some("""SELECT p_partkey,
+                nullif(split_part(p_name, ' ', 1), '') AS seg1,
+                nullif(split_part(p_name, ' ', 2), '') AS seg2,
+                nullif(split_part(p_name, ' ', 3), '') AS seg3,
+                concat_ws('/', nullif(split_part(p_name, ' ', 1), ''),
+                               nullif(split_part(p_name, ' ', 2), ''),
+                               nullif(split_part(p_name, ' ', 3), '')) AS rejoined
+              FROM part""")),
+
+    // ---- P7 empty→NULL + P8 conditional + null-safe row mean (P14) ----
+    Q("q20_null_handling",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .withColumn("a", when(col("o_totalprice") < 50000, lit(null)).otherwise(col("o_totalprice")))
+          .withColumn("b", when(col("o_totalprice") > 250000, lit(null)).otherwise(col("o_totalprice")))
+        o.select(col("o_orderkey"), round(Tidy.rowMean2(col("a"), col("b")), 2).as("ab_mean"))
+      },
+      Some("""SELECT o_orderkey,
+                round((coalesce(a, b) + coalesce(b, a)) / 2, 2) AS ab_mean
+              FROM (SELECT o_orderkey,
+                      CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END AS a,
+                      CASE WHEN o_totalprice > 250000 THEN NULL ELSE o_totalprice END AS b
+                    FROM orders) q""")),
+
+    // ---- §2.8 SCD-2 merge: resulting dimension state ----
+    Q("q21_scd2_dim",
+      (s, dir) => Scd2Fixture.merged(s, dir).dim,
+      Some(Scd2Fixture.dimOracle)),
+
+    // ---- §2.8 SCD-2 merge: cell-level changelog ----
+    Q("q22_scd2_changelog",
+      (s, dir) => Scd2Fixture.merged(s, dir).changelog,
+      Some(Scd2Fixture.changelogOracle))
+  )
+}

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Similarity
+
+/** Embedding-similarity queries over the `embeddings` table. */
+object SimilarityQueries {
+
+  /** DuckDB-parity double rounding (see graft.ops.Numeric.roundAway). */
+  private def round(c: org.apache.spark.sql.Column, scale: Int) =
+    graft.ops.Numeric.roundAway(c, scale)
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- brute-force exact cosine top-k (ANN baseline) ----
+    Q("q40_cosine_topk",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val queries = e.where(col("vec_id") % 50 === 0)
+        Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                         FROM embeddings WHERE vec_id % 50 = 0),
+                   scored AS (
+                     SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+                     FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+                   ranked AS (
+                     SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rank
+                     FROM scored)
+              SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+                     round(sim, 6) AS sim
+              FROM ranked WHERE rank <= 5""")),
+
+    // ---- LSH-bucketed ANN, the scale path (rows-only: bucket hash
+    //      family is engine-specific) ----
+    Q("q41_lsh_ann",
+      (s, dir) => {
+        Similarity.lshTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", bits = 8, k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+      },
+      None),
+
+    // ---- label centroid distance: agg over vector columns ----
+    Q("q42_label_centroid_norm",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("label"), Similarity.toDoubleVec(col("embedding")).as("v"))
+        // mean vector per label via element-wise aggregate, then L2 norm
+        val summed = e.groupBy(col("label")).agg(
+          count(lit(1)).as("n"),
+          array((0 until 64).map(i => sum(element_at(col("v"), i + 1))): _*).as("vsum"))
+        summed.select(col("label"), col("n"),
+          round(sqrt(aggregate(transform(col("vsum"), x => (x / col("n")) * (x / col("n"))),
+            lit(0.0), (acc, x) => acc + x)), 6).as("centroid_norm"))
+      },
+      None)
+  )
+}

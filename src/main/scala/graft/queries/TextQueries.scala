@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Dedup, TextAnalysis => TA}
+
+/** Training-data text operators over the `documents` table. */
+object TextQueries {
+
+  /** DuckDB-parity double rounding (see graft.ops.Numeric.roundAway). */
+  private def round(c: org.apache.spark.sql.Column, scale: Int) =
+    graft.ops.Numeric.roundAway(c, scale)
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopSqlList = stop.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- token counting (whitespace) + char stats ----
+    Q("q30_token_stats",
+      (s, dir) => {
+        Tables.load(s, dir, "documents").select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_text"),
+          round(length(col("text")).cast("double") /
+            TA.tokenCount(col("text")).cast("double"), 6).as("chars_per_token"))
+      },
+      Some("""SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+                CAST(length(text) AS INTEGER) AS n_chars_text,
+                round(length(text) / len(regexp_split_to_array(trim(text), '\s+')), 6)
+                  AS chars_per_token
+              FROM documents""")),
+
+    // ---- quality scoring: length / stopword / punctuation recipe ----
+    Q("q31_quality_score",
+      (s, dir) => {
+        Tables.load(s, dir, "documents").select(col("doc_id"),
+          round(TA.wordSetRatio(col("text"), stop), 6).as("stop_ratio"),
+          round(TA.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TA.qualityScore(col("text"), stop), 6).as("quality"))
+      },
+      Some(s"""WITH f AS (
+               |  SELECT doc_id,
+               |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+               |    len(regexp_split_to_array(trim(text), '\\s+')) AS n,
+               |    length(text) AS nc,
+               |    length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS nstrip
+               |  FROM documents),
+               |r AS (
+               |  SELECT doc_id,
+               |    CASE WHEN len(toks) > 0
+               |         THEN CAST(len(list_filter(toks, t -> list_contains($stopSqlList, t))) AS DOUBLE) / len(toks)
+               |         ELSE 0.0 END AS stop_ratio,
+               |    CASE WHEN nc > 0 THEN CAST(nc - nstrip AS DOUBLE) / nc ELSE 0.0 END AS punct_ratio,
+               |    CAST(n AS DOUBLE) AS nd
+               |  FROM f)
+               |SELECT doc_id, round(stop_ratio, 6) AS stop_ratio,
+               |  round(punct_ratio, 6) AS punct_ratio,
+               |  round(greatest(0.0, least(1.0,
+               |    least(nd / 20.0, 1.0) * 0.4
+               |    + least(stop_ratio * 5.0, 1.0) * 0.4
+               |    + (1.0 - punct_ratio) * 0.2)), 6) AS quality
+               |FROM r""".stripMargin)),
+
+    // ---- language-ID n-gram/marker heuristic ----
+    Q("q32_langid",
+      (s, dir) => {
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TA.langId(col("text")).as("pred_lang"))
+      },
+      Some {
+        val markers = TA.defaultMarkers
+        val scoreCols = markers.map { case (l, ws) =>
+          val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(toks, t -> list_contains($lst, t))) AS s_$l"
+        }.mkString(",\n    ")
+        val best = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val cases = markers.map { case (l, _) =>
+          s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'"
+        }.mkString("\n    ")
+        s"""WITH f AS (
+           |  SELECT doc_id, lang,
+           |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+           |  FROM documents),
+           |sc AS (SELECT doc_id, lang,
+           |    $scoreCols
+           |  FROM f)
+           |SELECT doc_id, lang,
+           |  CASE $cases ELSE 'und' END AS pred_lang
+           |FROM sc""".stripMargin
+      }),
+
+    // ---- exact dedup groups ----
+    Q("q33_dedup_exact",
+      (s, dir) => {
+        Dedup.exactGroups(Tables.load(s, dir, "documents"), "text", "doc_id")
+          .select(col("text"), col("keep_id"), col("n_dups"))
+      },
+      Some("""SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+                     count(*) AS n_dups
+              FROM documents GROUP BY text""")),
+
+    // ---- exact n-gram Jaccard over adjacent-id pairs ----
+    Q("q34_ngram_jaccard",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), TA.charNgrams(col("text"), 3).as("sh"))
+        val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+          col("sh").as("sh_b"))
+        a.join(b, Seq("id_a"))
+          .select(col("id_a"), col("id_b"),
+            round(TA.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      },
+      Some("""WITH sh AS (
+               SELECT doc_id,
+                 list_distinct([substr(text, CAST(i AS INTEGER), 3)
+                   FOR i IN generate_series(1, greatest(length(text) - 2, 0))]) AS s
+               FROM documents)
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CASE WHEN len(a.s) + len(b.s)
+                              - len(list_filter(a.s, x -> list_contains(b.s, x))) > 0
+                      THEN CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+                           / (len(a.s) + len(b.s)
+                              - len(list_filter(a.s, x -> list_contains(b.s, x))))
+                      ELSE 1.0 END, 6) AS jaccard
+              FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""")),
+
+    // ---- MinHash-LSH near-dup candidates (non-SQL-expressible:
+    //      engine-specific xxhash64 family → driver rows-only check) ----
+    Q("q35_minhash_neardups",
+      (s, dir) => {
+        Dedup.minhashNearDups(Tables.load(s, dir, "documents"),
+          "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      None),
+
+    // ---- SimHash fingerprints + near-pairs (rows-only) ----
+    Q("q36_simhash",
+      (s, dir) => {
+        Dedup.simhash(Tables.load(s, dir, "documents"), "text", "doc_id")
+      },
+      None),
+
+    // ---- order-sensitive rolling fingerprint (rows-only) ----
+    Q("q37_fingerprint",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+      },
+      None),
+
+    // ---- multimodal: opaque binary column + typed metadata ----
+    Q("q38_multimodal_binary",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .withColumn("payload", col("text").cast("binary"))
+          .select(col("doc_id"),
+            length(col("payload")).as("n_bytes"),
+            sha2(col("payload"), 256).as("sha"))
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                     sha256(text) AS sha
+              FROM documents"""))
+  )
+}
