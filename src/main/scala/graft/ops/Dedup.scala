@@ -29,45 +29,90 @@ object Dedup {
     df.join(df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)),
       Seq(textCol, idCol), "left_semi")
 
-  /** MinHash signature: for each of `numHashes` seeded hash families,
-    * the minimum xxhash64 over the document's shingles.
+  /** MinHash signature: for each of `numHashes` hash families, the
+    * minimum hash over the document's shingles. Native Catalyst
+    * expression (graft.expressions.MinHashSigExpr) — one compiled pass
+    * per row; the composable nested-transform formulation runs
+    * interpreted and is ~100× slower on real corpora.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, sh => xxhash64(i, sh))))
+    graft.expressions.MinHashExprs.minhashSig(shingles, numHashes)
 
   /** LSH band keys from a signature: `bands` hashes of `rowsPerBand`
     * consecutive signature slots. Docs sharing any band key are
     * candidate near-duplicates.
     */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, concat_ws(",",
-        transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
-          x => x.cast("string")))))
+    graft.expressions.MinHashExprs.bandKeys(signature, bands, rowsPerBand)
 
   /** Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
     * bucket self-join → exact-Jaccard verification at `threshold`.
     * Returns candidate pairs (id_a < id_b) with their exact Jaccard.
+    *
+    * Shuffle discipline for 100 TB: the band self-join moves ONLY
+    * (band, id) pairs — 16-byte rows — never shingle arrays; candidate
+    * pairs are made distinct BEFORE verification so exact Jaccard runs
+    * once per pair, not once per shared band; shingle sets are attached
+    * to the (small) candidate set by two hash joins at the end. The
+    * shingle frame is computed once and reused for both sides.
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = df.select(col(idCol), col(textCol),
+    val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
     val banded = sh
-      .withColumn("__band", explode(
-        lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand)))
-      .select(col(idCol), col("__sh"), col("__band"))
-    val a = banded.select(col("__band"), col(idCol).as("id_a"), col("__sh").as("__sh_a"))
-    val b = banded.select(col("__band"), col(idCol).as("id_b"), col("__sh").as("__sh_b"))
-    a.join(b, Seq("__band"))
+      .select(col(idCol), explode(
+        lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))
+        .as("__band"))
+    val candidates = banded.select(col("__band"), col(idCol).as("id_a"))
+      .join(banded.select(col("__band"), col(idCol).as("id_b")), Seq("__band"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         TextAnalysis.jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** MinHash-LSH dedup DECISION — the 100 TB shape. All-pairs output
+    * (minhashNearDups) is quadratic in cluster size and explodes on
+    * templated corpora; what a training-data pipeline actually needs is
+    * one decision per document. Per band bucket take the min id as
+    * representative, per doc take the min over its bands, then verify
+    * ONLY the (doc, rep) pair with exact Jaccard — linear rows end to
+    * end. One pass of min-propagation approximates connected components
+    * (standard practice; full transitive closure would need iteration).
+    * Returns (id, rep_id, jaccard, is_dup): is_dup = false means the doc
+    * is its own representative (kept).
+    */
+  def minhashDedup(df: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3, numHashes: Int = 32,
+                   bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = df.select(col(idCol),
+      TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
+    val banded = sh
+      .select(col(idCol), explode(
+        lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))
+        .as("__band"))
+    val bandMin = banded.groupBy(col("__band")).agg(min(col(idCol)).as("__bmin"))
+    val repCand = banded.join(bandMin, Seq("__band"))
+      .groupBy(col(idCol)).agg(min(col("__bmin")).as("__rep"))
+    val verified = repCand.where(col("__rep") < col(idCol))
+      .join(sh.select(col(idCol), col("__sh")), Seq(idCol))
+      .join(sh.select(col(idCol).as("__rep"), col("__sh").as("__sh_r")), Seq("__rep"))
+      .select(col(idCol), col("__rep"),
+        TextAnalysis.jaccard(col("__sh"), col("__sh_r")).as("jaccard"))
+    df.select(col(idCol)).join(verified, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("jaccard") >= threshold, col("__rep")).otherwise(col(idCol)).as("rep_id"),
+        col("jaccard"),
+        coalesce(col("jaccard") >= threshold, lit(false)).as("is_dup"))
   }
 
   /** SimHash 64-bit fingerprint over token hashes: per bit, the sign of

@@ -127,13 +127,17 @@ object TextQueries {
                       ELSE 1.0 END, 6) AS jaccard
               FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""")),
 
-    // ---- MinHash-LSH near-dup candidates (non-SQL-expressible:
-    //      engine-specific xxhash64 family → driver rows-only check) ----
+    // ---- MinHash-LSH near-dup dedup decisions (non-SQL-expressible:
+    //      engine-specific xxhash64 family → driver rows-only check).
+    //      Linear output by design: all-pairs at threshold 0.5 is ~2M
+    //      rows on the templated sf0.1 corpus (quadratic in cluster
+    //      size) — a 100 TB pipeline emits one decision per doc. ----
     Q("q35_minhash_neardups",
       (s, dir) => {
-        Dedup.minhashNearDups(Tables.load(s, dir, "documents"),
+        Dedup.minhashDedup(Tables.load(s, dir, "documents"),
           "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .select(col("doc_id"), col("rep_id"), round(col("jaccard"), 6).as("jaccard"),
+            col("is_dup"))
       },
       None),
 

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftglue
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made `Column.expr` private: the
+  * public Column API is backed by ColumnNodes, and the converters live
+  * in `org.apache.spark.sql.classic.ExpressionUtils` marked
+  * private[sql]. Custom native expressions (graft.expressions.*) need
+  * exactly that conversion, so this object sits inside the
+  * org.apache.spark.sql package namespace to re-export the two calls —
+  * the established pattern for Spark extension libraries.
+  */
+object Glue {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

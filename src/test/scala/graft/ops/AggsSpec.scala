@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AggsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pctNull is percentage of NULLs, 1 dp (A1)") {
+    val df = Seq[Option[Double]](Some(1), None, None).toDF("v")
+    val out = df.agg(Aggs.pctNull($"v").as("p")).as[Double].head()
+    assert(out == 66.7)
+  }
+
+  test("sumNaRm returns 0 for all-NULL group — R sum(na.rm=T) parity") {
+    val df = Seq[Option[Double]](None, None).toDF("v")
+    assert(df.agg(Aggs.sumNaRm($"v")).head().getDouble(0) == 0.0)
+  }
+
+  test("timeBucketAgg floors to width and aggregates (A1/D2)") {
+    val df = Seq(
+      ("s1", ts("2020-01-01 00:07:30"), 2),
+      ("s1", ts("2020-01-01 00:14:59"), 3),
+      ("s1", ts("2020-01-01 00:15:00"), 5)).toDF("sensor", "t", "v")
+    val out = Aggs.timeBucketAgg(df, "t", 900, Seq("sensor"),
+      Seq(sum($"v").as("v")))
+    assert(rows(out.select($"bucket_start", $"v")) == Seq(
+      Seq(ts("2020-01-01 00:00:00"), 5L),
+      Seq(ts("2020-01-01 00:15:00"), 5L)))
+  }
+
+  test("twoLevelRollup chains fine→coarse aggregation (A3/A5)") {
+    val df = Seq(("d1", "n1", 1), ("d1", "n1", 2), ("d2", "n1", 10)).toDF("det", "node", "v")
+    val out = Aggs.twoLevelRollup(df,
+      Seq("det", "node"), Seq(sum($"v").as("v")),
+      Seq("node"), Seq(sum($"v").as("v_sum"), count($"v").as("n_det")))
+    assert(rows(out) == Seq(Seq("n1", 13L, 2L)))
+  }
+
+  test("withGroupCountMedian appends n and exact median (A6/A7)") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 100.0), ("b", 7.0)).toDF("g", "v")
+    val out = Aggs.withGroupCountMedian(df, Seq("g"), "v")
+    // rows() sorts lexicographically on the row string → "100.0" < "3.0"
+    assert(rows(out) == Seq(
+      Seq("a", 1.0, 3L, 3.0), Seq("a", 100.0, 3L, 3.0), Seq("a", 3.0, 3L, 3.0),
+      Seq("b", 7.0, 1L, 7.0)))
+  }
+
+  test("completeKeys keeps keys complete in EVERY period (A8)") {
+    // expected 2/period, min ratio 0.75: u1 has (2,2) → min 1.0 keep;
+    // u2 has (2,1) → min 0.5 drop.
+    val df = Seq(
+      ("u1", "p1"), ("u1", "p1"), ("u1", "p2"), ("u1", "p2"),
+      ("u2", "p1"), ("u2", "p1"), ("u2", "p2")).toDF("u", "p")
+    val out = Aggs.completeKeys(df, Seq("u"), "p", lit(2.0), 0.75)
+    assert(rows(out) == Seq(Seq("u1")))
+  }
+
+  test("watermark returns max date; None on empty (A9)") {
+    val df = Seq(d("2020-01-03"), d("2020-01-07")).toDF("dt")
+    assert(Aggs.watermark(df, "dt").contains(d("2020-01-07")))
+    assert(Aggs.watermark(df.where(lit(false)), "dt").isEmpty)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different text about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactGroups keeps min id and counts dups") {
+    val out = Dedup.exactGroups(docs, "text", "doc_id")
+      .select($"keep_id", $"n_dups")
+    assert(rows(out) == Seq(Seq(1L, 2L), Seq(2L, 1L), Seq(3L, 1L)))
+  }
+
+  test("exactDedup keeps one (min-id) row per text") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(rows(out.select($"doc_id")) == Seq(Seq(1L), Seq(2L), Seq(3L)))
+  }
+
+  test("minhashNearDups finds exact+near dup pairs, not unrelated ones") {
+    val out = Dedup.minhashNearDups(docs, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, threshold = 0.5)
+    val pairs = out.select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical docs always collide
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup caught
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // no false pair
+    val j14 = out.where($"id_a" === 1 && $"id_b" === 4).select($"jaccard")
+      .as[Double].head()
+    assert(j14 == 1.0)
+  }
+
+  test("minhashDedup assigns min-id representative; unrelated docs keep themselves") {
+    val out = Dedup.minhashDedup(docs, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, threshold = 0.5)
+    val m = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(m.size == 4) // one decision per doc
+    assert(m(1L) == (1L, false)) // min id of its cluster: kept
+    assert(m(4L) == (1L, true))  // exact dup of 1 → folded into 1
+    assert(m(3L) == (3L, false)) // unrelated: kept
+  }
+
+  test("simhash: identical texts get identical fingerprints; near-dups close") {
+    val fp = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    val dfp = Seq((fp(1L), fp(2L), fp(3L))).toDF("a", "b", "c")
+    val r = dfp.select(Dedup.hamming64($"a", $"b"), Dedup.hamming64($"a", $"c")).head()
+    assert(r.getInt(0) < r.getInt(1)) // near-dup closer than unrelated
+  }
+
+  test("charNgrams distinct shingles; jaccard identical=1, disjoint=0") {
+    val df = Seq(("abcab", "abc", "xyz")).toDF("a", "b", "c")
+    val sh = df.select(
+      TextAnalysis.charNgrams($"a", 3).as("sa"),
+      TextAnalysis.charNgrams($"b", 3).as("sb"),
+      TextAnalysis.charNgrams($"c", 3).as("sc"))
+    val r = sh.select(size($"sa"),
+      TextAnalysis.jaccard($"sb", $"sb"), TextAnalysis.jaccard($"sb", $"sc")).head()
+    assert(r.getInt(0) == 3) // abc, bca, cab
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("tokenCount, punctRatio, wordSetRatio, qualityScore bounds") {
+    val df = Seq("the cat!! sat??").toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCount($"t"),
+      TextAnalysis.punctRatio($"t"),
+      TextAnalysis.wordSetRatio($"t", Seq("the")),
+      TextAnalysis.qualityScore($"t")).head()
+    assert(r.getInt(0) == 3)
+    assert(math.abs(r.getDouble(1) - 4.0 / 15.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0 / 3.0) < 1e-12)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("langId picks marker-dominant language, und when no markers") {
+    val df = Seq("the cat and the dog is here",
+      "el perro y la casa de los gatos", "zzz qqq").toDF("t")
+    assert(df.select(TextAnalysis.langId($"t")).as[String].collect().toSeq ==
+      Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq(("a b c", "c b a")).toDF("x", "y")
+    val r = df.select(TextAnalysis.fingerprint($"x"), TextAnalysis.fingerprint($"y")).head()
+    assert(r.getLong(0) != r.getLong(1))
+  }
+}

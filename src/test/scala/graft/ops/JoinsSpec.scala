@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("intervalJoin: equi key + point-in-range, inner (J10)") {
+    val fact = Seq(("n1", d("2020-01-05"), 10), ("n1", d("2020-02-05"), 20),
+      ("n2", d("2020-01-05"), 30)).toDF("node", "dt", "v")
+    val dim = Seq(("n1", d("2020-01-01"), d("2020-01-31"), 5))
+      .toDF("node", "lo", "hi", "lanes")
+    val out = Joins.intervalJoin(fact, dim, Seq("node"),
+      point = fact("dt"), lo = dim("lo"), hi = dim("hi"))
+    assert(rows(out.select("node", "v", "lanes")) == Seq(Seq("n1", 10, 5)))
+  }
+
+  test("intervalJoin with overlapping versions yields one row per match (J10)") {
+    val fact = Seq(("n1", d("2020-01-05"), 1)).toDF("node", "dt", "v")
+    val dim = Seq(("n1", d("2020-01-01"), d("2020-01-10"), 1),
+      ("n1", d("2020-01-04"), d("2020-01-06"), 2)).toDF("node", "lo", "hi", "ver")
+    val out = Joins.intervalJoin(fact, dim, Seq("node"),
+      fact("dt"), dim("lo"), dim("hi"))
+    assert(out.count() == 2)
+  }
+
+  test("lagJoin attaches value from lagSec earlier; missing → NULL (J9)") {
+    val df = Seq(
+      ("s1", ts("2020-01-08 00:00:00"), 10.0),
+      ("s1", ts("2020-01-01 00:00:00"), 7.0),
+      ("s1", ts("2020-01-09 00:00:00"), 99.0)).toDF("s", "t", "v")
+    val out = Joins.lagJoin(df, Seq("s"), "t", 7L * 86400, Seq("v"), "_prev")
+    val got = out.select($"t", $"v_prev").collect()
+      .map(r => (r.getTimestamp(0), Option(r.get(1)))).toMap
+    assert(got(ts("2020-01-08 00:00:00")) == Some(7.0))
+    assert(got(ts("2020-01-09 00:00:00")).isEmpty) // no -7d history
+    assert(got(ts("2020-01-01 00:00:00")).isEmpty)
+  }
+
+  test("expandValidDates filters grid to validity window (J4)") {
+    val dates = TimeOps.dateGrid(spark, "2020-01-01", "2020-01-10")
+    val dim = Seq(("x", d("2020-01-03"), d("2020-01-05"))).toDF("k", "from", "to")
+    val out = Joins.expandValidDates(dates, dim, "data_date", "from", "to")
+    assert(out.count() == 3)
+  }
+
+  test("newKeys = anti join (J5); semiFilter = semi join (J12)") {
+    val newDf = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val oldDf = Seq(("a", 9)).toDF("k", "v")
+    assert(rows(Joins.newKeys(newDf, oldDf, "k")) == Seq(Seq("b", 2)))
+    assert(rows(Joins.semiFilter(newDf, oldDf.select("k"), Seq("k"))) ==
+      Seq(Seq("a", 1)))
+  }
+}

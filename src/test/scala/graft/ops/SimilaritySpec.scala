@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal=0, identical=1, zero-vector=0") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0), Array(0.0, 0.0)))
+      .toDF("a", "b", "z")
+    val r = df.select(
+      Similarity.cosine($"a", $"b"), Similarity.cosine($"a", $"a"),
+      Similarity.cosine($"a", $"z")).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 1.0 && r.getDouble(2) == 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc, excludes self") {
+    val q = vecs.where($"vec_id" === 1)
+    val out = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 2)
+    val got = out.orderBy("rank").select($"neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L)) // 2 closest to 1; 3 ties 4, id asc breaks tie
+  }
+
+  test("lshTopK returns only true-cosine values for pairs it finds") {
+    val out = Similarity.lshTopK(vecs, "vec_id", "embedding", bits = 2, k = 3)
+    val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)
+      .select($"query_id", $"neighbor_id", $"sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.select($"query_id", $"neighbor_id", $"sim").collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(k) || r.getDouble(2) <= brute.values.max)
+      brute.get(k).foreach(v => assert(math.abs(v - r.getDouble(2)) < 1e-12))
+    }
+  }
+}
