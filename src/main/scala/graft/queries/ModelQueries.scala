@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.model.Gam
+
+/** GAM model queries (SURVEY.md §2.9 M1–M4) over the events table:
+  * per-group count series → spline GLM fit → counterfactual grid
+  * prediction. Non-SQL-expressible (iterative IRLS) → rows-only checks.
+  */
+object ModelQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- M2/M4: hourly count model per event_type, scored 1 week out ----
+    Q("q50_gam_hourly",
+      (s, dir) => {
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+          .agg(count(lit(1)).cast("double").as("n"))
+          .withColumn("carry", lit("events"))
+        Gam.fitPredict(hourly, "event_type", "carry", "hour_ts", "n",
+          "2024-02-01 00:00:00", "2024-02-07 23:00:00", 3600,
+          Gam.Config(hourly = true, negBin = true))
+          .select(col("event_type"), col("PREDICT_TIME"),
+            col("PREDICTION").as("VOLUMN_PREDICTION"))
+      },
+      None),
+
+    // ---- M3/M4: daily model per event_type ----
+    Q("q51_gam_daily",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day_ts"))
+          .agg(count(lit(1)).cast("double").as("n"))
+          .withColumn("carry", lit("events"))
+        Gam.fitPredict(daily, "event_type", "carry", "day_ts", "n",
+          "2024-02-01 00:00:00", "2024-02-28 00:00:00", 86400,
+          Gam.Config(hourly = false, negBin = true, minRows = 14))
+          .select(col("event_type"), col("PREDICT_TIME"),
+            col("PREDICTION").as("VOLUMN_PREDICTION"))
+      },
+      None)
+  )
+}

@@ -13,7 +13,8 @@ final case class Q(
     oracle: Option[String])
 
 object Registry {
-  def all: Seq[Q] = Relational.qs ++ TextQueries.qs ++ SimilarityQueries.qs
+  def all: Seq[Q] =
+    Relational.qs ++ TextQueries.qs ++ SimilarityQueries.qs ++ ModelQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

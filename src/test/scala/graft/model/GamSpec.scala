@@ -1,0 +1,101 @@
+package graft.model
+
+import graft.SparkSpec
+
+class GamSpec extends SparkSpec {
+
+  test("Spline basis: partition of unity, local support") {
+    val sp = Spline.uniform(0, 100, 6)
+    Seq(0.0, 13.7, 50.0, 99.9).foreach { x =>
+      val b = sp.basis(x)
+      assert(math.abs(b.sum - 1.0) < 1e-9, s"sum at $x")
+      assert(b.count(_ > 1e-12) <= 4) // cubic: at most 4 active
+    }
+  }
+
+  test("Glm Poisson IRLS recovers log-linear rate") {
+    // y ~ Poisson(exp(1 + 0.5*x)); deterministic pseudo-sample via quantiles
+    val rng = new scala.util.Random(7)
+    val x = Array.tabulate(2000)(i => Array(1.0, i / 1000.0 - 1.0))
+    val y = x.map { xi =>
+      val mu = math.exp(1.0 + 0.5 * xi(1))
+      // Poisson draw (Knuth) with fixed seed
+      var l = math.exp(-mu); var k = 0; var p = 1.0
+      while ({ p *= rng.nextDouble(); p > l }) k += 1
+      k.toDouble
+    }
+    val fit = Glm.fit(x, y, negBin = false)
+    assert(math.abs(fit.beta(0) - 1.0) < 0.1)
+    assert(math.abs(fit.beta(1) - 0.5) < 0.1)
+  }
+
+  test("Glm NB2 estimates overdispersion alpha > 0 on overdispersed data") {
+    val rng = new scala.util.Random(11)
+    val x = Array.fill(3000)(Array(1.0))
+    // NB via Poisson-Gamma mixture: mu=20, alpha=0.3
+    val y = x.map { _ =>
+      val g = {
+        // Gamma(shape=1/alpha, scale=alpha*mu) ≈ via sum of exponentials fallback
+        val shape = 1.0 / 0.3
+        var s = 0.0
+        (1 to shape.toInt).foreach(_ => s += -math.log(rng.nextDouble()))
+        s * 0.3 * 20.0 / shape * shape // scale to mean 20
+      }
+      val mu = g
+      var l = math.exp(-math.min(mu, 700)); var k = 0; var p = 1.0
+      while ({ p *= rng.nextDouble(); p > l }) k += 1
+      k.toDouble
+    }
+    val fit = Glm.fit(x, y, negBin = true)
+    assert(fit.alpha > 0.05, s"alpha=${fit.alpha}")
+    assert(math.abs(math.exp(fit.beta(0)) - 20.0) < 4.0)
+  }
+
+  test("GAM recovers smooth daily + weekday signal (statistical gate, M2/M4)") {
+    // Known signal: volume = exp(3 + 0.8*sin(2π·itime/86400) + weekday lift)
+    val cfg = Gam.Config(hourly = true, negBin = false)
+    val rng = new scala.util.Random(3)
+    val start = java.time.LocalDateTime.parse("2018-01-01T00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val rows = (0 until 24 * 365).map { h =>
+      val t = start + h * 3600L
+      val f = Gam.feats(t)
+      val lift = if (f.weekday == 0 || f.weekday == 6) 0.0 else 0.5
+      val mu = math.exp(3.0 + 0.8 * math.sin(2 * math.Pi * f.itime / 86400.0) + lift)
+      var l = math.exp(-mu); var k = 0; var p = 1.0
+      while ({ p *= rng.nextDouble(); p > l }) k += 1
+      Gam.TrainRow("n1", "c1", t, k.toDouble)
+    }
+    val grid = (0 until 24 * 7).map(h => start + 366L * 86400 + h * 3600L)
+    val preds = Gam.fitScoreGroup(rows, grid, cfg).toSeq
+    assert(preds.size == grid.size)
+    // statistical acceptance: mean relative error vs true mu < 15%
+    val relErrs = preds.map { p =>
+      val f = Gam.feats(p.epochSec)
+      val lift = if (f.weekday == 0 || f.weekday == 6) 0.0 else 0.5
+      val mu = math.exp(3.0 + 0.8 * math.sin(2 * math.Pi * f.itime / 86400.0) + lift)
+      math.abs(p.yhat - mu) / mu
+    }
+    val mre = relErrs.sum / relErrs.size
+    assert(mre < 0.15, s"mean relative error $mre")
+  }
+
+  test("fitPredict: distributed per-group fit, one row per group×grid-slot") {
+    import spark.implicits._
+    val start = java.time.LocalDateTime.parse("2018-01-01T00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val rows = for {
+      g <- Seq("a", "b")
+      h <- 0 until 24 * 60 // 60 days hourly
+    } yield (g, "corr_" + g, new java.sql.Timestamp((start + h * 3600L) * 1000),
+      (if (g == "a") 10.0 else 100.0) + (h % 24))
+    val df = rows.toDF("node", "corridor", "ts", "volume")
+    val out = Gam.fitPredict(df, "node", "corridor", "ts", "volume",
+      "2018-03-15 00:00:00", "2018-03-15 23:00:00", 3600,
+      Gam.Config(hourly = true))
+    assert(out.count() == 2 * 24)
+    val avg = out.groupBy($"node").avg("PREDICTION").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(avg("b") > avg("a") * 3) // group separation survives
+  }
+}
