@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** §2.10 — the streaming variant of the engine. The reference is
+  * incremental nightly batch (watermark-by-max + day-at-a-time loops,
+  * /root/reference/R/4) Update-SensorData-Nightly.R:7-13); the idiomatic
+  * Spark equivalents are (a) an idempotent per-date batch overwrite and
+  * (b) a Structured Streaming file source with `Trigger.AvailableNow` —
+  * same nightly semantics, but checkpointed and late-data-aware, which
+  * the reference explicitly lacks (README.md:37 acknowledges missed
+  * days as future work).
+  *
+  * State discipline at scale: the 15-min aggregation keys state by
+  * (sensor, window); the watermark bounds state size — windows older
+  * than the watermark are finalized and evicted. Gap detection keys
+  * state by sensor only (one small record each).
+  */
+object Streams {
+
+  /** File-source stream of raw 30-sec readings (S3's streaming form).
+    * `maxFilesPerTrigger` caps micro-batch size for steady backfill.
+    */
+  def readRaw30s(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(graft.traffic.Schemas.raw30s)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** A1 as a streaming windowed aggregation: tumbling 15-min windows
+    * per sensor with NA-skipping sums and pct-null, late data admitted
+    * up to `lateness`.
+    */
+  def agg15Min(raw: DataFrame, lateness: String = "1 hour"): DataFrame = {
+    val withTs = raw.withColumn("ts",
+      graft.ops.TimeOps.composeTimestamp(col("date"), col("hour"), col("min")))
+    withTs
+      .withWatermark("ts", lateness)
+      .groupBy(col("sensor"), window(col("ts"), "15 minutes"))
+      .agg(
+        coalesce(sum(col("volume")), lit(0)).cast("int").as("VOLUME_SUM"),
+        graft.ops.Aggs.pctNull(col("volume")).as("VOLUME_PCT_NULL"),
+        coalesce(sum(col("occupancy")), lit(0)).cast("int").as("OCCUPANCY_SUM"),
+        graft.ops.Aggs.pctNull(col("occupancy")).as("OCCUPANCY_PCT_NULL"))
+      .select(col("sensor").as("DETECTOR_NAME"),
+        col("window.start").as("START_DATETIME"),
+        col("VOLUME_SUM"), col("VOLUME_PCT_NULL"),
+        col("OCCUPANCY_SUM"), col("OCCUPANCY_PCT_NULL"))
+  }
+
+  final case class Reading(sensor: String, ts: java.sql.Timestamp)
+  final case class Gap(sensor: String, gapStart: java.sql.Timestamp,
+                       gapEnd: java.sql.Timestamp, gapSec: Long)
+  final case class LastSeen(epochMs: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: emit a Gap row
+    * whenever a sensor goes silent for more than `gapSec` between
+    * consecutive readings (the streaming analogue of the reference's
+    * all-null-day retry detector, S4).
+    */
+  def detectGaps(readings: Dataset[Reading], gapSec: Long): Dataset[Gap] = {
+    import readings.sparkSession.implicits._
+    readings.groupByKey(_.sensor)
+      .flatMapGroupsWithState[LastSeen, Gap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (sensor, rows, state: GroupState[LastSeen]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val start = state.getOption.map(_.epochMs)
+          val (gaps, last) = sorted.foldLeft(
+            (Vector.empty[Gap], start)) { case ((acc, prev), r) =>
+            val t = r.ts.getTime
+            val g = prev match {
+              case Some(p) if t - p > gapSec * 1000 =>
+                acc :+ Gap(sensor, new java.sql.Timestamp(p),
+                  new java.sql.Timestamp(t), (t - p) / 1000)
+              case _ => acc
+            }
+            (g, Some(math.max(t, prev.getOrElse(0L))))
+          }
+          last.foreach(l => state.update(LastSeen(l)))
+          gaps.iterator
+      }
+  }
+
+  /** Drain everything currently available (the nightly-batch equivalent)
+    * into a date-partitioned parquet sink, then stop — idempotent via
+    * the checkpoint.
+    */
+  def drainToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df
+      .withColumn("START_DATE", to_date(col("START_DATETIME")))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("START_DATE")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.nio.file.Files
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming 15-min agg over file source matches batch semantics (§2.10)") {
+    val srcDir = Files.createTempDirectory("stream_src").toString
+    val ckDir = Files.createTempDirectory("stream_ck").toString
+    val outDir = Files.createTempDirectory("stream_out").toString + "/fact"
+
+    // two files → two micro-batch inputs; sensor s1, one hour of 30-sec
+    // slots split across files
+    val mk = (lo: Int, hi: Int) => (lo until hi).map { slot =>
+      ("s1", d("2020-01-01"), slot / 120, (slot % 120) / 2.0,
+        Some(5), if (slot % 10 == 0) None: Option[Int] else Some(300))
+    }.toDF("sensor", "date", "hour", "min", "volume", "occupancy")
+    mk(0, 120).write.parquet(srcDir + "/f1")
+    mk(120, 240).write.parquet(srcDir + "/f2")
+
+    val raw = Streams.readRaw30s(spark, srcDir + "/*")
+    Streams.drainToParquet(Streams.agg15Min(raw), outDir, ckDir)
+
+    // append-mode watermark semantics: only windows older than
+    // (max event time − 1 h lateness) finalize in this drain — 3 of 8;
+    // the tail stays in state for the NEXT run (late data window)
+    val got1 = spark.read.parquet(outDir)
+    assert(got1.count() == 3)
+    val b0 = got1.where($"START_DATETIME" === ts("2020-01-01 00:00:00")).head()
+    assert(b0.getAs[Int]("VOLUME_SUM") == 150)
+    assert(b0.getAs[Double]("OCCUPANCY_PCT_NULL") == 10.0) // every 10th null
+
+    // next "night": one more hour of data arrives; its drain advances
+    // the watermark past the held windows → they emit exactly once
+    mk(240, 360).write.parquet(srcDir + "/f3")
+    Streams.drainToParquet(Streams.agg15Min(raw), outDir, ckDir)
+    val got2 = spark.read.parquet(outDir)
+    // new watermark = 02:59:30 − 1 h = 01:59:30 → windows ending ≤ that
+    // finalize: 7 of the first 8 (the 01:45–02:00 window still held),
+    // none duplicated
+    assert(got2.count() == 7)
+    assert(got2.select($"START_DATETIME").distinct().count() == 7)
+  }
+
+  test("flatMapGroupsWithState gap detection across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Streams.Reading]
+    val gaps = Streams.detectGaps(input.toDS(), gapSec = 60)
+    val q = gaps.writeStream.format("memory").queryName("gaps")
+      .outputMode(OutputMode.Append).start()
+
+    input.addData(
+      Streams.Reading("s1", ts("2020-01-01 00:00:00")),
+      Streams.Reading("s1", ts("2020-01-01 00:00:30")))
+    q.processAllAvailable()
+    // second batch: 5-minute silence then resume → one gap, state carried
+    input.addData(Streams.Reading("s1", ts("2020-01-01 00:05:30")))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM gaps").as[Streams.Gap].collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out.head.gapSec == 300)
+    assert(out.head.gapStart == ts("2020-01-01 00:00:30"))
+  }
+}
