@@ -61,6 +61,24 @@ object Similarity {
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Embedding-cosine near-duplicate pairs via LSH buckets: candidate
+    * pairs share a hyperplane-sign bucket; exact cosine filters at
+    * `threshold`. The dedup-flavored use of the ANN machinery — only
+    * (bucket, id, vec) rows shuffle, never the cross product.
+    */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                        bits: Int, threshold: Double): DataFrame = {
+    val sig = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__bucket", lshSignature(col("__v"), bits))
+    val a = sig.select(col("__bucket"), col(idCol).as("id_a"), col("__v").as("__va"))
+    val b = sig.select(col("__bucket"), col(idCol).as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** ANN via LSH buckets: exact cosine within each bucket only.
     * Recall < 1 by construction; `bits` trades recall for speed.
     */

@@ -48,6 +48,33 @@ object SimilarityQueries {
       },
       None),
 
+    // ---- embedding-cosine near-dup pairs via LSH buckets (rows-only:
+    //      hyperplane family is engine-specific) ----
+    Q("q43_embedding_neardups",
+      (s, dir) => {
+        Similarity.embeddingNearDups(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", bits = 4, threshold = 0.95)
+          .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+      },
+      None),
+
+    // ---- multimodal: batched feature extraction over binary payloads
+    //      (decode STUBBED — deterministic; plumbing real) ----
+    Q("q44_multimodal_features",
+      (s, dir) => {
+        val media = Tables.load(s, dir, "documents").select(
+          col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
+          col("text").cast("binary").as("payload"),
+          lit(64).as("width"), lit(64).as("height"),
+          (col("doc_id") % 10000).cast("int").as("duration_ms"))
+        graft.ops.Multimodal.extractFeatures(media, dim = 8)
+          .select(col("media_id"), col("n_bytes"),
+            round(element_at(col("feature"), 1), 5).as("f0"))
+      },
+      None),
+
     // ---- label centroid distance: agg over vector columns ----
     Q("q42_label_centroid_norm",
       (s, dir) => {

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = {
+    val rows = Seq(
+      Row(1L, "image", "aaaa".getBytes("UTF-8"), 64, 64, null),
+      Row(2L, "image", "aaaa".getBytes("UTF-8"), 64, 64, null), // same payload
+      Row(3L, "video", ("x" * 100).getBytes("UTF-8"), 640, 480,
+        Integer.valueOf(10000)),
+      Row(4L, "audio", null, null, null, Integer.valueOf(5000)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 2), Multimodal.mediaSchema)
+  }
+
+  test("extractFeatures: deterministic stub decode, null-payload safe") {
+    val f = Multimodal.extractFeatures(media, dim = 4, batchSize = 2)
+    assert(f.count() == 4)
+    val m = f.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getSeq[Float](2))).toMap
+    assert(m(1L) == m(2L))          // identical payload ⇒ identical feature
+    assert(m(1L)._1 == 4)           // n_bytes
+    assert(m(4L)._1 == 0)           // null payload → zero feature, no crash
+    assert(m(4L)._2.forall(_ == 0f))
+  }
+
+  test("sampleFrames: N evenly-spaced frames per video only") {
+    val fr = Multimodal.sampleFrames(media, frames = 5, dim = 4)
+    assert(fr.count() == 5) // only media 3 is video
+    val idx = fr.select($"frame_idx", $"frame_ts_ms").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
+    assert(idx.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(idx.last._2 == 10000) // last frame at duration end
+  }
+
+  test("metadata projection prunes the payload column from the scan") {
+    val md = Multimodal.metadata(media)
+    assert(md.columns.toSeq ==
+      Seq("media_id", "media_type", "width", "height", "duration_ms", "n_bytes"))
+    assert(md.where($"media_id" === 3).head().getAs[Int]("n_bytes") == 100)
+  }
+
+  test("embeddingNearDups finds only above-threshold pairs (dedup path)") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.04f)), // near-dup pair
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      bits = 2, threshold = 0.99)
+    val pairs = out.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
