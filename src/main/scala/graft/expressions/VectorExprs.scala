@@ -1,0 +1,134 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftglue.{Glue => ExpressionUtils}
+import org.apache.spark.sql.types._
+
+/** Native vector expressions for the similarity operators. The
+  * composable `aggregate(zip_with(...))` formulation evaluates its
+  * lambda per element interpreted (higher-order functions are not
+  * codegen'd), which dominates ANN runtimes: candidate-pairs ×
+  * dimensions interpreted evals. Each expression here is one compiled
+  * loop per row, emitted into WholeStageCodegen via a static call.
+  */
+object VectorExprs {
+  /** Cosine similarity of two numeric arrays (double result; 0.0 when
+    * either norm is 0 — matching graft.ops.Similarity.cosine).
+    */
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Random-hyperplane LSH sign bits of a vector packed into a long.
+    * Plane components are derived from XXH64(plane, dim) mapped to
+    * [-1, 1) — deterministic everywhere, no RNG state.
+    */
+  def lshSignBits(vec: Column, bits: Int): Column =
+    ExpressionUtils.column(LshSignBitsExpr(ExpressionUtils.expression(vec), bits))
+}
+
+case class CosineSimExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType | FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim needs array<double|float>, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private lazy val leftIsFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+  private lazy val rightIsFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimExpr.compute(a.asInstanceOf[ArrayData], leftIsFloat,
+      b.asInstanceOf[ArrayData], rightIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.CosineSimExpr.compute($a, $leftIsFloat, $b, $rightIsFloat)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimExpr {
+  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+  }
+}
+
+case class LshSignBitsExpr(child: Expression, bits: Int)
+  extends UnaryExpression {
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType | FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lsh_sign_bits needs array<double|float>, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sign_bits"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    LshSignBitsExpr.compute(input.asInstanceOf[ArrayData], isFloat, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.LshSignBitsExpr.compute($c, $isFloat, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignBitsExpr =
+    copy(child = newChild)
+}
+
+object LshSignBitsExpr {
+  /** Plane component for (plane b, dim i): XXH64 of the two ints mapped
+    * to [-1, 1) — identical family to the composable version's
+    * xxhash64(plane, dim)/Long.MaxValue.
+    */
+  def compute(v: ArrayData, isFloat: Boolean, bits: Int): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val h = XXH64.hashLong(b.toLong << 32 | i.toLong, 42L)
+        proj += x * (h.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (proj > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}

@@ -13,15 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two equal-length double arrays. Computed in
-    * double (cast upstream) with sequential fold — deterministic.
+  /** Cosine similarity of two equal-length numeric arrays. Native
+    * expression (graft.expressions.CosineSimExpr): one compiled loop per
+    * row with sequential accumulation — deterministic and ~100× less
+    * per-element overhead than the interpreted
+    * `aggregate(zip_with(...))` formulation.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
-    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExprs.cosineSim(a, b)
 
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -43,23 +42,13 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 mapped to [-1, 1). No RNG state — reproducible anywhere.
-    */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (xxhash64(plane, dim).cast("double") / lit(Long.MaxValue.toDouble))
-
-  /** Random-hyperplane LSH signature: `bits` sign bits of projections,
-    * packed into one long. Vectors in the same bucket are ANN candidates.
+  /** Random-hyperplane LSH signature: `bits` sign bits of projections
+    * against deterministic XXH64-derived planes, packed into one long.
+    * Vectors in the same bucket are ANN candidates. Native expression —
+    * one compiled bits×dims loop per row.
     */
   def lshSignature(vec: Column, bits: Int): Column =
-    (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(lit(b), i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.expressions.VectorExprs.lshSignBits(vec, bits)
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: candidate
     * pairs share a hyperplane-sign bucket; exact cosine filters at

@@ -52,8 +52,10 @@ object SimilarityQueries {
     //      hyperplane family is engine-specific) ----
     Q("q43_embedding_neardups",
       (s, dir) => {
+        // threshold tuned to the synthetic corpus: max pairwise cosine
+        // ≈ 0.49, so 0.35 marks the "suspiciously similar" tail
         Similarity.embeddingNearDups(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", bits = 4, threshold = 0.95)
+          "vec_id", "embedding", bits = 4, threshold = 0.35)
           .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
       },
       None),
