@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink layer (SURVEY.md §2.1 S8–S12) over a parquet warehouse
+  * directory. SQL Server tables become date-partitioned parquet table
+  * dirs; the reference's row-level UPDATEs (S10) become whole-table
+  * merge-rewrites (see graft.ops.Scd2); its append loops become
+  * idempotent per-date partition overwrites — re-running a day replaces
+  * exactly that day's partition (dynamic partition overwrite), the
+  * property the reference lacks (missed-day reruns acknowledged as
+  * future work, reference README.md:37).
+  */
+final class Warehouse(spark: SparkSession, root: String) {
+
+  private def path(table: String) = s"$root/$table"
+
+  /** S12 — table-exists probe gating run-once bootstraps. */
+  def exists(table: String): Boolean =
+    new java.io.File(path(table)).exists()
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  /** S8 — plain append. */
+  def append(df: DataFrame, table: String): Unit =
+    df.write.mode("append").parquet(path(table))
+
+  /** S9 — full overwrite (initial snapshot / SCD-2 merge-rewrite). */
+  def overwrite(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").parquet(path(table))
+
+  /** S8 at scale — write partitioned by a date column, dynamically
+    * overwriting ONLY the partitions present in `df` (idempotent
+    * re-runs; other dates untouched).
+    */
+  def overwriteDatePartitions(df: DataFrame, table: String,
+                              dateCol: String): Unit =
+    df.write
+      .partitionBy(dateCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path(table))
+
+  /** A9 — incremental watermark: max value of `dateCol`, None when the
+    * table doesn't exist yet (bootstrap case).
+    */
+  def watermark(table: String, dateCol: String): Option[java.sql.Date] =
+    if (!exists(table)) None
+    else graft.ops.Aggs.watermark(read(table), dateCol)
+}
