@@ -68,6 +68,47 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** IVF (inverted-file) ANN — the other standard scale path. Coarse
+    * quantizer: `nCentroids` vectors chosen deterministically from the
+    * corpus by id hash (k-means would sharpen cells; selection is
+    * pluggable). Every vector is assigned to its nearest centroid (one
+    * broadcast of the small centroid table — the corpus never
+    * shuffles); queries probe their `nProbe` nearest cells, so each
+    * query compares against ~corpus·nProbe/nCentroids vectors instead
+    * of all of them.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
+    // deterministic coarse quantizer: the nCentroids corpus vectors with
+    // the smallest xxhash64(id) (stable pseudo-random sample)
+    val centroids = broadcast(
+      c.withColumn("__h", xxhash64(col(idCol)))
+        .orderBy(col("__h")).limit(nCentroids)
+        .select(col(idCol).as("centroid_id"), col("__v").as("__cv")))
+    // assign: nearest centroid per corpus vector
+    val assigned = c.join(centroids)
+      .withColumn("__sim", cosine(col("__v"), col("__cv")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id"))))
+      .where(col("__r") === 1)
+      .select(col("centroid_id"), col(idCol).as("neighbor_id"), col("__v").as("__nv"))
+    // probe: each query scans its nProbe nearest cells
+    val q = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv"))
+    val probes = q.join(centroids)
+      .withColumn("__sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("centroid_id"))))
+      .where(col("__r") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("centroid_id"))
+    val scored = probes.join(assigned, Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__nv")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** ANN via LSH buckets: exact cosine within each bucket only.
     * Recall < 1 by construction; `bits` trades recall for speed.
     */

@@ -48,6 +48,18 @@ object SimilarityQueries {
       },
       None),
 
+    // ---- IVF-bucketed ANN, the coarse-quantizer scale path
+    //      (rows-only: centroid sample is engine-specific) ----
+    Q("q45_ivf_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.ivfTopK(e, e.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", nCentroids = 16, nProbe = 4, k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+      },
+      None),
+
     // ---- embedding-cosine near-dup pairs via LSH buckets (rows-only:
     //      hyperplane family is engine-specific) ----
     Q("q43_embedding_neardups",

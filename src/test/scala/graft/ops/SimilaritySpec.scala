@@ -28,6 +28,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(2L, 3L)) // 2 closest to 1; 3 ties 4, id asc breaks tie
   }
 
+  test("ivfTopK: probed cells yield true-cosine ranked neighbors") {
+    val many = (1L to 100L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.37 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(many, many.where($"vec_id" <= 3),
+      "vec_id", "embedding", nCentroids = 8, nProbe = 8, k = 3)
+    // nProbe = nCentroids → exhaustive → must equal brute force exactly
+    val brute = Similarity.bruteForceTopK(many, many.where($"vec_id" <= 3),
+      "vec_id", "embedding", 3)
+    assert(rows(out.select($"query_id", $"rank", $"neighbor_id")) ==
+      rows(brute.select($"query_id", $"rank", $"neighbor_id")))
+  }
+
   test("lshTopK returns only true-cosine values for pairs it finds") {
     val out = Similarity.lshTopK(vecs, "vec_id", "embedding", bits = 2, k = 3)
     val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)
