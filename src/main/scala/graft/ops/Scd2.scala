@@ -54,6 +54,43 @@ object Scd2 {
 
   final case class Result(dim: DataFrame, changelog: DataFrame)
 
+  /** Historical backfill: fold dated snapshots (oldest first) through
+    * `merge`, accumulating the changelog — the set-based replacement
+    * for the reference's ~1,423-iteration daily loop
+    * (R/1) Get-Historical-Configuration-Data-RunOnce.R:31-52). The very
+    * first snapshot bootstraps the dimension (START_DATE = its date,
+    * open END_DATE) with no changelog rows, matching the run-once
+    * initial load (R/1) Get-…-RunOnce.R:23-28).
+    *
+    * Each fold step shuffles only the (small) dimension; for very long
+    * snapshot histories, checkpoint every ~50 steps to cut lineage.
+    */
+  def replay(snapshots: Seq[(String, DataFrame)], opts: Options): Result = {
+    require(snapshots.nonEmpty, "replay needs at least one snapshot")
+    import org.apache.spark.sql.functions.{lit, to_date}
+    val (d0, s0) = snapshots.head
+    val init = s0
+      .withColumn(opts.startCol, to_date(lit(d0)))
+      .withColumn(opts.endCol, to_date(lit(opts.openEnd)))
+      .withColumn(opts.deactivateCol, lit(false))
+    val empty = emptyChangelog(s0.sparkSession, opts)
+    snapshots.tail.foldLeft(Result(init, empty)) { case (acc, (day, snap)) =>
+      val r = merge(acc.dim, snap, day, opts)
+      Result(r.dim, acc.changelog.unionByName(r.changelog))
+    }
+  }
+
+  private def emptyChangelog(spark: org.apache.spark.sql.SparkSession,
+                             opts: Options): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cn = opts.changeCols
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField(cn.updateDate, DateType), StructField(cn.change, StringType),
+        StructField(opts.key, StringType), StructField(cn.oldValue, StringType),
+        StructField(cn.newValue, StringType), StructField(cn.lastUpdate, DateType))))
+  }
+
   /** One merge step: `current` dimension state (unique per key) ⊕ new
     * `snapshot` (key + attrCols) as of date `asOf` (an ISO yyyy-MM-dd).
     */

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.traffic.{Schemas, SensorIngest}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §5 property tests beyond the per-operator specs. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val completeRaw = (for {
+    day <- 1 to 3
+    slot <- 0 until 2880
+  } yield ("s1", java.sql.Date.valueOf(f"2020-03-$day%02d"),
+    slot / 120, (slot % 120) / 2.0, Some(4 + slot % 3), Some(250)))
+    .toDF("sensor", "date", "hour", "min", "volume", "occupancy")
+
+  private lazy val config = Seq(("s1", 500.0, "N1", "I-94"))
+    .toDF("DETECTOR_NAME", "DETECTOR_FIELD", "NODE_NAME", "CORRIDOR_ROUTE")
+
+  test("imputation idempotence: impute on complete data is a no-op") {
+    val agg = SensorIngest.aggregate15Min(completeRaw, config)
+    val once = SensorIngest.impute(agg)
+    assert(once.where($"VOLUME_SUM_IMPUTE" =!= $"VOLUME_SUM").count() == 0)
+    assert(once.where($"OCCUPANCY_SUM_IMPUTE" =!= $"OCCUPANCY_SUM").count() == 0)
+  }
+
+  test("15-min aggregation is partition-count invariant") {
+    val a = SensorIngest.build(completeRaw.repartition(1), config)
+    val b = SensorIngest.build(completeRaw.repartition(13), config)
+    assert(rows(a) == rows(b))
+  }
+
+  test("Retry.until: stops at first valid result, bounded attempts (S4)") {
+    var calls = 0
+    val r = graft.sources.Retry.until[Int](5, sleepMs = 0)(_ > 2) { () =>
+      calls += 1; calls
+    }
+    assert(r == 3 && calls == 3)
+    calls = 0
+    val exhausted = graft.sources.Retry.until[Int](5, sleepMs = 0)(_ > 99) { () =>
+      calls += 1; calls
+    }
+    assert(exhausted == 5 && calls == 5) // last result returned
+  }
+
+  test("Scd2.replay folds snapshots; changelog replays to final state") {
+    val opts = Scd2.Options(key = "K", attrCols = Seq("V"))
+    val snaps = Seq(
+      "2020-01-01" -> Seq(("a", "1"), ("b", "1")).toDF("K", "V"),
+      "2020-01-02" -> Seq(("a", "2"), ("c", "1")).toDF("K", "V"),
+      "2020-01-03" -> Seq(("a", "2"), ("c", "2")).toDF("K", "V"))
+    val r = Scd2.replay(snaps, opts)
+    // final dim state
+    val dim = r.dim.collect().map(x =>
+      x.getAs[String]("K") -> (x.getAs[String]("V"), x.getAs[Boolean]("DEACTIVATE"))).toMap
+    assert(dim("a") == ("2", false))
+    assert(dim("b")._2 == true)  // removed on day 2
+    assert(dim("c") == ("2", false))
+    // changelog completeness: 1 insert + 1 delete + 2 attr changes
+    val byChange = r.changelog.groupBy($"Change").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byChange("New Detector Added") == 1L)
+    assert(byChange("Detector Removed") == 1L)
+    assert(byChange("Attribute Changed: V") == 2L)
+    // SCD-2 invariant: exactly one row per key
+    assert(r.dim.groupBy($"K").count().where($"count" > 1).count() == 0)
+  }
+
+  test("saltedAgg equals plain aggregation (sum/count under skew)") {
+    val df = (1 to 10000).map(i => (if (i % 100 == 0) "rare" else "hot", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy($"k").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    val salted = Skew.saltedAgg(df, Seq("k"), salts = 8,
+      Seq(sum($"v").as("s"), count(lit(1)).as("n")),
+      Seq(sum($"s").as("s"), sum($"n").as("n")))
+    assert(rows(plain) == rows(salted))
+  }
+}
