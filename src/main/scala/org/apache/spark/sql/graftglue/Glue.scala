@@ -15,4 +15,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Glue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an EXISTING session (post-hoc path —
+    * SparkSessionExtensions only bind at session build, but the engine
+    * often receives an already-built session from its host).
+    * `sessionState` is private[sql], hence this lives in the bridge.
+    */
+  def registerFunction(spark: org.apache.spark.sql.classic.SparkSession,
+                       name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }
