@@ -389,6 +389,81 @@ object Relational {
                       CASE WHEN o_totalprice > 250000 THEN NULL ELSE o_totalprice END AS b
                     FROM orders) q""")),
 
+    // ---- TPC-H Q5-shaped multiway join: local-supplier revenue.
+    //      Exercises every fixture table; the two dimension chains
+    //      broadcast, lineitem joins orders co-partitioned. ----
+    Q("q23_multiway_join",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = broadcast(t(s, dir, "customer"))
+        val su = broadcast(t(s, dir, "supplier"))
+        val n = broadcast(t(s, dir, "nation"))
+        val re = broadcast(t(s, dir, "region"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+          .join(n, su("s_nationkey") === n("n_nationkey"))
+          .join(re, n("n_regionkey") === re("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name, n_name,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+              count(*) AS n_items
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name""")),
+
+    // ---- window ranking: top-3 line items per order by net price
+    //      (generalized-engine surface; ref has no ranking, SURVEY §2.6) ----
+    Q("q24_window_rank",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .withColumn("net", round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2))
+        l.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("l_orderkey"))
+              .orderBy(col("net").desc, col("l_linenumber"))))
+          .where(col("rk") <= 3)
+          .select(col("l_orderkey"), col("rk"), col("l_linenumber"), col("net"))
+      },
+      Some("""SELECT l_orderkey, rk, l_linenumber, net FROM (
+                SELECT l_orderkey, l_linenumber,
+                  round(l_extendedprice * (1 - l_discount), 2) AS net,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY round(l_extendedprice * (1 - l_discount), 2) DESC,
+                             l_linenumber) AS rk
+                FROM lineitem) q
+              WHERE rk <= 3""")),
+
+    // ---- set operations: union / intersect / except (A10 + §2.6) ----
+    Q("q25_set_ops",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem").where(col("l_quantity") >= 45)
+          .select(col("l_orderkey"))
+        val cheap = t(s, dir, "lineitem").where(col("l_discount") >= 0.09)
+          .select(col("l_orderkey"))
+        val u = big.union(cheap).distinct().withColumn("op", lit("union"))
+        val i = big.intersect(cheap).withColumn("op", lit("intersect"))
+        val e = big.except(cheap).withColumn("op", lit("except"))
+        u.unionByName(i).unionByName(e)
+      },
+      Some("""WITH big AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45),
+                   cheap AS (SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.09)
+              SELECT l_orderkey, 'union' AS op FROM (SELECT DISTINCT l_orderkey FROM (SELECT * FROM big UNION ALL SELECT * FROM cheap))
+              UNION ALL
+              SELECT l_orderkey, 'intersect' AS op FROM (SELECT DISTINCT b.l_orderkey FROM big b WHERE EXISTS (SELECT 1 FROM cheap c WHERE c.l_orderkey = b.l_orderkey))
+              UNION ALL
+              SELECT l_orderkey, 'except' AS op FROM (SELECT DISTINCT b.l_orderkey FROM big b WHERE NOT EXISTS (SELECT 1 FROM cheap c WHERE c.l_orderkey = b.l_orderkey))""")),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,
