@@ -41,6 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => CosineSimExpr(args(0), args(1)))
     g.registerFunction(classic, "lsh_sign_bits",
       args => LshSignBitsExpr(args(0), lit(args(1))))
+    g.registerFunction(classic, "char_ngrams",
+      args => CharNgramsExpr(args(0), lit(args(1))))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -60,5 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lsh_sign_bits"),
       new ExpressionInfo(classOf[LshSignBitsExpr].getName, "lsh_sign_bits"),
       (args: Seq[Expression]) => LshSignBitsExpr(args(0), lit(args(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams"),
+      (args: Seq[Expression]) => CharNgramsExpr(args(0), lit(args(1)))))
   }
 }

@@ -30,6 +30,10 @@ object MinHashExprs {
   def minhashSig(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(shingles), numHashes))
 
+  /** Distinct character n-gram shingles of a string: array<string>. */
+  def charNgrams(text: Column, n: Int): Column =
+    ExpressionUtils.column(CharNgramsExpr(ExpressionUtils.expression(text), n))
+
   /** LSH band keys from a signature: array<long> of length `bands`,
     * hashing `rowsPerBand` consecutive signature slots per band.
     */
@@ -80,6 +84,52 @@ object MinHashSigExpr {
       i += 1
     }
     new GenericArrayData(sig)
+  }
+}
+
+case class CharNgramsExpr(child: Expression, n: Int)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"char_ngrams needs string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    CharNgramsExpr.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.CharNgramsExpr.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramsExpr =
+    copy(child = newChild)
+}
+
+object CharNgramsExpr {
+  /** Distinct character (code-unit-aware) n-grams in first-seen order —
+    * same contract as array_distinct(transform(sequence(...), substr))
+    * but one compiled pass.
+    */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((len - n + 1) * 2)
+    var i = 0
+    while (i <= len - n) {
+      seen.add(str.substring(i, i + n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

@@ -22,11 +22,12 @@ object TextAnalysis {
     size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
       t => length(t) > 0 && t =!= " "))
 
-  /** Character n-gram shingles (distinct), the dedup/Jaccard unit. */
+  /** Character n-gram shingles (distinct), the dedup/Jaccard unit.
+    * Native expression (graft.expressions.CharNgramsExpr) — one
+    * compiled pass instead of length(text) interpreted substr evals.
+    */
   def charNgrams(text: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => text.substr(i, lit(n))))
+    graft.expressions.MinHashExprs.charNgrams(text, n)
 
   /** Exact Jaccard similarity of two shingle sets. */
   def jaccard(a: Column, b: Column): Column = {
