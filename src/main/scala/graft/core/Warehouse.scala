@@ -48,4 +48,27 @@ final class Warehouse(spark: SparkSession, root: String) {
   def watermark(table: String, dateCol: String): Option[java.sql.Date] =
     if (!exists(table)) None
     else graft.ops.Aggs.watermark(read(table), dateCol)
+
+  /** Bucketed external table: pre-shuffled on `bucketCols` so joins and
+    * aggregations on those keys read co-located, shuffle-free (the
+    * "bucketing for co-located joins" leg of the 100 TB posture — two
+    * tables bucketed the same way sort-merge join with zero Exchange).
+    * Registered in the session catalog (bucketing metadata lives there);
+    * data is plain parquet at the warehouse path.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write
+      .option("path", path(table))
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** Read a bucketed table (bucket metadata requires the catalog route,
+    * not a raw parquet path read).
+    */
+  def readBucketed(table: String): DataFrame = spark.table(table)
 }
