@@ -19,7 +19,8 @@ object TextAnalysis {
     * punctuation, the common pre-tokenizer regex shape.
     */
   def bpeishCount(text: Column): Column =
-    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+    size(filter(split(text,
+      "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])"),
       t => length(t) > 0 && t =!= " "))
 
   /** Character n-gram shingles (distinct), the dedup/Jaccard unit.

@@ -464,6 +464,26 @@ object Relational {
               UNION ALL
               SELECT l_orderkey, 'except' AS op FROM (SELECT DISTINCT b.l_orderkey FROM big b WHERE NOT EXISTS (SELECT 1 FROM cheap c WHERE c.l_orderkey = b.l_orderkey))""")),
 
+    // ---- semi-structured: JSON property extraction + typed agg
+    //      (engine surface: from_json/get_json_object over a string
+    //      column — the schema-on-read path) ----
+    Q("q26_json_extract",
+      (s, dir) => {
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n_with_k"),
+            sum(col("k")).as("k_sum"),
+            min(col("k")).as("k_min"),
+            max(col("k")).as("k_max"))
+      },
+      Some("""SELECT event_type,
+                count(CAST(props->>'$.k' AS INTEGER)) AS n_with_k,
+                sum(CAST(props->>'$.k' AS INTEGER)) AS k_sum,
+                min(CAST(props->>'$.k' AS INTEGER)) AS k_min,
+                max(CAST(props->>'$.k' AS INTEGER)) AS k_max
+              FROM events GROUP BY event_type""")),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,

@@ -82,6 +82,12 @@ class DedupTextSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("bpeishCount: sub-word pieces = words + digit runs + punctuation") {
+    val df = Seq("hello world2go!", "a-b").toDF("t")
+    // "hello world2go!" → hello, world, 2, go, ! = 5 ; "a-b" → a, -, b = 3
+    assert(df.select(TextAnalysis.bpeishCount($"t")).as[Int].collect().toSeq == Seq(5, 3))
+  }
+
   test("langId picks marker-dominant language, und when no markers") {
     val df = Seq("the cat and the dog is here",
       "el perro y la casa de los gatos", "zzz qqq").toDF("t")
