@@ -484,6 +484,44 @@ object Relational {
                 max(CAST(props->>'$.k' AS INTEGER)) AS k_max
               FROM events GROUP BY event_type""")),
 
+    // ---- sessionization: gaps-and-islands via lag + running sum
+    //      (cumulative window class; 30-min inactivity gap) ----
+    Q("q27_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val e = t(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+              .otherwise(0))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        e.groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("sess_start"),
+            max(col("ts")).as("sess_end"))
+          .withColumn("sess_seconds",
+            unix_timestamp(col("sess_end")) - unix_timestamp(col("sess_start")))
+      },
+      Some("""WITH flagged AS (
+                SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              sess AS (
+                SELECT user_id, ts,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                FROM flagged)
+              SELECT user_id, sess_id, count(*) AS n_events,
+                min(ts) AS sess_start, max(ts) AS sess_end,
+                CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS sess_seconds
+              FROM sess GROUP BY user_id, sess_id""")),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,
