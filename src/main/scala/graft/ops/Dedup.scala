@@ -83,16 +83,20 @@ object Dedup {
     * (minhashNearDups) is quadratic in cluster size and explodes on
     * templated corpora; what a training-data pipeline actually needs is
     * one decision per document. Per band bucket take the min id as
-    * representative, per doc take the min over its bands, then verify
-    * ONLY the (doc, rep) pair with exact Jaccard — linear rows end to
-    * end. One pass of min-propagation approximates connected components
-    * (standard practice; full transitive closure would need iteration).
-    * Returns (id, rep_id, jaccard, is_dup): is_dup = false means the doc
-    * is its own representative (kept).
+    * representative, per doc take the min over its bands, verify ONLY
+    * the (doc, rep) pair with exact Jaccard — linear rows end to end —
+    * then min-propagate over the VERIFIED edges so chains collapse to
+    * their cluster root (propagation before verification would pair
+    * docs with transitively-reached roots they aren't directly similar
+    * to). `propagationRounds` bounds the pointer-chasing; full
+    * connected components would iterate to fixpoint.
+    * Returns (id, rep_id, jaccard, is_dup): `jaccard` is the verified
+    * direct-edge similarity; is_dup = false means the doc keeps itself.
     */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, numHashes: Int = 32,
-                   bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+                   bands: Int = 8, threshold: Double = 0.6,
+                   propagationRounds: Int = 2): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
@@ -108,11 +112,20 @@ object Dedup {
       .join(sh.select(col(idCol).as("__rep"), col("__sh").as("__sh_r")), Seq("__rep"))
       .select(col(idCol), col("__rep"),
         TextAnalysis.jaccard(col("__sh"), col("__sh_r")).as("jaccard"))
-    df.select(col(idCol)).join(verified, Seq(idCol), "left")
+    val direct = df.select(col(idCol)).join(verified, Seq(idCol), "left")
       .select(col(idCol),
         when(col("jaccard") >= threshold, col("__rep")).otherwise(col(idCol)).as("rep_id"),
         col("jaccard"),
         coalesce(col("jaccard") >= threshold, lit(false)).as("is_dup"))
+    // pointer-chase verified edges: rep := rep's rep (bounded rounds) —
+    // verified near-dup edges make transitive folding sound
+    (1 until propagationRounds).foldLeft(direct) { (r, _) =>
+      r.join(r.select(col(idCol).as("rep_id"), col("rep_id").as("__rep2")),
+        Seq("rep_id"), "left")
+        .select(col(idCol),
+          least(col("rep_id"), coalesce(col("__rep2"), col("rep_id"))).as("rep_id"),
+          col("jaccard"), col("is_dup"))
+    }
   }
 
   /** SimHash 64-bit fingerprint over token hashes: per bit, the sign of

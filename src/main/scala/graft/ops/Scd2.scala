@@ -43,7 +43,11 @@ object Scd2 {
       abandonedCol: Option[String] = None,
       abandonedRevertEnd: String = "2019-07-31",
       nullSafeDiff: Boolean = true,
-      changeCols: ChangelogNames = ChangelogNames())
+      changeCols: ChangelogNames = ChangelogNames(),
+      // when set, this dimension column is stamped with asOf on any
+      // attribute change (the reference updates LAST_CHANGE_DATE
+      // alongside each attribute UPDATE, R/_pull_data.R:286-299)
+      lastChangeCol: Option[String] = None)
 
   final case class ChangelogNames(
       updateDate: String = "Update_Date",
@@ -138,7 +142,15 @@ object Scd2 {
         .when(matched && (abandonedSet || abandonedRevert), lit(true))
         .otherwise(oc(deactivateCol)).as(deactivateCol)
 
-    val dim = j.select(keyOut +: attrOut :+ startOut :+ endOut :+ deactOut: _*)
+    val anyAttrChanged = attrCols.map(c => matched && changed(c))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val lastChangeOut = lastChangeCol.toSeq.map { lc =>
+      when(col("__is_insert"), asOfD)
+        .when(anyAttrChanged, asOfD)
+        .otherwise(oc(lc)).as(lc)
+    }
+    val dim = j.select(
+      (keyOut +: attrOut) ++ lastChangeOut :+ startOut :+ endOut :+ deactOut: _*)
 
     // ---- changelog: one row per insert/delete + one per changed cell ----
     val cn = changeCols

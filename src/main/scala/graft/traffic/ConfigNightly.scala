@@ -21,7 +21,8 @@ object ConfigNightly {
     key = "DETECTOR_NAME",
     attrCols = ConfigXml.schema.fieldNames.toSeq
       .filterNot(Seq("DETECTOR_NAME", "LAST_CHANGE_DATE").contains),
-    abandonedCol = Some("DETECTOR_ABANDONED"))
+    abandonedCol = Some("DETECTOR_ABANDONED"),
+    lastChangeCol = Some("LAST_CHANGE_DATE"))
 
   /** Nightly: merge one dated snapshot into the warehouse dimension.
     * Bootstraps (S12 gate) if the dimension doesn't exist yet.
@@ -29,7 +30,6 @@ object ConfigNightly {
   def run(spark: SparkSession, wh: Warehouse, snapshotPath: String): Unit = {
     val asOf = ConfigXml.dateFromPath(snapshotPath).toString
     val snapshot = ConfigXml.readSnapshot(spark, snapshotPath)
-      .drop("LAST_CHANGE_DATE")
     if (!wh.exists(dimTable)) {
       val r = Scd2.replay(Seq(asOf -> snapshot), scdOptions)
       wh.overwrite(r.dim, dimTable)
@@ -53,7 +53,7 @@ object ConfigNightly {
       .sortBy(f => ConfigXml.dateFromPath(f.getName).toString)
     val snaps = files.toSeq.map { f =>
       ConfigXml.dateFromPath(f.getName).toString ->
-        ConfigXml.readSnapshot(spark, f.getPath).drop("LAST_CHANGE_DATE")
+        ConfigXml.readSnapshot(spark, f.getPath)
     }
     val r = Scd2.replay(snaps, scdOptions)
     wh.overwrite(r.dim, dimTable)

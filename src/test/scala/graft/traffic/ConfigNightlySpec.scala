@@ -46,8 +46,14 @@ class ConfigNightlySpec extends SparkSpec {
     ConfigNightly.run(spark, wh,
       writeGz(snapDir, "metro_config_20230102.xml.gz", snapshotXml("7", with101 = false)))
     val dim = wh.read(ConfigNightly.dimTable)
-    assert(dim.where($"DETECTOR_NAME" === "100").head().getAs[String]("DETECTOR_LANE") == "7")
-    assert(dim.where($"DETECTOR_NAME" === "101").head().getAs[Boolean]("DEACTIVATE"))
+    val r100 = dim.where($"DETECTOR_NAME" === "100").head()
+    assert(r100.getAs[String]("DETECTOR_LANE") == "7")
+    // attribute change stamps LAST_CHANGE_DATE (R/_pull_data.R:286-299)
+    assert(r100.getAs[java.sql.Date]("LAST_CHANGE_DATE") == d("2023-01-02"))
+    val r101 = dim.where($"DETECTOR_NAME" === "101").head()
+    assert(r101.getAs[Boolean]("DEACTIVATE"))
+    // removal does NOT stamp it — only attribute updates do
+    assert(r101.getAs[java.sql.Date]("LAST_CHANGE_DATE") == d("2023-01-01"))
     val log = wh.read(ConfigNightly.logTable)
     val changes = log.select($"Change", $"DETECTOR_NAME").as[(String, String)]
       .collect().toSet
