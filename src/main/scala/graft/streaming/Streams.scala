@@ -85,6 +85,17 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup — the training-data pipeline's dedup story
+    * in streaming form: drop repeats of `keyCols` arriving within the
+    * watermark delay of each other. State is bounded: key fingerprints
+    * older than the watermark are evicted (vs unbounded plain
+    * `dropDuplicates` state).
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, lateness: String,
+                           keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Drain everything currently available (the nightly-batch equivalent)
     * into a date-partitioned parquet sink, then stop — idempotent via
     * the checkpoint.

@@ -46,6 +46,25 @@ class StreamsSpec extends SparkSpec {
     assert(got2.select($"START_DATETIME").distinct().count() == 7)
   }
 
+  test("streaming dedup within watermark drops cross-batch repeats") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = Streams.dedupWithinWatermark(
+      input.toDS().toDF("doc", "ts"), "ts", "10 minutes", Seq("doc"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(("a", ts("2020-01-01 00:00:00")), ("a", ts("2020-01-01 00:01:00")),
+      ("b", ts("2020-01-01 00:00:30")))
+    q.processAllAvailable()
+    // next batch: "a" repeats within the watermark window → dropped
+    input.addData(("a", ts("2020-01-01 00:05:00")), ("c", ts("2020-01-01 00:06:00")))
+    q.processAllAvailable()
+    val docs = spark.sql("SELECT doc FROM dedup_out").as[String].collect().sorted.toSeq
+    q.stop()
+    assert(docs == Seq("a", "b", "c")) // one "a" total across batches
+  }
+
   test("flatMapGroupsWithState gap detection across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
