@@ -32,7 +32,11 @@ object Gam {
       kYday: Int = 8,
       kItime: Int = 8,
       negBin: Boolean = true,
-      minRows: Int = 50)
+      minRows: Int = 50,
+      // fixed smoothing parameter for the second-difference penalty on
+      // each smooth's coefficients (mgcv selects λ by GCV; fixed λ is
+      // the documented simplification, SURVEY.md §7 risk 1)
+      lambda: Double = 1.0)
 
   final case class TrainRow(group: String, carry: String, epochSec: Long, y: Double)
   final case class Prediction(group: String, carry: String, epochSec: Long, yhat: Long)
@@ -80,7 +84,14 @@ object Gam {
     val itimeSp = Spline.uniform(0, 86400, cfg.kItime)
     val x = rows.map(r => designRow(feats(r.epochSec), cfg, ydaySp, itimeSp)).toArray
     val y = rows.map(_.y).toArray
-    val fit = Glm.fit(x, y, cfg.negBin)
+    // penalty blocks mirror the design layout: yday smooth, then the 7
+    // per-weekday itime smooths (hourly only)
+    val nY = ydaySp.size - 1
+    val nI = if (cfg.hourly) itimeSp.size - 1 else 0
+    val blocks = Seq((1 + 6, nY)) ++
+      (if (cfg.hourly) (0 until 7).map(w => (1 + 6 + nY + w * nI, nI)) else Nil)
+    val penalty = Glm.diffPenalty(x(0).length, blocks, cfg.lambda)
+    val fit = Glm.fit(x, y, cfg.negBin, penalty = penalty)
     grid.iterator.map { t =>
       val yhat = Glm.predict(designRow(feats(t), cfg, ydaySp, itimeSp), fit.beta)
       Prediction(group, carry, t, math.round(yhat))

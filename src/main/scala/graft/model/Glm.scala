@@ -13,11 +13,40 @@ object Glm {
 
   final case class Fit(beta: Array[Double], alpha: Double, converged: Boolean)
 
-  /** Weighted ridge least squares via normal equations + Cholesky:
-    * (X'WX + ridge·I) beta = X'Wz.
+  /** Second-difference penalty blocks: for each (offset, len) block of
+    * spline coefficients, λ·D'D with D the (len−2)×len second-difference
+    * operator — the fixed-λ stand-in for mgcv's smoothing penalty
+    * (penalizes curvature of adjacent B-spline coefficients).
+    */
+  def diffPenalty(p: Int, blocks: Seq[(Int, Int)], lambda: Double): Array[Array[Double]] = {
+    val pen = Array.ofDim[Double](p, p)
+    blocks.foreach { case (off, len) =>
+      var r = 0
+      while (r < len - 2) {
+        // row of D: +1 at r, −2 at r+1, +1 at r+2 → add λ·dᵀd
+        val idx = Array(off + r, off + r + 1, off + r + 2)
+        val cf = Array(1.0, -2.0, 1.0)
+        var a = 0
+        while (a < 3) {
+          var b = 0
+          while (b < 3) {
+            pen(idx(a))(idx(b)) += lambda * cf(a) * cf(b)
+            b += 1
+          }
+          a += 1
+        }
+        r += 1
+      }
+    }
+    pen
+  }
+
+  /** Weighted penalized least squares via normal equations + Cholesky:
+    * (X'WX + ridge·I + penalty) beta = X'Wz.
     */
   private def solveWLS(x: Array[Array[Double]], z: Array[Double],
-                       w: Array[Double], ridge: Double): Array[Double] = {
+                       w: Array[Double], ridge: Double,
+                       penalty: Array[Array[Double]]): Array[Double] = {
     val p = x(0).length
     val ata = Array.ofDim[Double](p, p)
     val atb = new Array[Double](p)
@@ -39,9 +68,17 @@ object Glm {
     }
     var a = 0
     while (a < p) {
-      ata(a)(a) += ridge
       var b = a + 1
       while (b < p) { ata(b)(a) = ata(a)(b); b += 1 }
+      a += 1
+    }
+    a = 0
+    while (a < p) {
+      ata(a)(a) += ridge
+      if (penalty != null) {
+        var b = 0
+        while (b < p) { ata(a)(b) += penalty(a)(b); b += 1 }
+      }
       a += 1
     }
     choleskySolve(ata, atb)
@@ -104,7 +141,8 @@ object Glm {
     * method-of-moments alpha refreshed each iteration.
     */
   def fit(x: Array[Array[Double]], y: Array[Double], negBin: Boolean,
-          maxIter: Int = 25, ridge: Double = 1e-6, tol: Double = 1e-8): Fit = {
+          maxIter: Int = 25, ridge: Double = 1e-6, tol: Double = 1e-8,
+          penalty: Array[Array[Double]] = null): Fit = {
     val n = y.length
     val p = x(0).length
     var beta = new Array[Double](p)
@@ -133,7 +171,7 @@ object Glm {
         w(i) = if (negBin) mu(i) / (1.0 + alpha * mu(i)) else mu(i)
         i += 1
       }
-      val newBeta = solveWLS(x, z, w, ridge)
+      val newBeta = solveWLS(x, z, w, ridge, penalty)
       var delta = 0.0
       var j = 0
       while (j < p) {

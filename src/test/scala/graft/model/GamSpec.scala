@@ -80,6 +80,33 @@ class GamSpec extends SparkSpec {
     assert(mre < 0.15, s"mean relative error $mre")
   }
 
+  test("smoothing penalty shrinks fitted curvature monotonically in lambda") {
+    val start = java.time.LocalDateTime.parse("2018-01-01T00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 24 * 120).map { h =>
+      val t = start + h * 3600L
+      val f = Gam.feats(t)
+      val mu = math.exp(2.0 + 1.0 * math.sin(2 * math.Pi * f.itime / 86400.0))
+      var l = math.exp(-mu); var k = 0; var p = 1.0
+      while ({ p *= rng.nextDouble(); p > l }) k += 1
+      Gam.TrainRow("n", "c", t, k.toDouble)
+    }
+    val grid = (0 until 24).map(h => start + 200L * 86400 + h * 3600L)
+    def spread(lambda: Double): Double = {
+      val preds = Gam.fitScoreGroup(rows, grid,
+        Gam.Config(hourly = true, negBin = false, lambda = lambda)).toSeq
+      val v = preds.map(_.yhat.toDouble)
+      v.max - v.min
+    }
+    // the second-difference penalty's null space is LINEAR coefficient
+    // profiles, so λ→∞ doesn't flatten to a constant — but curvature
+    // (and hence the fitted daily spread of a sinusoid) must shrink
+    // monotonically with λ
+    val (lo, mid, hi) = (spread(1.0), spread(1e6), spread(1e9))
+    assert(hi <= mid && mid < lo, s"spreads not monotone: $lo, $mid, $hi")
+  }
+
   test("fitPredict: distributed per-group fit, one row per group×grid-slot") {
     import spark.implicits._
     val start = java.time.LocalDateTime.parse("2018-01-01T00:00")
