@@ -522,6 +522,26 @@ object Relational {
                 CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS sess_seconds
               FROM sess GROUP BY user_id, sess_id""")),
 
+    // ---- sliding-window aggregation: 30-min windows sliding by 15
+    //      (each event lands in width/slide = 2 windows) ----
+    Q("q28_sliding_window",
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            window(col("ts"), "30 minutes", "15 minutes"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("v_sum"))
+          .select(col("event_type"), col("window.start").as("win_start"),
+            col("n"), col("v_sum"))
+      },
+      Some("""WITH slid AS (
+                SELECT event_type, value,
+                  time_bucket(INTERVAL 15 MINUTES, ts) - k * INTERVAL 15 MINUTES AS win_start
+                FROM events, (SELECT unnest([0, 1]) AS k))
+              SELECT event_type, win_start, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+              FROM slid GROUP BY event_type, win_start""")),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,
