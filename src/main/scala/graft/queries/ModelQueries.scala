@@ -27,6 +27,22 @@ object ModelQueries {
       },
       None),
 
+    // ---- §3.3 compare: actual vs predicted with VOLUME_DIFF (J11/P15)
+    //      over an in-sample week (rows-only: prediction is iterative) ----
+    Q("q52_volume_diff",
+      (s, dir) => {
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(col("event_type").as("NODE_NAME"),
+            date_trunc("hour", col("ts")).as("START_DATETIME"))
+          .agg(count(lit(1)).cast("long").as("VOLUME_SUM_IMPUTE"))
+          .withColumn("CORRIDOR_ROUTE", lit("events"))
+        val preds = graft.traffic.Compare.predictions(hourly, hourly = true,
+          "2024-01-24 00:00:00", "2024-01-30 23:00:00",
+          graft.model.Gam.Config(hourly = true, negBin = true))
+        graft.traffic.Compare.volumeDiff(hourly, preds)
+      },
+      None),
+
     // ---- M3/M4: daily model per event_type ----
     Q("q51_gam_daily",
       (s, dir) => {
