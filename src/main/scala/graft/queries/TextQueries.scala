@@ -156,6 +156,37 @@ object TextQueries {
       },
       None),
 
+    // ---- exact token frequencies: the heavy-hitter ground truth
+    //      (explode + groupBy — the full-shuffle baseline) ----
+    Q("q46_token_freq",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(explode(TA.tokens(lower(col("text")))).as("token"))
+          .where(length(col("token")) > 0)
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .where(col("n") >= 100)
+      },
+      Some("""SELECT token, count(*) AS n
+              FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+                    FROM documents)
+              WHERE length(token) > 0
+              GROUP BY token HAVING count(*) >= 100""")),
+
+    // ---- SpaceSaving heavy-hitters sketch: bounded-state top-k, one
+    //      small summary per partition instead of a full shuffle
+    //      (custom typed Aggregator; rows-only — approximate) ----
+    Q("q47_heavy_hitters",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), explode(TA.tokens(lower(col("text")))).as("token"))
+          .groupBy(col("lang"))
+          .agg(graft.ops.HeavyHitters.topK(32)(col("token")).as("top"))
+          .select(col("lang"), explode(col("top")).as("hh"))
+          .select(col("lang"), col("hh._1").as("token"),
+            col("hh._2").as("est_count"), col("hh._3").as("max_err"))
+      },
+      None),
+
     // ---- multimodal: opaque binary column + typed metadata ----
     Q("q38_multimodal_binary",
       (s, dir) => {
