@@ -542,6 +542,39 @@ object Relational {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
               FROM slid GROUP BY event_type, win_start""")),
 
+    // ---- pivot: order-priority counts per year as columns (wide
+    //      reshape; oracle via portable conditional aggregation) ----
+    Q("q29_pivot",
+      (s, dir) => {
+        val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("order_year"))
+          .pivot("o_orderpriority", priorities)
+          .agg(count(lit(1)))
+          .select(col("order_year") +: priorities.map(p =>
+            coalesce(col(s"`$p`"), lit(0L)).as(p.toLowerCase.replaceAll("[^a-z0-9]+", "_"))): _*)
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                count(*) FILTER (o_orderpriority = '1-URGENT') AS "1_urgent",
+                count(*) FILTER (o_orderpriority = '2-HIGH') AS "2_high",
+                count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3_medium",
+                count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4_not_specified",
+                count(*) FILTER (o_orderpriority = '5-LOW') AS "5_low"
+              FROM orders GROUP BY 1""")),
+
+    // ---- cube: all grouping-set combinations with grouping ids ----
+    Q("q29b_cube",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("n"))
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                     coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,
