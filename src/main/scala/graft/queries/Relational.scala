@@ -575,6 +575,36 @@ object Relational {
                      coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
               FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
+    // ---- SQL facade: the same engine through spark.sql over temp
+    //      views (TPC-H Q3 shape) — parser/analyzer/optimizer path ----
+    Q("q60_sql_facade",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("v_customer")
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                 o_orderdate, o_orderpriority
+          FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+          JOIN v_lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1995-03-15'
+            AND l_shipdate > TIMESTAMP '1995-03-15'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority""")
+      },
+      Some("""SELECT l_orderkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                o_orderdate, o_orderpriority
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1995-03-15'
+                AND l_shipdate > TIMESTAMP '1995-03-15'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority""")),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,
