@@ -110,6 +110,25 @@ class PipelineSpec extends SparkSpec {
     assert(q.where(to_date($"START_DATETIME") === d("2020-01-05")).count() == 24)
   }
 
+  test("daily rollup + QAQC completeness gate (A3 day grain, test 3)") {
+    val nodeDay = Rollup.withDetectorNum(
+      Rollup.nodeAggregate(fact, "day"), Rollup.configNode(config))
+    // day grain: one row per node-day; complete days sum 2 det × 96 × 150
+    val r = nodeDay.where($"START_DATETIME" === ts("2020-01-05 00:00:00")).head()
+    assert(r.getAs[Long]("VOLUME_SUM_IMPUTE") == 2L * 96 * 150)
+    // full gauntlet on the 16-day fixture: test 2's >100-row floor and
+    // test 3's 75%-of-365 completeness both reject → empty
+    val strict = Rollup.qaqc(nodeDay, scale = 24, years = Seq(2020))
+    assert(strict.count() == 0)
+    // test 3 in isolation (A8): at 75% the 16-day year is incomplete;
+    // just under the fixture's own ratio it admits the node
+    def complete(minPct: Double) = graft.ops.Aggs.completeKeys(
+      nodeDay.withColumn("__y", year($"START_DATETIME")),
+      Seq("NODE_NAME"), "__y", lit(365.0), minPct)
+    assert(complete(0.75).count() == 0)
+    assert(rows(complete(16.0 / 365 - 0.01)) == Seq(Seq("N1")))
+  }
+
   test("compare: actual vs predicted with VOLUME_DIFF (J11/P15 + M2/M4)") {
     val nodeHour = Rollup.withDetectorNum(
       Rollup.nodeAggregate(fact, "hour"), Rollup.configNode(config))
