@@ -28,7 +28,7 @@ class RegistrySpec extends SparkSpec {
       // crude but effective: any FROM/JOIN word must be a known table,
       // a CTE defined in the query, or a derived-table paren
       val ctes = "(?i)(\\w+)\\s+AS\\s*\\(".r.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val refs = "(?i)(?<!DISTINCT )(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+      val refs = "(?i)(?<!DISTINCT )\\b(?:FROM|JOIN)\\b\\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- tables.toSet -- ctes - "read_parquet"
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
