@@ -605,6 +605,25 @@ object Relational {
                 AND l_shipdate > TIMESTAMP '1995-03-15'
               GROUP BY l_orderkey, o_orderdate, o_orderpriority""")),
 
+    // ---- exact interpolated percentiles (A7 generalized): both
+    //      engines sort-and-interpolate, so values hash-match ----
+    Q("q61_quantiles",
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("percentile(value, 0.25)"), 6).as("p25"),
+            round(expr("percentile(value, 0.5)"), 6).as("p50"),
+            round(expr("percentile(value, 0.75)"), 6).as("p75"),
+            round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      },
+      Some("""SELECT event_type,
+                round(quantile_cont(value, 0.25), 6) AS p25,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.75), 6) AS p75,
+                round(quantile_cont(value, 0.99), 6) AS p99
+              FROM events GROUP BY event_type""")),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,
