@@ -624,6 +624,45 @@ object Relational {
                 round(quantile_cont(value, 0.99), 6) AS p99
               FROM events GROUP BY event_type""")),
 
+    // ---- string-function suite over part names ----
+    Q("q62_string_funcs",
+      (s, dir) => {
+        t(s, dir, "part").select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          substring(col("p_name"), 1, 5).as("first5"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+          length(col("p_name")).as("len"),
+          instr(col("p_name"), " ").as("first_space"))
+      },
+      Some("""SELECT p_partkey, upper(p_name) AS up,
+                substr(p_name, 1, 5) AS first5,
+                regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+                lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+                concat_ws('|', p_brand, p_type) AS joined,
+                CAST(length(p_name) AS INTEGER) AS len,
+                CAST(instr(p_name, ' ') AS INTEGER) AS first_space
+              FROM part""")),
+
+    // ---- conditional aggregation: count_if / any / every ----
+    Q("q63_conditional_agg",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count_if(col("l_discount") > 0.05).as("n_discounted"),
+            count_if(col("l_quantity") >= 45).as("n_bulk"),
+            max(col("l_tax") > 0.07).as("any_high_tax"),
+            min(col("l_quantity") > 0).as("all_positive_qty"))
+      },
+      Some("""SELECT l_returnflag,
+                count(*) FILTER (l_discount > 0.05) AS n_discounted,
+                count(*) FILTER (l_quantity >= 45) AS n_bulk,
+                bool_or(l_tax > 0.07) AS any_high_tax,
+                bool_and(l_quantity > 0) AS all_positive_qty
+              FROM lineitem GROUP BY l_returnflag""")),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,
