@@ -101,6 +101,42 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Image resize: payload → re-encoded payload at (targetW, targetH),
+    * metadata updated in the same pass. STUB codec: the fake "resample"
+    * scales the byte budget by the pixel ratio deterministically; a real
+    * implementation swaps `stubResize` for a decoder+scaler+encoder
+    * without touching the mapPartitions shape.
+    */
+  private[ops] def stubResize(payload: Array[Byte], srcW: Int, srcH: Int,
+                              dstW: Int, dstH: Int): Array[Byte] = {
+    if (payload == null || payload.isEmpty || srcW <= 0 || srcH <= 0)
+      return Array.emptyByteArray
+    val n = math.max(1,
+      (payload.length.toLong * dstW * dstH / (srcW.toLong * srcH)).toInt)
+    // deterministic fake resample: stride-sample source bytes
+    Array.tabulate(n)(i => payload(((i.toLong * payload.length) / n).toInt))
+  }
+
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media
+      .where(col("media_type") === "image")
+      .select(col("media_id"), col("media_type"), col("payload"),
+        col("width"), col("height"), col("duration_ms"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          val w = if (r.isNullAt(3)) 0 else r.getInt(3)
+          val h = if (r.isNullAt(4)) 0 else r.getInt(4)
+          Row(r.getLong(0), r.getString(1),
+            stubResize(payload, w, h, targetW, targetH),
+            targetW, targetH,
+            if (r.isNullAt(5)) null else Integer.valueOf(r.getInt(5)))
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Metadata-only projection — payload column pruned at the scan, so
     * a metadata query over 100 TB of media reads only the footer stats
     * and the narrow columns.

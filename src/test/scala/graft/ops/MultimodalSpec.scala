@@ -38,6 +38,19 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.last._2 == 10000) // last frame at duration end
   }
 
+  test("resize: images only, metadata updated, byte budget scales with pixels") {
+    val out = Multimodal.resize(media, 32, 32)
+    assert(out.count() == 2) // only the two images
+    val r = out.where($"media_id" === 1).head()
+    assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 32)
+    // 64×64 → 32×32 = ¼ the pixels → ¼ the stub byte budget
+    assert(r.getAs[Array[Byte]]("payload").length == 1) // 4 bytes / 4
+    // deterministic: same input ⇒ same output
+    val again = Multimodal.resize(media, 32, 32)
+      .where($"media_id" === 1).head().getAs[Array[Byte]]("payload")
+    assert(again.toSeq == r.getAs[Array[Byte]]("payload").toSeq)
+  }
+
   test("metadata projection prunes the payload column from the scan") {
     val md = Multimodal.metadata(media)
     assert(md.columns.toSeq ==
