@@ -41,6 +41,27 @@ class SimilaritySpec extends SparkSpec {
       rows(brute.select($"query_id", $"rank", $"neighbor_id")))
   }
 
+  test("ANN recall floors: IVF and LSH recover a usable share of true top-5") {
+    // 200 vectors on a smooth curve (deterministic), 10 query points
+    val corpus = (1L to 200L).map(i =>
+      (i, Array.tabulate(16)(d => math.cos(i * 0.05 + d * 0.4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" % 20 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
+    val ivf = pairs(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      nCentroids = 16, nProbe = 4, k = 5))
+    val lsh = pairs(Similarity.lshTopK(corpus, "vec_id", "embedding", bits = 4, k = 5)
+      .where($"query_id" % 20 === 0))
+    val ivfRecall = (ivf intersect truth).size.toDouble / truth.size
+    val lshRecall = (lsh intersect truth).size.toDouble / truth.size
+    // deterministic hash planes/centroids → stable values; floors mark
+    // the quality bar the scale paths must not regress below
+    assert(ivfRecall >= 0.5, s"IVF recall@5 = $ivfRecall")
+    assert(lshRecall >= 0.5, s"LSH recall@5 = $lshRecall")
+  }
+
   test("lshTopK returns only true-cosine values for pairs it finds") {
     val out = Similarity.lshTopK(vecs, "vec_id", "embedding", bits = 2, k = 3)
     val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)
