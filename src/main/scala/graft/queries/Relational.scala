@@ -663,6 +663,50 @@ object Relational {
                 bool_and(l_quantity > 0) AS all_positive_qty
               FROM lineitem GROUP BY l_returnflag""")),
 
+    // ---- ranking-function catalogue over a deterministic ordering ----
+    Q("q64_rank_suite",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .where(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            round(percent_rank().over(w), 6).as("prnk"),
+            ntile(4).over(w).as("quartile"),
+            round(cume_dist().over(w), 6).as("cdist"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+                CAST(rank() OVER w AS INTEGER) AS rnk,
+                CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+                round(percent_rank() OVER w, 6) AS prnk,
+                CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                round(cume_dist() OVER w, 6) AS cdist,
+                lead(o_orderkey, 1) OVER w AS next_key
+              FROM orders WHERE o_orderkey % 100 = 0
+              WINDOW w AS (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey)""")),
+
+    // ---- generator with ordinal: positional token explode ----
+    Q("q65_posexplode",
+      (s, dir) => {
+        t(s, dir, "part")
+          .where(col("p_partkey") % 50 === 0)
+          .select(col("p_partkey"),
+            posexplode(split(col("p_name"), " ")))
+          .withColumnRenamed("pos", "word_idx")
+          .withColumnRenamed("col", "word")
+      },
+      Some("""WITH arrs AS (
+                SELECT p_partkey, regexp_split_to_array(p_name, ' ') AS words
+                FROM part WHERE p_partkey % 50 = 0)
+              SELECT p_partkey, CAST(i - 1 AS INTEGER) AS word_idx,
+                     words[CAST(i AS INTEGER)] AS word
+              FROM arrs, unnest(generate_series(1, len(words))) AS u(i)""")),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,
