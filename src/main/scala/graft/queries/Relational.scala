@@ -707,6 +707,27 @@ object Relational {
                      words[CAST(i AS INTEGER)] AS word
               FROM arrs, unnest(generate_series(1, len(words))) AS u(i)""")),
 
+    // ---- RANGE window frame: 24-hour trailing sum per user (range
+    //      frames vs the rows frames of q09/q27) ----
+    Q("q66_range_frame",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-86400, 0)
+        t(s, dir, "events")
+          .where(col("user_id") % 20 === 0)
+          .select(col("user_id"), col("ts"),
+            sum(dec2(col("value"))).over(w).cast("double").as("trailing_24h"),
+            count(lit(1)).over(w).as("n_24h"))
+      },
+      Some("""SELECT user_id, ts,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_24h,
+                count(*) OVER w AS n_24h
+              FROM events WHERE user_id % 20 = 0
+              WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                           RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""")),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,
