@@ -728,6 +728,52 @@ object Relational {
               WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                            RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""")),
 
+    // ---- first/last_value over explicit frames ----
+    Q("q67_first_last",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "events")
+          .where(col("user_id") % 25 === 0)
+          .select(col("user_id"), col("ts"),
+            first(col("event_type")).over(w).as("first_type"),
+            last(col("event_type")).over(wFull).as("last_type"),
+            min(col("ts")).over(wFull).as("user_start"),
+            max(col("ts")).over(wFull).as("user_end"))
+      },
+      Some("""SELECT user_id, ts,
+                first_value(event_type) OVER w AS first_type,
+                last_value(event_type) OVER wf AS last_type,
+                min(ts) OVER wf AS user_start,
+                max(ts) OVER wf AS user_end
+              FROM events WHERE user_id % 25 = 0
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+                     wf AS (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
+
+    // ---- date-arithmetic suite: month math, clamping, truncation ----
+    Q("q68_date_arith",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .where(col("o_orderkey") % 200 === 0)
+          .select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("d"),
+            add_months(to_date(col("o_orderdate")), 1).as("plus_month"),
+            last_day(to_date(col("o_orderdate"))).as("month_end"),
+            date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter_start"),
+            datediff(to_date(lit("2000-01-01")), to_date(col("o_orderdate"))).as("days_to_y2k"),
+            dayofweek(col("o_orderdate")).as("dow"))
+      },
+      Some("""SELECT o_orderkey,
+                CAST(o_orderdate AS DATE) AS d,
+                CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_month,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+                CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+              FROM orders WHERE o_orderkey % 200 = 0""")),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,
