@@ -39,6 +39,10 @@ object MinHashExprs {
     */
   def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     ExpressionUtils.column(BandKeysExpr(ExpressionUtils.expression(signature), bands, rowsPerBand))
+
+  /** Order-sensitive 64-bit rolling fingerprint of a token array. */
+  def fingerprint(tokens: Column): Column =
+    ExpressionUtils.column(FingerprintExpr(ExpressionUtils.expression(tokens)))
 }
 
 case class MinHashSigExpr(child: Expression, numHashes: Int)
@@ -151,6 +155,50 @@ case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
 
   override protected def withNewChildInternal(newChild: Expression): BandKeysExpr =
     copy(child = newChild)
+}
+
+case class FingerprintExpr(child: Expression)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fingerprint needs array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    FingerprintExpr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.FingerprintExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+    copy(child = newChild)
+}
+
+object FingerprintExpr {
+  /** Bit-for-bit the composable fold
+    * `aggregate(tokens, 0L, (acc, t) => (acc << 5) ^ (acc >> 59) ^ xxhash64(t))`
+    * (TextAnalysis.fingerprint's original formulation): << / >> are
+    * Java's long shifts (arithmetic right), xxhash64 is XXH64 over the
+    * token's UTF-8 bytes with Spark's default seed 42; a NULL token
+    * contributes the seed, matching `xxhash64(NULL)`. One compiled loop
+    * instead of tokens-per-row interpreted lambda evals.
+    */
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val h =
+        if (t == null) 42L
+        else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      acc = (acc << 5) ^ (acc >> 59) ^ h
+      i += 1
+    }
+    acc
+  }
 }
 
 object BandKeysExpr {

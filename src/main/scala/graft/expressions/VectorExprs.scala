@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.{Glue => ExpressionUtils}
 import org.apache.spark.sql.types._
 
@@ -30,6 +30,15 @@ object VectorExprs {
     */
   def lshSignBits(vec: Column, bits: Int): Column =
     ExpressionUtils.column(LshSignBitsExpr(ExpressionUtils.expression(vec), bits))
+
+  /** Indices (0-based) of the `k` nearest centroids by cosine (desc,
+    * ties by index). The centroid matrix rides inside the expression as
+    * a plan reference object — it reaches executors with the task
+    * binary (broadcast semantics), so assignment is a pure map: no
+    * corpus×centroids explode, no per-vector window.
+    */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
+    ExpressionUtils.column(NearestCentroidsExpr(ExpressionUtils.expression(vec), centroids, k))
 }
 
 case class CosineSimExpr(left: Expression, right: Expression)
@@ -106,6 +115,89 @@ case class LshSignBitsExpr(child: Expression, bits: Int)
 
   override protected def withNewChildInternal(newChild: Expression): LshSignBitsExpr =
     copy(child = newChild)
+}
+
+case class NearestCentroidsExpr(child: Expression,
+                                centroids: Array[Array[Double]], k: Int)
+  extends UnaryExpression {
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType | FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids needs array<double|float>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroidsExpr.compute(input.asInstanceOf[ArrayData], isFloat, centroids, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.NearestCentroidsExpr.compute($c, $isFloat, $mat, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+}
+
+object NearestCentroidsExpr {
+  /** Top-k centroid indices by cosine similarity — one compiled
+    * centroids×dims loop per row with a size-k insertion select (k is
+    * 1 for assignment, nProbe for probing; both tiny). Cosine ties
+    * break to the lower index; a zero-norm input scores 0 against
+    * every centroid (CosineSimExpr semantics).
+    */
+  def compute(v: ArrayData, isFloat: Boolean,
+              cents: Array[Array[Double]], k: Int): ArrayData = {
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var nx = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      x(i) = xi; nx += xi * xi
+      i += 1
+    }
+    val c = cents.length
+    val kk = math.min(k, c)
+    val topIdx = new Array[Int](kk)
+    val topSim = new Array[Double](kk)
+    var filled = 0
+    var j = 0
+    while (j < c) {
+      val cv = cents(j)
+      val m = math.min(n, cv.length)
+      var dot = 0.0; var nc = 0.0
+      var d = 0
+      while (d < m) { dot += x(d) * cv(d); nc += cv(d) * cv(d); d += 1 }
+      var dd = m
+      while (dd < cv.length) { nc += cv(dd) * cv(dd); dd += 1 }
+      val sim = if (nx > 0 && nc > 0) dot / (math.sqrt(nx) * math.sqrt(nc)) else 0.0
+      // insertion into the sorted top-k (desc sim; existing entries win ties)
+      var pos = filled
+      while (pos > 0 && topSim(pos - 1) < sim) pos -= 1
+      if (pos < kk) {
+        val last = math.min(filled, kk - 1)
+        var s = last
+        while (s > pos) { topSim(s) = topSim(s - 1); topIdx(s) = topIdx(s - 1); s -= 1 }
+        topSim(pos) = sim; topIdx(pos) = j
+        if (filled < kk) filled += 1
+      }
+      j += 1
+    }
+    val out = new Array[Any](filled)
+    i = 0
+    while (i < filled) { out(i) = topIdx(i); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 object LshSignBitsExpr {

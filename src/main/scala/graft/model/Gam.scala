@@ -33,10 +33,13 @@ object Gam {
       kItime: Int = 8,
       negBin: Boolean = true,
       minRows: Int = 50,
-      // fixed smoothing parameter for the second-difference penalty on
-      // each smooth's coefficients (mgcv selects λ by GCV; fixed λ is
-      // the documented simplification, SURVEY.md §7 risk 1)
-      lambda: Double = 1.0)
+      // smoothing parameter for the second-difference penalty on each
+      // smooth's coefficients; used as-is when `lambdaGrid` is empty
+      lambda: Double = 1.0,
+      // non-empty → per-group GCV selection over this grid (mgcv picks
+      // λ by GCV, R/_analyze_data.R:206-225; the grid search is the
+      // closed-form-free stand-in), closing SURVEY.md §7 risk 1
+      lambdaGrid: Seq[Double] = Nil)
 
   final case class TrainRow(group: String, carry: String, epochSec: Long, y: Double)
   final case class Prediction(group: String, carry: String, epochSec: Long, yhat: Long)
@@ -90,8 +93,12 @@ object Gam {
     val nI = if (cfg.hourly) itimeSp.size - 1 else 0
     val blocks = Seq((1 + 6, nY)) ++
       (if (cfg.hourly) (0 until 7).map(w => (1 + 6 + nY + w * nI, nI)) else Nil)
-    val penalty = Glm.diffPenalty(x(0).length, blocks, cfg.lambda)
-    val fit = Glm.fit(x, y, cfg.negBin, penalty = penalty)
+    val fit =
+      if (cfg.lambdaGrid.nonEmpty)
+        Glm.fitGcv(x, y, cfg.negBin, blocks, cfg.lambdaGrid).fit
+      else
+        Glm.fit(x, y, cfg.negBin,
+          penalty = Glm.diffPenalty(x(0).length, blocks, cfg.lambda))
     grid.iterator.map { t =>
       val yhat = Glm.predict(designRow(feats(t), cfg, ydaySp, itimeSp), fit.beta)
       Prediction(group, carry, t, math.round(yhat))

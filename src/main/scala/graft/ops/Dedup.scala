@@ -83,20 +83,36 @@ object Dedup {
     * (minhashNearDups) is quadratic in cluster size and explodes on
     * templated corpora; what a training-data pipeline actually needs is
     * one decision per document. Per band bucket take the min id as
-    * representative, per doc take the min over its bands, verify ONLY
-    * the (doc, rep) pair with exact Jaccard — linear rows end to end —
-    * then min-propagate over the VERIFIED edges so chains collapse to
-    * their cluster root (propagation before verification would pair
-    * docs with transitively-reached roots they aren't directly similar
-    * to). `propagationRounds` bounds the pointer-chasing; full
-    * connected components would iterate to fixpoint.
+    * representative; per doc verify the `verifyCandidates` smallest
+    * DISTINCT band-mins with exact Jaccard and keep the smallest
+    * passing edge — ≤ k·N verify rows end to end, never all-pairs.
+    * (k > 1 matters with narrow bands: a single-minhash bucket catches
+    * js≈0.01 strangers often enough that the one smallest candidate can
+    * be a stranger whose verification fails, shadowing the true
+    * near-dup edge.) Then min-propagate over the VERIFIED edges so
+    * chains collapse to their cluster root (propagation before
+    * verification would pair docs with transitively-reached roots they
+    * aren't directly similar to). `propagationRounds` bounds the
+    * pointer-chasing (rep := rep's rep is pointer doubling, so chain
+    * depth halves per round); `propagationRounds = -1` iterates to
+    * fixpoint — full connected components, O(log longest-chain) rounds.
+    *
+    * Lineage discipline: the verified decision frame is materialized
+    * with `localCheckpoint` BEFORE any propagation round, so the
+    * corpus-wide shingle→minhash→verify pipeline executes once — not
+    * once per round-side of every self-join (at 100 TB, recomputing the
+    * corpus MinHash per round is the scale-killer). Each round's output
+    * is checkpointed too: the self-join references its input twice, so
+    * un-truncated lineage doubles per round.
+    *
     * Returns (id, rep_id, jaccard, is_dup): `jaccard` is the verified
     * direct-edge similarity; is_dup = false means the doc keeps itself.
     */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, numHashes: Int = 32,
                    bands: Int = 8, threshold: Double = 0.6,
-                   propagationRounds: Int = 2): DataFrame = {
+                   propagationRounds: Int = 2,
+                   verifyCandidates: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
@@ -105,27 +121,70 @@ object Dedup {
         lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))
         .as("__band"))
     val bandMin = banded.groupBy(col("__band")).agg(min(col(idCol)).as("__bmin"))
+    // the k smallest distinct lower-id candidates per doc (≤ bands of
+    // them exist; collect_set is bounded by `bands`)
     val repCand = banded.join(bandMin, Seq("__band"))
-      .groupBy(col(idCol)).agg(min(col("__bmin")).as("__rep"))
-    val verified = repCand.where(col("__rep") < col(idCol))
+      .where(col("__bmin") < col(idCol))
+      .groupBy(col(idCol))
+      .agg(slice(array_sort(collect_set(col("__bmin"))), 1, verifyCandidates)
+        .as("__cands"))
+      .select(col(idCol), explode(col("__cands")).as("__rep"))
+    val verified = repCand
       .join(sh.select(col(idCol), col("__sh")), Seq(idCol))
       .join(sh.select(col(idCol).as("__rep"), col("__sh").as("__sh_r")), Seq("__rep"))
       .select(col(idCol), col("__rep"),
         TextAnalysis.jaccard(col("__sh"), col("__sh_r")).as("jaccard"))
-    val direct = df.select(col(idCol)).join(verified, Seq(idCol), "left")
+    // per doc: smallest PASSING edge wins (min over a struct ignores
+    // NULLs, so failing candidates only surface via __bestj)
+    val best = verified.groupBy(col(idCol)).agg(
+      min(when(col("jaccard") >= threshold,
+        struct(col("__rep"), col("jaccard")))).as("__pass"),
+      max(col("jaccard")).as("__bestj"))
+    val direct = df.select(col(idCol)).join(best, Seq(idCol), "left")
       .select(col(idCol),
-        when(col("jaccard") >= threshold, col("__rep")).otherwise(col(idCol)).as("rep_id"),
-        col("jaccard"),
-        coalesce(col("jaccard") >= threshold, lit(false)).as("is_dup"))
-    // pointer-chase verified edges: rep := rep's rep (bounded rounds) —
-    // verified near-dup edges make transitive folding sound
-    (1 until propagationRounds).foldLeft(direct) { (r, _) =>
-      r.join(r.select(col(idCol).as("rep_id"), col("rep_id").as("__rep2")),
-        Seq("rep_id"), "left")
-        .select(col(idCol),
-          least(col("rep_id"), coalesce(col("__rep2"), col("rep_id"))).as("rep_id"),
-          col("jaccard"), col("is_dup"))
+        coalesce(col("__pass.__rep"), col(idCol)).as("rep_id"),
+        coalesce(col("__pass.jaccard"), col("__bestj")).as("jaccard"),
+        col("__pass").isNotNull.as("is_dup"))
+    if (propagationRounds == 1) direct
+    else propagate(direct, idCol, propagationRounds)
+  }
+
+  /** One pointer-doubling round: rep := min(rep, rep's rep) over the
+    * verified edges; `__moved` marks rows whose rep changed this round
+    * (the fixpoint signal).
+    */
+  private def propagateStep(r: DataFrame, idCol: String): DataFrame =
+    r.join(r.select(col(idCol).as("rep_id"), col("rep_id").as("__rep2")),
+      Seq("rep_id"), "left")
+      .select(col(idCol),
+        least(col("rep_id"), coalesce(col("__rep2"), col("rep_id"))).as("rep_id"),
+        col("jaccard"), col("is_dup"),
+        (least(col("rep_id"), coalesce(col("__rep2"), col("rep_id"))) =!= col("rep_id"))
+          .as("__moved"))
+
+  /** Min-propagate rep pointers over verified edges. `rounds > 1` runs
+    * exactly rounds−1 doubling steps; `rounds = -1` iterates until no
+    * row's rep changes (connected components to fixpoint). Input is
+    * localCheckpoint'd so the upstream pipeline runs once; every round
+    * is checkpointed so the twice-referenced self-join lineage stays
+    * flat.
+    */
+  private def propagate(direct: DataFrame, idCol: String, rounds: Int): DataFrame = {
+    var cur = direct.localCheckpoint()
+    var round = 1
+    var moved = true
+    // pointer doubling halves chain depth per round: 64 rounds covers
+    // chains of ~2^64 — a safety bound, never the stop condition
+    val maxRounds = if (rounds == -1) 64 else rounds - 1
+    while (moved && round <= maxRounds) {
+      val next = propagateStep(cur, idCol).localCheckpoint()
+      moved =
+        if (rounds == -1) !next.where(col("__moved")).isEmpty
+        else true
+      cur = next.drop("__moved")
+      round += 1
     }
+    cur
   }
 
   /** SimHash 64-bit fingerprint over token hashes: per bit, the sign of

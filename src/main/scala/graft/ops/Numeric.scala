@@ -27,4 +27,27 @@ object Numeric {
       .otherwise(-floor(-scaled + 0.5))
       .cast("double") / s
   }
+
+  /** The parity policy as a value, so operators that round take WHICH
+    * engine they must agree with as an explicit parameter instead of
+    * silently picking Spark's default.
+    */
+  sealed trait Parity { def round(c: Column, scale: Int): Column }
+  /** R parity — banker's rounding (R `round()`, data.table). */
+  case object RParity extends Parity {
+    def round(c: Column, scale: Int): Column = bround(c, scale)
+  }
+  /** DuckDB/Postgres (oracle) parity — half-away-from-zero on the raw
+    * scaled double.
+    */
+  case object OracleParity extends Parity {
+    def round(c: Column, scale: Int): Column = roundAway(c, scale)
+  }
+  /** SQL-Server / Spark-default parity — HALF_UP via BigDecimal of the
+    * shortest decimal representation.
+    */
+  case object SparkParity extends Parity {
+    def round(c: Column, scale: Int): Column =
+      org.apache.spark.sql.functions.round(c, scale)
+  }
 }

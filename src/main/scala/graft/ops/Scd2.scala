@@ -66,11 +66,16 @@ object Scd2 {
     * open END_DATE) with no changelog rows, matching the run-once
     * initial load (R/1) Get-…-RunOnce.R:23-28).
     *
-    * Each fold step shuffles only the (small) dimension; for very long
-    * snapshot histories, checkpoint every ~50 steps to cut lineage.
+    * Each fold step shuffles only the (small) dimension; the
+    * accumulated plan is truncated with `localCheckpoint` every
+    * `checkpointEvery` steps — without it, the reference's ~1,423 daily
+    * snapshots stack 1,423 merges into one logical plan and analysis
+    * alone explodes long before execution does.
     */
-  def replay(snapshots: Seq[(String, DataFrame)], opts: Options): Result = {
+  def replay(snapshots: Seq[(String, DataFrame)], opts: Options,
+             checkpointEvery: Int = 50): Result = {
     require(snapshots.nonEmpty, "replay needs at least one snapshot")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     import org.apache.spark.sql.functions.{lit, to_date}
     val (d0, s0) = snapshots.head
     val init = s0
@@ -78,9 +83,13 @@ object Scd2 {
       .withColumn(opts.endCol, to_date(lit(opts.openEnd)))
       .withColumn(opts.deactivateCol, lit(false))
     val empty = emptyChangelog(s0.sparkSession, opts)
-    snapshots.tail.foldLeft(Result(init, empty)) { case (acc, (day, snap)) =>
-      val r = merge(acc.dim, snap, day, opts)
-      Result(r.dim, acc.changelog.unionByName(r.changelog))
+    snapshots.tail.zipWithIndex.foldLeft(Result(init, empty)) {
+      case (acc, ((day, snap), i)) =>
+        val r = merge(acc.dim, snap, day, opts)
+        val next = Result(r.dim, acc.changelog.unionByName(r.changelog))
+        if ((i + 1) % checkpointEvery == 0)
+          Result(next.dim.localCheckpoint(), next.changelog.localCheckpoint())
+        else next
     }
   }
 

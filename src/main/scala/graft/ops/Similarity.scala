@@ -68,39 +68,83 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Nearest-centroid indices as a pure map-side expression — the
+    * centroid matrix rides to executors inside the plan (broadcast
+    * semantics). See graft.expressions.NearestCentroidsExpr.
+    */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
+    graft.expressions.VectorExprs.nearestCentroids(vec, centroids, k)
+
+  /** Lloyd (spherical k-means) refinement of an initial centroid set.
+    * Per iteration: assignment is the map-side nearest-centroid
+    * expression (no corpus×centroids explode, no shuffle of vectors);
+    * the update is one groupBy(cell) with per-dimension codegen'd sums
+    * — partial aggregation collapses map-side, so only
+    * nCentroids × dim doubles cross the wire; the new (unit-normalized)
+    * means round-trip through the driver, the broadcast-scale object
+    * k-means inherently iterates on. Cells that go empty keep their
+    * previous centroid.
+    */
+  def trainCentroids(corpus: DataFrame, vecCol: String,
+                     init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    if (init.isEmpty || iters <= 0) return init
+    val dim = init.head.length
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val sums = corpus
+        .select(nearestCentroids(col(vecCol), cents, 1).getItem(0).as("__cell"),
+          col(vecCol))
+        .groupBy(col("__cell"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until dim).map(d => sum(element_at(col(vecCol), d + 1)).as(s"__s$d")): _*)
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { row =>
+        val cell = row.getInt(0)
+        val cnt = row.getLong(1).toDouble
+        val mean = Array.tabulate(dim)(d => row.getDouble(2 + d) / cnt)
+        val norm = math.sqrt(mean.map(x => x * x).sum)
+        if (norm > 0) next(cell) = mean.map(_ / norm)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN — the other standard scale path. Coarse
-    * quantizer: `nCentroids` vectors chosen deterministically from the
-    * corpus by id hash (k-means would sharpen cells; selection is
-    * pluggable). Every vector is assigned to its nearest centroid (one
-    * broadcast of the small centroid table — the corpus never
-    * shuffles); queries probe their `nProbe` nearest cells, so each
-    * query compares against ~corpus·nProbe/nCentroids vectors instead
-    * of all of them.
+    * quantizer: `nCentroids` seeded from a deterministic id-hash sample
+    * of the corpus, then sharpened with `kmeansIters` Lloyd rounds
+    * (spherical k-means — balanced cells keep probe economics honest).
+    * Every vector is assigned to its nearest centroid by a map-side
+    * native expression over the plan-shipped centroid matrix — the
+    * corpus is never exploded against the centroid table and never
+    * shuffles for assignment; queries probe their `nProbe` nearest
+    * cells, so each query compares against ~corpus·nProbe/nCentroids
+    * vectors instead of all of them.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+              vecCol: String, nCentroids: Int, nProbe: Int, k: Int,
+              kmeansIters: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
-    // deterministic coarse quantizer: the nCentroids corpus vectors with
+    // deterministic seed quantizer: the nCentroids corpus vectors with
     // the smallest xxhash64(id) (stable pseudo-random sample)
-    val centroids = broadcast(
-      c.withColumn("__h", xxhash64(col(idCol)))
-        .orderBy(col("__h")).limit(nCentroids)
-        .select(col(idCol).as("centroid_id"), col("__v").as("__cv")))
-    // assign: nearest centroid per corpus vector
-    val assigned = c.join(centroids)
-      .withColumn("__sim", cosine(col("__v"), col("__cv")))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id"))))
-      .where(col("__r") === 1)
-      .select(col("centroid_id"), col(idCol).as("neighbor_id"), col("__v").as("__nv"))
-    // probe: each query scans its nProbe nearest cells
+    val init: Array[Array[Double]] = c
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h")).limit(nCentroids)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents = trainCentroids(c, "__v", init, kmeansIters)
+    // assign: pure projection — cell id per corpus vector, zero joins
+    val assigned = c.select(
+      nearestCentroids(col("__v"), cents, 1).getItem(0).as("centroid_id"),
+      col(idCol).as("neighbor_id"), col("__v").as("__nv"))
+    // probe: each query scans its nProbe nearest cells (tiny explode —
+    // nProbe rows per query, on the small query side only)
     val q = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv"))
-    val probes = q.join(centroids)
-      .withColumn("__sim", cosine(col("__qv"), col("__cv")))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("centroid_id"))))
-      .where(col("__r") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("centroid_id"))
+    val probes = q.select(col("query_id"), col("__qv"),
+      explode(nearestCentroids(col("__qv"), cents, nProbe)).as("centroid_id"))
     val scored = probes.join(assigned, Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -94,10 +94,12 @@ object TextAnalysis {
   }
 
   /** 64-bit document fingerprint: order-sensitive rolling combination of
-    * token hashes (Rabin-style). Uses xxhash64 per token and a bit-mixed
-    * positional combine; overflow-free under ANSI mode (bit ops only).
+    * token hashes (Rabin-style): acc = (acc<<5) ^ (acc>>59) ^ xxhash64(t).
+    * Native expression (graft.expressions.FingerprintExpr) — the
+    * composable `aggregate(tokens, ...)` fold evaluates its lambda per
+    * token interpreted; the expression is one compiled loop per row and
+    * bit-identical to the fold.
     */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => shiftleft(acc, 5).bitwiseXOR(shiftright(acc, 59)).bitwiseXOR(xxhash64(t)))
+    graft.expressions.MinHashExprs.fingerprint(tokens(text))
 }

@@ -25,12 +25,16 @@ object Windows {
   }
 
   /** W2 — fill NULLs in `valueCol` from `fillCol` (rolling-mean impute,
-    * R/_pull_data.R:497-502), with optional rounding.
+    * R/_pull_data.R:497-502), with optional rounding. The rounding
+    * engine-parity is an explicit parameter (Numeric parity policy);
+    * the default is R parity because the operator reproduces
+    * data.table's `round()` (banker's) on the imputed mean.
     */
   def fillFrom(df: DataFrame, valueCol: String, fillCol: String,
-               out: String, roundTo: Option[Int] = None): DataFrame = {
+               out: String, roundTo: Option[Int] = None,
+               parity: Numeric.Parity = Numeric.RParity): DataFrame = {
     val filled = coalesce(col(valueCol), roundTo match {
-      case Some(d) => round(col(fillCol), d)
+      case Some(d) => parity.round(col(fillCol), d)
       case None    => col(fillCol)
     })
     df.withColumn(out, filled)

@@ -21,7 +21,9 @@ object ModelQueries {
           .withColumn("carry", lit("events"))
         Gam.fitPredict(hourly, "event_type", "carry", "hour_ts", "n",
           "2024-02-01 00:00:00", "2024-02-07 23:00:00", 3600,
-          Gam.Config(hourly = true, negBin = true))
+          // GCV-selected λ per group (mgcv parity path)
+          Gam.Config(hourly = true, negBin = true,
+            lambdaGrid = Seq(0.01, 1.0, 100.0, 1e4)))
           .select(col("event_type"), col("PREDICT_TIME"),
             col("PREDICTION").as("VOLUMN_PREDICTION"))
       },
@@ -52,7 +54,8 @@ object ModelQueries {
           .withColumn("carry", lit("events"))
         Gam.fitPredict(daily, "event_type", "carry", "day_ts", "n",
           "2024-02-01 00:00:00", "2024-02-28 00:00:00", 86400,
-          Gam.Config(hourly = false, negBin = true, minRows = 14))
+          Gam.Config(hourly = false, negBin = true, minRows = 14,
+            lambdaGrid = Seq(0.01, 1.0, 100.0, 1e4)))
           .select(col("event_type"), col("PREDICT_TIME"),
             col("PREDICTION").as("VOLUMN_PREDICTION"))
       },

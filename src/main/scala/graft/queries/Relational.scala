@@ -479,7 +479,7 @@ object Relational {
       },
       Some("""SELECT event_type,
                 count(CAST(props->>'$.k' AS INTEGER)) AS n_with_k,
-                sum(CAST(props->>'$.k' AS INTEGER)) AS k_sum,
+                CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
                 min(CAST(props->>'$.k' AS INTEGER)) AS k_min,
                 max(CAST(props->>'$.k' AS INTEGER)) AS k_max
               FROM events GROUP BY event_type""")),
@@ -514,8 +514,8 @@ object Relational {
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
               sess AS (
                 SELECT user_id, ts,
-                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
                 FROM flagged)
               SELECT user_id, sess_id, count(*) AS n_events,
                 min(ts) AS sess_start, max(ts) AS sess_end,

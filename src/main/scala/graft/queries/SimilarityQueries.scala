@@ -89,19 +89,41 @@ object SimilarityQueries {
       },
       None),
 
-    // ---- label centroid distance: agg over vector columns ----
+    // ---- label centroid norm: agg over vector columns. Elements are
+    //      quantized to 1e-4 BEFORE summing (floor(x·1e4) as BIGINT) so
+    //      every aggregate is integer-exact and order-independent —
+    //      float sums are addition-order-dependent and can't hash-match
+    //      across engines; |q| ≤ 1e4, n ≤ corpus, so Σq² per dim stays
+    //      far under 2^53 and the final double is IEEE-identical in any
+    //      engine ----
     Q("q42_label_centroid_norm",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
           .select(col("label"), Similarity.toDoubleVec(col("embedding")).as("v"))
-        // mean vector per label via element-wise aggregate, then L2 norm
+        // element-wise quantized sums per label, then exact Σs² → norm
         val summed = e.groupBy(col("label")).agg(
           count(lit(1)).as("n"),
-          array((0 until 64).map(i => sum(element_at(col("v"), i + 1))): _*).as("vsum"))
+          array((0 until 64).map(i =>
+            sum(floor(element_at(col("v"), i + 1) * 1e4).cast("long"))): _*).as("vsum"))
         summed.select(col("label"), col("n"),
-          round(sqrt(aggregate(transform(col("vsum"), x => (x / col("n")) * (x / col("n"))),
-            lit(0.0), (acc, x) => acc + x)), 6).as("centroid_norm"))
+          round(sqrt(aggregate(transform(col("vsum"), x => x * x),
+            lit(0L), (acc, x) => acc + x).cast("double")) / (lit(1e4) * col("n")), 6)
+            .as("centroid_norm"))
       },
-      None)
+      Some("""WITH exploded AS (
+                SELECT label, generate_subscripts(embedding, 1) AS dim,
+                       CAST(floor(unnest(embedding)::DOUBLE * 1e4) AS BIGINT) AS q
+                FROM embeddings),
+              sums AS (
+                SELECT label, dim, CAST(sum(q) AS BIGINT) AS s
+                FROM exploded GROUP BY label, dim),
+              cnt AS (
+                SELECT label, CAST(count(*) AS BIGINT) AS n
+                FROM embeddings GROUP BY label)
+              SELECT s.label, c.n,
+                     round(sqrt(CAST(CAST(sum(s.s * s.s) AS BIGINT) AS DOUBLE))
+                           / (1e4 * c.n), 6) AS centroid_norm
+              FROM sums s JOIN cnt c ON s.label = c.label
+              GROUP BY s.label, c.n"""))
   )
 }

@@ -51,6 +51,28 @@ class GamSpec extends SparkSpec {
     assert(math.abs(math.exp(fit.beta(0)) - 20.0) < 4.0)
   }
 
+  test("profile-ML theta attains at least the MoM warm start's NB2 likelihood") {
+    val rng = new scala.util.Random(29)
+    val x = Array.fill(4000)(Array(1.0))
+    // overdispersed counts: Poisson(Gamma mean), target mu=15, alpha≈0.4
+    val y = x.map { _ =>
+      val shape = 1.0 / 0.4
+      var g = 0.0
+      (1 to 5).foreach(_ => g += -math.log(rng.nextDouble()))
+      val mu = g / 5.0 * 15.0
+      var l = math.exp(-math.min(mu, 700)); var k = 0; var p = 1.0
+      while ({ p *= rng.nextDouble(); p > l }) k += 1
+      k.toDouble
+    }
+    val mom = Glm.fit(x, y, negBin = true, mlTheta = false)
+    val ml = Glm.fit(x, y, negBin = true)
+    def muOf(f: Glm.Fit) = x.map(Glm.predict(_, f.beta))
+    val llMom = Glm.nbLogLik(y, muOf(mom), math.max(mom.alpha, 1e-8))
+    val llMl = Glm.nbLogLik(y, muOf(ml), math.max(ml.alpha, 1e-8))
+    assert(llMl >= llMom - 1e-6, s"ML ll $llMl < MoM ll $llMom")
+    assert(ml.alpha > 0.02, s"alpha=${ml.alpha}")
+  }
+
   test("GAM recovers smooth daily + weekday signal (statistical gate, M2/M4)") {
     // Known signal: volume = exp(3 + 0.8*sin(2π·itime/86400) + weekday lift)
     val cfg = Gam.Config(hourly = true, negBin = false)
@@ -105,6 +127,92 @@ class GamSpec extends SparkSpec {
     // monotonically with λ
     val (lo, mid, hi) = (spread(1.0), spread(1e6), spread(1e9))
     assert(hi <= mid && mid < lo, s"spreads not monotone: $lo, $mid, $hi")
+  }
+
+  // shared 1-D penalized-spline setup for the GCV tests: design
+  // [1, spline(t) drop-first], one penalty block over the smooth
+  private def splineDesign(n: Int, k: Int): (Array[Array[Double]], Seq[(Int, Int)], Spline) = {
+    val sp = Spline.uniform(0, 100, k)
+    val x = Array.tabulate(n) { i =>
+      val t = i * 100.0 / (n - 1)
+      val b = sp.basis(t)
+      Array(1.0) ++ b.drop(1)
+    }
+    (x, Seq((1, sp.size - 1)), sp)
+  }
+
+  private def poisson(rng: scala.util.Random, mu: Double): Double = {
+    var l = math.exp(-math.min(mu, 700)); var kk = 0; var p = 1.0
+    while ({ p *= rng.nextDouble(); p > l }) kk += 1
+    kk.toDouble
+  }
+
+  test("edf decreases monotonically in lambda and stays within (0, p]") {
+    val rng = new scala.util.Random(13)
+    val (x, blocks, _) = splineDesign(800, 10)
+    val y = x.indices.map { i =>
+      val t = i * 100.0 / 799
+      poisson(rng, math.exp(2.0 + math.sin(4 * math.Pi * t / 100)))
+    }.toArray
+    val edfs = Seq(1e-4, 1.0, 1e2, 1e4).map { lam =>
+      val pen = Glm.diffPenalty(x(0).length, blocks, lam)
+      Glm.score(x, y, Glm.fit(x, y, negBin = false, penalty = pen),
+        negBin = false, pen, lam).edf
+    }
+    assert(edfs == edfs.sortBy(-_), s"edf not decreasing: $edfs")
+    assert(edfs.head <= x(0).length + 1e-6 && edfs.last > 0, s"edf out of range: $edfs")
+    // the penalty null space (constant+linear coefficient profiles)
+    // keeps edf well above 1 even at huge λ, but far below p
+    assert(edfs.head - edfs.last > 2.0, s"penalty has no bite: $edfs")
+  }
+
+  test("GCV selection: wiggly signal keeps λ small, pure noise prefers big λ, " +
+    "and the winner is the grid's GCV argmin") {
+    val rng = new scala.util.Random(17)
+    val (x, blocks, _) = splineDesign(800, 10)
+    val grid = Seq(1e-3, 1e-1, 10.0, 1e3, 1e5)
+    val wigglyY = x.indices.map { i =>
+      val t = i * 100.0 / 799
+      poisson(rng, math.exp(2.0 + math.sin(6 * math.Pi * t / 100)))
+    }.toArray
+    val flatY = x.indices.map(_ => poisson(rng, math.exp(2.0))).toArray
+    val w = Glm.fitGcv(x, wigglyY, negBin = false, blocks, grid)
+    val f = Glm.fitGcv(x, flatY, negBin = false, blocks, grid)
+    assert(w.lambda < f.lambda, s"wiggly λ=${w.lambda} !< flat λ=${f.lambda}")
+    // selected fit beats the over-smoothed extreme on deviance for the
+    // wiggly node (the thing fixed λ couldn't promise)
+    val stiffPen = Glm.diffPenalty(x(0).length, blocks, 1e5)
+    val stiff = Glm.score(x, wigglyY,
+      Glm.fit(x, wigglyY, negBin = false, penalty = stiffPen),
+      negBin = false, stiffPen, 1e5)
+    assert(w.deviance < stiff.deviance)
+  }
+
+  test("fitScoreGroup with lambdaGrid recovers the wiggly signal a stiff fixed λ misses (M2)") {
+    val rng = new scala.util.Random(23)
+    val start = java.time.LocalDateTime.parse("2018-01-01T00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val rows = (0 until 24 * 180).map { h =>
+      val t = start + h * 3600L
+      val f = Gam.feats(t)
+      val mu = math.exp(2.0 + 1.2 * math.sin(2 * math.Pi * f.itime / 86400.0))
+      Gam.TrainRow("n", "c", t, poisson(rng, mu))
+    }
+    val grid = (0 until 24).map(h => start + 200L * 86400 + h * 3600L)
+    def mre(cfg: Gam.Config): Double = {
+      val preds = Gam.fitScoreGroup(rows, grid, cfg).toSeq
+      val errs = preds.map { p =>
+        val f = Gam.feats(p.epochSec)
+        val mu = math.exp(2.0 + 1.2 * math.sin(2 * math.Pi * f.itime / 86400.0))
+        math.abs(p.yhat - mu) / mu
+      }
+      errs.sum / errs.size
+    }
+    val selected = mre(Gam.Config(hourly = true, negBin = false,
+      lambdaGrid = Seq(1e-2, 1.0, 1e2, 1e4, 1e6)))
+    val stiff = mre(Gam.Config(hourly = true, negBin = false, lambda = 1e6))
+    assert(selected < stiff, s"GCV mre $selected !< stiff mre $stiff")
+    assert(selected < 0.2, s"selected-λ mre $selected")
   }
 
   test("fitPredict: distributed per-group fit, one row per group×grid-slot") {

@@ -100,4 +100,42 @@ class DedupTextSpec extends SparkSpec {
     val r = df.select(TextAnalysis.fingerprint($"x"), TextAnalysis.fingerprint($"y")).head()
     assert(r.getLong(0) != r.getLong(1))
   }
+
+  test("native fingerprint is bit-identical to the composable aggregate fold") {
+    val texts = Seq("the quick brown fox", "a", "", "héllo wörld ünïcode",
+      "x y z " * 40, "punct!! and?? digits123")
+    val df = texts.toDF("t")
+    val composable = df.select(aggregate(TextAnalysis.tokens($"t"), lit(0L),
+      (acc, tok) => shiftleft(acc, 5).bitwiseXOR(shiftright(acc, 59))
+        .bitwiseXOR(xxhash64(tok)))).as[Long].collect().toSeq
+    val native = df.select(TextAnalysis.fingerprint($"t")).as[Long].collect().toSeq
+    assert(native == composable)
+  }
+
+  test("minhashDedup propagationRounds=-1 collapses an arbitrary-length chain " +
+    "to one root (connected components to fixpoint)") {
+    // chain construction: doc_i = block_i ++ block_{i+1}, blocks are
+    // disjoint seeded-random words → adjacent docs share one block
+    // (jaccard ≈ 1/3), non-adjacent docs share nothing. Each doc's only
+    // verified edge is to its predecessor, so full collapse needs
+    // pointer-chasing over the whole chain, not one hop.
+    val rnd = new scala.util.Random(7)
+    def word() = (1 to 8).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val blocks = Vector.fill(11)(Seq.fill(6)(word()))
+    val chain = (1 to 10).map(i => (i.toLong, (blocks(i - 1) ++ blocks(i)).mkString(" ")))
+      .toDF("doc_id", "text")
+    // adjacent docs share half their words → char-3-gram jaccard lands
+    // ~0.2-0.35 depending on cross-block shingle collisions; 0.15 keeps
+    // every adjacent edge verified while unrelated pairs (j≈0) stay out
+    def reps(rounds: Int): Map[Long, Long] =
+      Dedup.minhashDedup(chain, "text", "doc_id", shingleN = 3,
+        numHashes = 32, bands = 32, threshold = 0.15, propagationRounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fix = reps(-1)
+    assert(fix.values.toSet == Set(1L), s"fixpoint should collapse to root 1: $fix")
+    // the bounded default cannot reach the root across a 10-chain —
+    // this is exactly what -1 adds
+    val bounded = reps(2)
+    assert(bounded.values.toSet != Set(1L))
+  }
 }

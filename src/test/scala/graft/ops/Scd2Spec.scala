@@ -74,6 +74,33 @@ class Scd2Spec extends SparkSpec {
     assert(bugCompat.changelog.count() == 0) // NA != value → NA → dropped (R)
   }
 
+  test("replay checkpoints long histories: lineage depends on distance to the " +
+    "last checkpoint, not on history length") {
+    // alternating lane flips per day → every merge produces changelog
+    // rows, the worst case for accumulated-union lineage
+    def snaps(n: Int) = (1 to n).map { i =>
+      val day = java.time.LocalDate.of(2020, 1, 1).plusDays(i.toLong - 1).toString
+      day -> snap(("d1", if (i % 2 == 0) "L1" else "L2", "f"), ("d2", "L3", "f"))
+    }
+    def leaves(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectLeaves().size
+    // 120 snaps → 119 merges, last checkpoint after merge 100, 19 live;
+    // 95 snaps → 94 merges, last checkpoint after merge 75, 19 live.
+    // Same distance-to-checkpoint ⇒ identical plan size — the leaf
+    // count is a function of checkpointEvery, NOT of history length
+    // (un-checkpointed, 119 merges would stack a plan exponentially
+    // deeper than 94's; the reference's ~1,423 snapshots would never
+    // even finish analysis)
+    val r120 = Scd2.replay(snaps(120), opts, checkpointEvery = 25)
+    val r95 = Scd2.replay(snaps(95), opts, checkpointEvery = 25)
+    assert(leaves(r120.dim) == leaves(r95.dim))
+    assert(leaves(r120.changelog) == leaves(r95.changelog))
+    // and the answer is right: 119 lane flips for d1, none for d2
+    assert(r120.changelog.where($"DETECTOR_NAME" === "d1").count() == 119)
+    assert(r120.changelog.where($"DETECTOR_NAME" === "d2").count() == 0)
+    assert(r120.dim.count() == 2)
+  }
+
   test("property: after random snapshot sequence, exactly one row per key and " +
     "active keys stay open (scalacheck)") {
     val keys = Seq("a", "b", "c", "d")

@@ -62,6 +62,32 @@ class SimilaritySpec extends SparkSpec {
     assert(lshRecall >= 0.5, s"LSH recall@5 = $lshRecall")
   }
 
+  test("ivfTopK plan is map-side: no corpus×centroid explode, no assignment window") {
+    val many = (1L to 100L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.37 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(many, many.where($"vec_id" <= 3),
+      "vec_id", "embedding", nCentroids = 8, nProbe = 2, k = 3)
+    val plan = out.queryExecution.optimizedPlan
+    // exactly one Window (the final top-k rank) and one Generate (the
+    // nProbe explode on the tiny query side); assignment itself is a
+    // pure projection — the N×C shape the old plan shuffled is gone
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Window => LWindow}
+    assert(plan.collect { case w: LWindow => w }.size == 1, plan)
+    assert(plan.collect { case g: Generate => g }.size == 1, plan)
+  }
+
+  test("trainCentroids: Lloyd rounds pull centroids onto the true clusters") {
+    // two tight, well-separated direction clusters
+    val pts = ((1L to 30L).map(i => (i, Array(1.0, 0.02 * (i % 5), 0.0))) ++
+      (31L to 60L).map(i => (i, Array(0.0, 0.02 * (i % 5), 1.0))))
+      .toDF("vec_id", "v")
+    val init = Array(Array(0.9, 0.1, 0.1), Array(0.1, 0.1, 0.9))
+    val trained = Similarity.trainCentroids(pts, "v", init, iters = 3)
+    assert(trained(0)(0) > 0.95 && trained(0)(2) < 0.1) // cluster-1 direction
+    assert(trained(1)(2) > 0.95 && trained(1)(0) < 0.1) // cluster-2 direction
+  }
+
   test("lshTopK returns only true-cosine values for pairs it finds") {
     val out = Similarity.lshTopK(vecs, "vec_id", "embedding", bits = 2, k = 3)
     val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)

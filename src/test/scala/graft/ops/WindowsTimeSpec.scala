@@ -28,6 +28,16 @@ class WindowsTimeSpec extends SparkSpec {
     assert(out.select($"v2").as[Double].collect().toSeq == Seq(9.0, 1.0))
   }
 
+  test("fillFrom rounding follows the explicit engine parity (W2 + Numeric policy)") {
+    val df = Seq((Option.empty[Double], 2.5), (None, 3.5), (None, -2.5)).toDF("v", "fill")
+    def got(p: Numeric.Parity): Seq[Double] =
+      Windows.fillFrom(df, "v", "fill", "v2", roundTo = Some(0), parity = p)
+        .select($"v2").as[Double].collect().toSeq
+    assert(got(Numeric.RParity) == Seq(2.0, 4.0, -2.0))      // banker's (R round)
+    assert(got(Numeric.OracleParity) == Seq(3.0, 4.0, -3.0)) // half-away (DuckDB)
+    assert(got(Numeric.SparkParity) == Seq(3.0, 4.0, -3.0))  // HALF_UP on 2.5 exact
+  }
+
   test("composeTimestamp handles fractional minutes (D1)") {
     val df = Seq((d("2020-01-01"), 13, 59.5)).toDF("dt", "h", "m")
     val out = df.select(TimeOps.composeTimestamp($"dt", $"h", $"m").as("t"))
