@@ -102,4 +102,54 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     graft.expressions.MinHashExprs.fingerprint(tokens(text))
+
+  // ---- PII redaction (training-data hygiene) ----
+  // Patterns are deliberately conservative and dialect-portable: they
+  // mean the same thing in Java regex (Spark) and RE2 (DuckDB/Go), so
+  // scrubbed output is oracle-comparable. regexp_replace is codegen'd —
+  // the scrub is a pure projection, no UDF, no shuffle.
+
+  /** `user@host.tld` — no quoting/comment RFC exotica. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 with word boundaries. */
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** NANP-shaped `[+]ddd-ddd-dddd` with `-`/space separators. */
+  val phoneRe = "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}"
+
+  /** Replace emails, IPv4s, then phone-shaped runs with typed
+    * placeholders. Order matters: emails contain dots and digits, IPv4s
+    * contain digit runs — scrub the most specific shape first.
+    */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Occurrence count of one PII pattern (audit metric). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Benchmark-contamination scan (decontamination for eval sets): a
+    * document is contaminated when it shares at least `minHits` distinct
+    * character `n`-grams with the benchmark corpus. Scale shape: the
+    * benchmark's distinct shingle set is the small side → broadcast;
+    * the corpus explodes to (id, shingle) pairs that die at the join
+    * unless they hit — only matching pairs reach the per-doc count, and
+    * document text itself never shuffles.
+    */
+  def contamination(docs: org.apache.spark.sql.DataFrame,
+                    benchmark: org.apache.spark.sql.DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int, minHits: Long): org.apache.spark.sql.DataFrame = {
+    val docSh = docs.select(col(idCol),
+      explode(charNgrams(col(textCol), n)).as("__g"))
+    val benchSh = benchmark
+      .select(explode(charNgrams(col(textCol), n)).as("__g")).distinct()
+    docSh.join(broadcast(benchSh), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__g")).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
 }

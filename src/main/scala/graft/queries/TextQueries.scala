@@ -187,6 +187,74 @@ object TextQueries {
       },
       None),
 
+    // ---- PII redaction. The synthetic corpus carries no PII, so both
+    //      sides seed identical deterministic PII (same concat, same
+    //      modular gates) and the gate compares the SCRUBBED text plus
+    //      per-pattern counts — regex semantics must agree between Java
+    //      regex and RE2 for the hash to match ----
+    Q("q39_pii_scrub",
+      (s, dir) => {
+        val seeded = Tables.load(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0,
+              concat(lit(" mail user"), col("doc_id"), lit("@test.org")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" from 192.168."), col("doc_id") % 200, lit(".9")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" call 555-014-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))).as("seeded"))
+        seeded.select(col("doc_id"),
+          TA.piiScrub(col("seeded")).as("scrubbed"),
+          TA.piiCount(col("seeded"), TA.emailRe).as("n_email"),
+          TA.piiCount(col("seeded"), TA.ipv4Re).as("n_ip"),
+          TA.piiCount(col("seeded"), TA.phoneRe).as("n_phone"))
+      },
+      Some("""WITH seeded AS (
+                SELECT doc_id, text
+                  || CASE WHEN doc_id % 2 = 0
+                       THEN ' mail user' || doc_id || '@test.org' ELSE '' END
+                  || CASE WHEN doc_id % 3 = 0
+                       THEN ' from 192.168.' || (doc_id % 200) || '.9' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                       THEN ' call 555-014-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS seeded
+                FROM documents)
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(seeded,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS scrubbed,
+                CAST(len(regexp_extract_all(seeded,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(seeded,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+                CAST(len(regexp_extract_all(seeded,
+                  '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS BIGINT) AS n_phone
+              FROM seeded""")),
+
+    // ---- benchmark contamination: docs sharing ≥ minHits distinct
+    //      char 12-grams with the "benchmark" slice (doc_id < 20) ----
+    Q("q48_contamination",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        TA.contamination(d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20),
+          "text", "doc_id", n = 12, minHits = 30L)
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id,
+                  list_distinct([substr(text, CAST(i AS INTEGER), 12)
+                    FOR i IN generate_series(1, greatest(length(text) - 11, 0))]) AS s
+                FROM documents),
+              bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
+              docg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20)
+              SELECT d.doc_id, count(DISTINCT d.g) AS n_hits
+              FROM docg d JOIN bench b ON d.g = b.g
+              GROUP BY d.doc_id
+              HAVING count(DISTINCT d.g) >= 30""")),
+
     // ---- multimodal: opaque binary column + typed metadata ----
     Q("q38_multimodal_binary",
       (s, dir) => {

@@ -101,6 +101,37 @@ class DedupTextSpec extends SparkSpec {
     assert(r.getLong(0) != r.getLong(1))
   }
 
+  test("piiScrub redacts emails, IPv4s, and phone runs with typed placeholders") {
+    val df = Seq(
+      ("a", "reach me at jo.doe+x@mail.example.org today"),
+      ("b", "server 10.0.255.7 and backup 192.168.1.1 up"),
+      ("c", "call +1 555-014-0042 or 555 014 9999 now"),
+      ("d", "clean text, no pii at all")).toDF("k", "t")
+    val out = df.select($"k", TextAnalysis.piiScrub($"t").as("s"),
+      TextAnalysis.piiCount($"t", TextAnalysis.emailRe).as("ne"),
+      TextAnalysis.piiCount($"t", TextAnalysis.ipv4Re).as("ni"),
+      TextAnalysis.piiCount($"t", TextAnalysis.phoneRe).as("np"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a")._1 == "reach me at <EMAIL> today" && out("a")._2 == 1)
+    assert(out("b")._1 == "server <IP> and backup <IP> up" && out("b")._3 == 2)
+    assert(out("c")._1 == "call +1 <PHONE> or <PHONE> now" && out("c")._4 == 2)
+    assert(out("d")._1 == "clean text, no pii at all" &&
+      out("d")._2 == 0 && out("d")._3 == 0 && out("d")._4 == 0)
+  }
+
+  test("contamination counts distinct shared shingles vs the benchmark only") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix the quick brown fox jumps over something"), // shares a long run
+      (2L, "totally unrelated words about query engines only")) // shares nothing
+      .toDF("doc_id", "text")
+    val hits = TextAnalysis.contamination(corpus, bench, "text", "doc_id",
+      n = 12, minHits = 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits(1L) >= 3L)
+    assert(!hits.contains(2L))
+  }
+
   test("native fingerprint is bit-identical to the composable aggregate fold") {
     val texts = Seq("the quick brown fox", "a", "", "héllo wörld ünïcode",
       "x y z " * 40, "punct!! and?? digits123")
