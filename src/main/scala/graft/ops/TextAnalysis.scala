@@ -147,9 +147,13 @@ object TextAnalysis {
       explode(charNgrams(col(textCol), n)).as("__g"))
     val benchSh = benchmark
       .select(explode(charNgrams(col(textCol), n)).as("__g")).distinct()
+    // charNgrams emits DISTINCT shingles per doc and the broadcast set
+    // is distinct, so each (doc, shingle) hit occurs exactly once —
+    // plain count == count(distinct) without the extra two-phase
+    // distinct Exchange a countDistinct would plan
     docSh.join(broadcast(benchSh), Seq("__g"))
       .groupBy(col(idCol))
-      .agg(countDistinct(col("__g")).as("n_hits"))
+      .agg(count(lit(1)).as("n_hits"))
       .where(col("n_hits") >= minHits)
   }
 }
