@@ -123,17 +123,36 @@ object Dedup {
     val bandMin = banded.groupBy(col("__band")).agg(min(col(idCol)).as("__bmin"))
     // the k smallest distinct lower-id candidates per doc (≤ bands of
     // them exist; collect_set is bounded by `bands`)
-    val repCand = banded.join(bandMin, Seq("__band"))
+    // narrow (id, ≤k longs) frame, referenced by both verify tiers —
+    // materialize so the shingle→minhash→band pipeline runs ONCE
+    val cands = banded.join(bandMin, Seq("__band"))
       .where(col("__bmin") < col(idCol))
       .groupBy(col(idCol))
       .agg(slice(array_sort(collect_set(col("__bmin"))), 1, verifyCandidates)
         .as("__cands"))
-      .select(col(idCol), explode(col("__cands")).as("__rep"))
-    val verified = repCand
+      .localCheckpoint(false) // lazy: truncates the plan, materializes
+                              // inside the next job (no blocking barrier)
+    def verify(pairs: DataFrame): DataFrame = pairs
       .join(sh.select(col(idCol), col("__sh")), Seq(idCol))
       .join(sh.select(col(idCol).as("__rep"), col("__sh").as("__sh_r")), Seq("__rep"))
       .select(col(idCol), col("__rep"),
         TextAnalysis.jaccard(col("__sh"), col("__sh_r")).as("jaccard"))
+    // tiered verification: tier 1 checks ONLY the smallest candidate —
+    // one pair per doc, exactly the round-1 volume — and on the typical
+    // corpus almost every doc stops there. Only docs whose smallest
+    // candidate FAILED (usually a banding stranger) escalate to
+    // candidates 2..k, so the extra robustness joins run over a frame
+    // that is tiny at any scale. The outcome is identical to verifying
+    // all k upfront: the smallest passing candidate wins either way.
+    val v1 = verify(cands.select(col(idCol), col("__cands").getItem(0).as("__rep")))
+      .localCheckpoint(false) // referenced twice (pass + escalation filter)
+    val failed1 = v1.where(col("jaccard") < threshold).select(col(idCol))
+    val tier2 = cands.where(size(col("__cands")) > 1)
+      .join(failed1, Seq(idCol), "leftsemi")
+      .select(col(idCol),
+        explode(slice(col("__cands"), 2, verifyCandidates - 1)).as("__rep"))
+    val verified =
+      if (verifyCandidates <= 1) v1 else v1.unionByName(verify(tier2))
     // per doc: smallest PASSING edge wins (min over a struct ignores
     // NULLs, so failing candidates only surface via __bestj)
     val best = verified.groupBy(col(idCol)).agg(
@@ -170,14 +189,14 @@ object Dedup {
     * flat.
     */
   private def propagate(direct: DataFrame, idCol: String, rounds: Int): DataFrame = {
-    var cur = direct.localCheckpoint()
+    var cur = direct.localCheckpoint(false)
     var round = 1
     var moved = true
     // pointer doubling halves chain depth per round: 64 rounds covers
     // chains of ~2^64 — a safety bound, never the stop condition
     val maxRounds = if (rounds == -1) 64 else rounds - 1
     while (moved && round <= maxRounds) {
-      val next = propagateStep(cur, idCol).localCheckpoint()
+      val next = propagateStep(cur, idCol).localCheckpoint(false)
       moved =
         if (rounds == -1) !next.where(col("__moved")).isEmpty
         else true
