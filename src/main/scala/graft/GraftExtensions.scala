@@ -13,6 +13,8 @@ import graft.expressions._
   *   lsh_band_keys(signature, bands, rowsPerBand)
   *   cosine_sim(a, b)
   *   lsh_sign_bits(vec, bits)
+  *   char_ngrams(text, n)
+  *   fingerprint(tokens)
   *
   * Activate with
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -43,6 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => LshSignBitsExpr(args(0), lit(args(1))))
     g.registerFunction(classic, "char_ngrams",
       args => CharNgramsExpr(args(0), lit(args(1))))
+    g.registerFunction(classic, "fingerprint",
+      args => FingerprintExpr(args(0)))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -66,5 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams"),
       (args: Seq[Expression]) => CharNgramsExpr(args(0), lit(args(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("fingerprint"),
+      new ExpressionInfo(classOf[FingerprintExpr].getName, "fingerprint"),
+      (args: Seq[Expression]) => FingerprintExpr(args(0))))
   }
 }

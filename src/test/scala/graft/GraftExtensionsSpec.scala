@@ -16,13 +16,17 @@ class GraftExtensionsSpec extends SparkSpec {
         |  size(lsh_band_keys(minhash_sig(array('abc','bcd','cde'), 16), 4, 4)) AS bands,
         |  round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS cos_same,
         |  round(cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)), 6) AS cos_orth,
-        |  lsh_sign_bits(array(1.0d, 0.0d), 4) IS NOT NULL AS bits_ok
+        |  lsh_sign_bits(array(1.0d, 0.0d), 4) IS NOT NULL AS bits_ok,
+        |  size(char_ngrams('abcd', 3)) AS ngrams,
+        |  fingerprint(array('a','b')) <> fingerprint(array('b','a')) AS fp_ordered
         |""".stripMargin).head()
     assert(r.getInt(0) == 16)
     assert(r.getInt(1) == 4)
     assert(r.getDouble(2) == 1.0)
     assert(r.getDouble(3) == 0.0)
     assert(r.getBoolean(4))
+    assert(r.getInt(5) == 2) // "abc", "bcd"
+    assert(r.getBoolean(6))
     // determinism through the SQL path
     val s = spark.sql(
       "SELECT minhash_sig(array('abc','bcd'), 8) = minhash_sig(array('abc','bcd'), 8)")
