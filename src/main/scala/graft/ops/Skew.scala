@@ -27,4 +27,25 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(outerAggs.head, outerAggs.tail: _*)
   }
+
+  /** Salted skew JOIN: the skewed fact side gets a deterministic salt
+    * in [0, salts); the dimension side replicates `salts`× so every
+    * (key, salt) bucket finds its match — one hot key spreads over
+    * `salts` reducers at the cost of a `salts`× blow-up of the SMALL
+    * side only. AQE's runtime skew split is preferred when sizes are
+    * discoverable; this is the explicit form for KNOWN pathological
+    * keys (a null/default sensor id, a boilerplate document hash) and
+    * for sort-merge joins AQE declines to split. Equi-keys; inner or
+    * left ('big' side preserved) semantics.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -76,4 +76,39 @@ class PropertySpec extends SparkSpec {
       Seq(sum($"s").as("s"), sum($"n").as("n")))
     assert(rows(plain) == rows(salted))
   }
+
+  test("saltedJoin equals plain join (inner and left, hot-key fact side)") {
+    val fact = (1 to 5000).map(i =>
+      (if (i % 50 == 0) i % 7 else 0, i.toDouble)) // key 0 is ~98% of rows
+      .toDF("k", "v")
+    val dim = (0 to 5).map(k => (k, s"dim_$k")).toDF("k", "name") // key 6 unmatched
+    for (jt <- Seq("inner", "left")) {
+      val plain = fact.join(dim, Seq("k"), jt)
+      val salted = Skew.saltedJoin(fact, dim, Seq("k"), salts = 8, joinType = jt)
+      assert(rows(plain) == rows(salted), s"joinType=$jt")
+    }
+  }
+
+  test("minhashDedup invariants on a random templated corpus: one decision " +
+    "per doc, reps never increase, fixpoint mapping is idempotent") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector.fill(40)((1 to 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    // templated corpus: a few base templates + mutated copies (the
+    // near-dup-heavy shape real crawls have)
+    val templates = Vector.fill(6)(Vector.fill(30)(vocab(rnd.nextInt(vocab.size))))
+    val docs = (0 until 120).map { i =>
+      val t = templates(i % templates.size)
+      val mutated = t.map(w => if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(vocab.size)) else w)
+      (i.toLong, mutated.mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Dedup.minhashDedup(docs, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, threshold = 0.5, propagationRounds = -1)
+      .select($"doc_id", $"rep_id", $"is_dup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 120 && out.map(_._1).distinct.length == 120) // one per doc
+    val rep = out.map(t => t._1 -> t._2).toMap
+    assert(out.forall { case (id, r, _) => r <= id })          // reps never increase
+    assert(out.forall { case (_, r, _) => rep(r) == r })       // idempotent at fixpoint
+    assert(out.forall { case (id, r, dup) => dup || r == id }) // non-dups keep themselves
+  }
 }
