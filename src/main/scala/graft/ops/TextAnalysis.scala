@@ -131,6 +131,40 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
+  /** Overlapping character-window chunking for training-data prep:
+    * windows of `size` chars starting every `stride` chars (stride <
+    * size ⇒ overlap; the trailing window may be shorter). Pure array
+    * expression — each row maps to its chunk list with no UDF and no
+    * shuffle; explode downstream to get one row per chunk.
+    */
+  def chunks(text: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    transform(sequence(lit(1), greatest(length(text), lit(1)), lit(stride)),
+      s => text.substr(s, lit(size)))
+  }
+
+  /** Deterministic, engine-portable sharding bucket in [0, 100): parsed
+    * from the first 8 hex chars of md5(text ‖ salt). The standard
+    * train/val splitter — unlike xxhash64 the hash family is identical
+    * in every engine, so splits survive an engine migration; unlike
+    * rand() it is stable under re-runs and repartitioning. Salt gives
+    * independent splits over the same corpus.
+    */
+  def hashBucket(text: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(text, lit(salt))), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** Within-document n-gram repetition: 1 − distinct/total n-gram
+    * positions — the C4/Gopher-style boilerplate signal (near 0 for
+    * natural prose, toward 1 for templated/repeated text); 0.0 for docs
+    * shorter than n.
+    */
+  def repetition(text: Column, n: Int): Column = {
+    val positions = length(text) - lit(n - 1)
+    when(positions <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(charNgrams(text, n)).cast("double") / positions.cast("double"))
+  }
+
   /** Benchmark-contamination scan (decontamination for eval sets): a
     * document is contaminated when it shares at least `minHits` distinct
     * character `n`-grams with the benchmark corpus. Scale shape: the

@@ -255,6 +255,60 @@ object TextQueries {
               GROUP BY d.doc_id
               HAVING count(DISTINCT d.g) >= 30""")),
 
+    // ---- overlapping chunk windows (training-sample prep) ----
+    Q("q49_chunking",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TA.chunks(col("text"), size = 256, stride = 192))
+              .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("chunk_idx"),
+            length(col("chunk")).as("n_chars"), md5(col("chunk")).as("chunk_md5"))
+      },
+      Some("""WITH c AS (
+                SELECT doc_id,
+                  [substr(text, CAST(s AS INTEGER), 256)
+                    FOR s IN generate_series(1, greatest(length(text), 1), 192)] AS chunks
+                FROM documents),
+              u AS (
+                SELECT doc_id,
+                  CAST(generate_subscripts(chunks, 1) - 1 AS INTEGER) AS chunk_idx,
+                  unnest(chunks) AS chunk
+                FROM c)
+              SELECT doc_id, chunk_idx, CAST(length(chunk) AS INTEGER) AS n_chars,
+                     md5(chunk) AS chunk_md5
+              FROM u""")),
+
+    // ---- deterministic engine-portable train/val split (md5 bucket,
+    //      stable under re-runs, resharding, and engine migration) ----
+    Q("q53_train_split",
+      (s, dir) => {
+        val b = TA.hashBucket(col("text"), "split1")
+        Tables.load(s, dir, "documents").select(col("doc_id"), b.as("bucket"),
+          when(b < 90, "train").otherwise("val").as("split"))
+      },
+      Some("""SELECT doc_id,
+                CAST(CAST(('0x' || substr(md5(text || 'split1'), 1, 8)) AS UBIGINT)
+                     % 100 AS BIGINT) AS bucket,
+                CASE WHEN CAST(('0x' || substr(md5(text || 'split1'), 1, 8)) AS UBIGINT)
+                          % 100 < 90
+                     THEN 'train' ELSE 'val' END AS split
+              FROM documents""")),
+
+    // ---- within-doc n-gram repetition (C4/Gopher boilerplate signal) ----
+    Q("q54_repetition",
+      (s, dir) => {
+        Tables.load(s, dir, "documents").select(col("doc_id"),
+          round(TA.repetition(col("text"), 8), 6).as("rep_frac"))
+      },
+      Some("""SELECT doc_id,
+                round(CASE WHEN length(text) - 7 <= 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(
+                         [substr(text, CAST(i AS INTEGER), 8)
+                          FOR i IN generate_series(1, greatest(length(text) - 7, 0))]))
+                       AS DOUBLE) / (length(text) - 7) END, 6) AS rep_frac
+              FROM documents""")),
+
     // ---- multimodal: opaque binary column + typed metadata ----
     Q("q38_multimodal_binary",
       (s, dir) => {

@@ -132,6 +132,39 @@ class DedupTextSpec extends SparkSpec {
     assert(!hits.contains(2L))
   }
 
+  test("chunks: stride windows with trailing partial; empty text gives one empty chunk") {
+    val df = Seq(("abcdefghij", "")).toDF("t", "e")
+    val r = df.select(TextAnalysis.chunks($"t", 4, 3), TextAnalysis.chunks($"e", 4, 3)).head()
+    assert(r.getSeq[String](0) == Seq("abcd", "defg", "ghij", "j"))
+    assert(r.getSeq[String](1) == Seq(""))
+  }
+
+  test("hashBucket: deterministic, in [0,100), salt decorrelates splits") {
+    val df = (1 to 300).map(i => s"document number $i").toDF("t")
+    val b = df.select(TextAnalysis.hashBucket($"t").as("b1"),
+      TextAnalysis.hashBucket($"t", "other").as("b2")).collect()
+    assert(b.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 100))
+    val again = df.select(TextAnalysis.hashBucket($"t").as("b1")).collect().map(_.getLong(0))
+    assert(b.map(_.getLong(0)).toSeq == again.toSeq) // stable across evaluations
+    assert(b.count(r => r.getLong(0) != r.getLong(1)) > 250) // salts differ
+    // roughly uniform: a 90/10 split lands near 90%
+    val trainFrac = b.count(_.getLong(0) < 90).toDouble / b.length
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"trainFrac=$trainFrac")
+  }
+
+  test("repetition: templated text scores far above varied text; short text is 0") {
+    val df = Seq((
+      "spark spark spark spark spark spark spark spark",
+      "the quick brown fox jumps over a lazy dog quietly",
+      "ab")).toDF("rep", "varied", "short")
+    val r = df.select(TextAnalysis.repetition($"rep", 8),
+      TextAnalysis.repetition($"varied", 8),
+      TextAnalysis.repetition($"short", 8)).head()
+    assert(r.getDouble(0) > 0.7, s"rep=${r.getDouble(0)}")
+    assert(r.getDouble(1) < 0.2, s"varied=${r.getDouble(1)}")
+    assert(r.getDouble(2) == 0.0)
+  }
+
   test("native fingerprint is bit-identical to the composable aggregate fold") {
     val texts = Seq("the quick brown fox", "a", "", "héllo wörld ünïcode",
       "x y z " * 40, "punct!! and?? digits123")
