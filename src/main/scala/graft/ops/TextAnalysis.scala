@@ -165,6 +165,15 @@ object TextAnalysis {
       lit(1.0) - size(charNgrams(text, n)).cast("double") / positions.cast("double"))
   }
 
+  /** Deflate compression ratio (compressed/raw bytes) — the
+    * long-range complement to [[repetition]]: templated or repeated
+    * text compresses far below natural prose. Native codegen expression
+    * (graft.expressions.CompressRatioExpr); engine-internal codec ⇒ no
+    * DuckDB oracle (rows-only query).
+    */
+  def compressionRatio(text: Column): Column =
+    graft.expressions.CompressExprs.compressionRatio(text)
+
   /** Benchmark-contamination scan (decontamination for eval sets): a
     * document is contaminated when it shares at least `minHits` distinct
     * character `n`-grams with the benchmark corpus. Scale shape: the

@@ -309,6 +309,15 @@ object TextQueries {
                        AS DOUBLE) / (length(text) - 7) END, 6) AS rep_frac
               FROM documents""")),
 
+    // ---- deflate compression ratio (engine-internal codec → rows-only) ----
+    Q("q55_compression_ratio",
+      (s, dir) => {
+        Tables.load(s, dir, "documents").select(col("doc_id"),
+          round(TA.compressionRatio(col("text")), 6).as("compress_ratio"),
+          (TA.compressionRatio(col("text")) < 0.35).as("boilerplate_flag"))
+      },
+      None),
+
     // ---- multimodal: opaque binary column + typed metadata ----
     Q("q38_multimodal_binary",
       (s, dir) => {

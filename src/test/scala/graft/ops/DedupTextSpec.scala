@@ -165,6 +165,23 @@ class DedupTextSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0)
   }
 
+  test("compressionRatio: repeated text compresses far below varied prose; bounds sane") {
+    val df = Seq((
+      "spark " * 200,
+      "The committee reviewed seventeen distinct proposals covering zoning, " +
+        "transit funding, watershed easements, and municipal broadband on Tuesday.",
+      "")).toDF("rep", "varied", "empty")
+    val r = df.select(TextAnalysis.compressionRatio($"rep"),
+      TextAnalysis.compressionRatio($"varied"),
+      TextAnalysis.compressionRatio($"empty")).head()
+    assert(r.getDouble(0) < 0.1, s"rep=${r.getDouble(0)}")
+    assert(r.getDouble(1) > 0.5, s"varied=${r.getDouble(1)}")
+    assert(r.getDouble(0) > 0.0 && r.getDouble(2) == 1.0)
+    // deterministic across evaluations
+    val again = df.select(TextAnalysis.compressionRatio($"rep")).head().getDouble(0)
+    assert(again == r.getDouble(0))
+  }
+
   test("native fingerprint is bit-identical to the composable aggregate fold") {
     val texts = Seq("the quick brown fox", "a", "", "héllo wörld ünïcode",
       "x y z " * 40, "punct!! and?? digits123")
