@@ -309,6 +309,50 @@ object TextQueries {
                        AS DOUBLE) / (length(text) - 7) END, 6) AS rep_frac
               FROM documents""")),
 
+    // ---- top-k characteristic terms per doc: tf-idf shape with a
+    //      RATIONAL idf (tf·(N+1)/(df+1), no log) so the score is exact
+    //      integer arithmetic until one final IEEE division — log()'s
+    //      last-ulp behavior differs between libm builds and would
+    //      poison a cross-engine hash ----
+    Q("q56_tfidf_topterms",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val toks = d.select(col("doc_id"),
+          explode(TA.tokens(lower(col("text")))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n"))
+        val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            (col("tf").cast("double") * (col("n") + 1) / (col("df") + 1)).as("score"))
+        scored
+          .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+          .where(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"),
+            round(col("score"), 6).as("score"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+              dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents),
+              scored AS (
+                SELECT tf.doc_id, tf.term,
+                       CAST(tf.tf AS DOUBLE) * (n.n + 1) / (dfreq.df + 1) AS score
+                FROM tf JOIN dfreq USING (term), n),
+              ranked AS (
+                SELECT doc_id, term, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term) AS rank
+                FROM scored)
+              SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+                     round(score, 6) AS score
+              FROM ranked WHERE rank <= 3""")),
+
     // ---- deflate compression ratio (engine-internal codec → rows-only) ----
     Q("q55_compression_ratio",
       (s, dir) => {
