@@ -96,6 +96,50 @@ object Streams {
     df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** J8's streaming form: enrich the stream against a STATIC dimension
+    * with a broadcast hash join — stateless, no watermark; the dim
+    * rides to executors with each micro-batch plan, so the stream never
+    * shuffles for the join (at 100 TB/day the stream side is the only
+    * unbounded thing; config dims stay broadcast-scale).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  final case class Event(user: String, ts: java.sql.Timestamp)
+  final case class SessionizedEvent(user: String, ts: java.sql.Timestamp,
+                                    sessionId: Long)
+  final case class SessionState(lastMs: Long, sessionId: Long)
+
+  /** Streaming sessionization — the batch gaps-and-islands (q27) as
+    * keyed state: a new session opens when the gap to the user's
+    * previous event exceeds `gapSec`; ids are per-user monotone
+    * counters that survive micro-batch boundaries (one small state
+    * record per user). Events are ordered within a micro-batch; with
+    * out-of-order arrival across batches pair this with an upstream
+    * watermark + dedup.
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long): Dataset[SessionizedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState[SessionState, SessionizedEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            val t = e.ts.getTime
+            val sid =
+              if (st.lastMs != Long.MinValue && t - st.lastMs <= gapSec * 1000)
+                st.sessionId
+              else st.sessionId + 1
+            st = SessionState(t, sid)
+            SessionizedEvent(user, e.ts, sid)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Drain everything currently available (the nightly-batch equivalent)
     * into a date-partitioned parquet sink, then stop — idempotent via
     * the checkpoint.

@@ -65,6 +65,53 @@ class StreamsSpec extends SparkSpec {
     assert(docs == Seq("a", "b", "c")) // one "a" total across batches
   }
 
+  test("stream-static enrich: broadcast dim join, left rows preserved") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val dim = Seq(("s1", "I-94"), ("s2", "TH-62")).toDF("sensor", "route")
+    val enriched = Streams.enrich(input.toDS().toDF("sensor", "volume"),
+      dim, Seq("sensor"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    input.addData(("s1", 10), ("s9", 3)) // s9 has no dim row
+    q.processAllAvailable()
+    val out = spark.sql("SELECT sensor, volume, route FROM enriched")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    q.stop()
+    assert(out == Set(("s1", 10, "I-94"), ("s9", 3, null)))
+  }
+
+  test("streaming sessionization: ids carry across micro-batches, gaps open sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val sess = Streams.sessionize(input.toDS(), gapSec = 60)
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      Streams.Event("u1", ts("2020-01-01 00:00:00")),
+      Streams.Event("u1", ts("2020-01-01 00:00:30")),
+      Streams.Event("u2", ts("2020-01-01 00:00:00")))
+    q.processAllAvailable()
+    // batch 2: u1 within gap of last event → SAME session (state carried);
+    // then a 10-min silence → next session
+    input.addData(
+      Streams.Event("u1", ts("2020-01-01 00:01:15")),
+      Streams.Event("u1", ts("2020-01-01 00:11:00")))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT user, ts, sessionId FROM sess")
+      .as[Streams.SessionizedEvent].collect()
+      .map(e => (e.user, e.ts.toString, e.sessionId)).toSet
+    q.stop()
+    assert(out == Set(
+      ("u1", "2020-01-01 00:00:00.0", 1L),
+      ("u1", "2020-01-01 00:00:30.0", 1L),
+      ("u2", "2020-01-01 00:00:00.0", 1L),
+      ("u1", "2020-01-01 00:01:15.0", 1L), // cross-batch continuation
+      ("u1", "2020-01-01 00:11:00.0", 2L)))
+  }
+
   test("flatMapGroupsWithState gap detection across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
