@@ -65,4 +65,44 @@ object Joins {
   /** J12 — semi-join filter: keep fact rows whose key is in `keys`. */
   def semiFilter(fact: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
     fact.join(keys, on, "left_semi")
+
+  /** AS-OF join — the operator Spark lacks natively: for each left row,
+    * attach the single most recent right row with rightTs ≤ leftTs on
+    * the same keys (LEFT semantics: unmatched left rows keep NULLs).
+    *
+    * Spark-first composition instead of a custom physical operator: tag
+    * and UNION the two sides, then one window per key ordered by
+    * (ts, side) carries the latest right payload forward
+    * (`last(ignoreNulls)` over an unbounded-preceding frame; right rows
+    * sort before left rows at equal ts, so ties match). ONE shuffle on
+    * the join keys, each row carried once — no per-left-row range scan,
+    * no interval explode, and both inputs can be fact-scale (unlike the
+    * broadcast interval join J10, whose dim side must be bounded).
+    *
+    * `payload` names the right columns to surface (emitted as
+    * `asof_<name>`). If the right side has duplicate (keys, rightTs)
+    * rows the survivor among them is arbitrary — pre-dedup the right
+    * side when that matters (DuckDB/pandas asof implementations share
+    * this caveat).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).cast("timestamp").as("__ts"),
+        struct(payload.map(col): _*).as("__p"), lit(0).as("__side")): _*)
+    val l = left
+      .withColumn("__ts", col(leftTs).cast("timestamp"))
+      .withColumn("__p", lit(null).cast(r.schema("__p").dataType))
+      .withColumn("__side", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"__last.$p").as(s"$prefix$p")): _*)
+  }
 }

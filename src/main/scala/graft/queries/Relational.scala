@@ -774,6 +774,28 @@ object Relational {
                 CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
               FROM orders WHERE o_orderkey % 200 = 0""")),
 
+    // ---- AS-OF join: each purchase matched to the user's latest view
+    //      at-or-before it (Joins.asofJoin — union + keyed window, one
+    //      shuffle; DuckDB's native ASOF JOIN is the oracle) ----
+    Q("q57_asof_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = e.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("view_id"), col("ts").as("view_ts"))
+        graft.ops.Joins.asofJoin(purchases, views, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", payload = Seq("view_id", "view_ts"))
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts,
+                     v.event_id AS asof_view_id, v.ts AS asof_view_ts
+              FROM (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                              WHERE event_type = 'view') v
+                ON p.user_id = v.user_id AND p.ts >= v.ts""")),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,

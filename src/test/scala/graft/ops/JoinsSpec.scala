@@ -45,6 +45,28 @@ class JoinsSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("asofJoin: latest right row at-or-before each left ts, per key; " +
+    "unmatched left keeps NULLs; ties match") {
+    val left = Seq(
+      ("u1", ts("2020-01-01 10:00:00"), "p1"),
+      ("u1", ts("2020-01-01 12:00:00"), "p2"),
+      ("u1", ts("2020-01-01 09:00:00"), "p0"), // before any right row
+      ("u2", ts("2020-01-01 10:30:00"), "p3")) // tie with right ts
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      ("u1", ts("2020-01-01 09:30:00"), 100L),
+      ("u1", ts("2020-01-01 11:59:00"), 101L),
+      ("u2", ts("2020-01-01 10:30:00"), 200L))
+      .toDF("k", "t", "rid")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("rid"))
+      .select($"tag", $"asof_rid").collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out("p0").isEmpty)        // nothing at-or-before
+    assert(out("p1").contains(100L)) // 09:30 is latest ≤ 10:00
+    assert(out("p2").contains(101L)) // 11:59 beats 09:30
+    assert(out("p3").contains(200L)) // equal ts matches
+  }
+
   test("newKeys = anti join (J5); semiFilter = semi join (J12)") {
     val newDf = Seq(("a", 1), ("b", 2)).toDF("k", "v")
     val oldDf = Seq(("a", 9)).toDF("k", "v")
