@@ -624,6 +624,23 @@ object Relational {
                 round(quantile_cont(value, 0.99), 6) AS p99
               FROM events GROUP BY event_type""")),
 
+    // ---- q61's scale path: bounded-state quantile SKETCH. Exact
+    //      percentile holds every value per group in memory; at 100 TB
+    //      approx_percentile keeps a fixed-size summary per group with
+    //      bounded relative error (accuracy 10000 ⇒ ~0.01%). Sketch
+    //      internals are engine-specific → rows-only, with the spec
+    //      pinning sketch-vs-exact agreement ----
+    Q("q58_approx_quantiles",
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("approx_percentile(value, 0.25, 10000)"), 6).as("p25"),
+            round(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50"),
+            round(expr("approx_percentile(value, 0.99, 10000)"), 6).as("p99"))
+      },
+      None),
+
     // ---- string-function suite over part names ----
     Q("q62_string_funcs",
       (s, dir) => {

@@ -61,4 +61,14 @@ class AggsSpec extends SparkSpec {
     assert(Aggs.watermark(df, "dt").contains(d("2020-01-07")))
     assert(Aggs.watermark(df.where(lit(false)), "dt").isEmpty)
   }
+
+  test("approx_percentile sketch tracks the exact percentile (q58's scale path)") {
+    val df = (1 to 20000).map(i => ("g", (i % 1000).toDouble)).toDF("g", "v")
+    val r = df.groupBy($"g").agg(
+      expr("percentile(v, 0.5)").as("exact"),
+      expr("approx_percentile(v, 0.5, 10000)").as("approx")).head()
+    val (exact, approx) = (r.getDouble(1), r.getDouble(2))
+    assert(math.abs(approx - exact) <= 1.0 + exact * 0.01,
+      s"exact=$exact approx=$approx")
+  }
 }
