@@ -79,6 +79,51 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT set-similarity join via prefix filtering (the AllPairs/
+    * PPJoin family): all pairs with shingle-Jaccard ≥ `threshold` —
+    * the same answer as the quadratic all-pairs definition, found
+    * without the cross product. Order every doc's shingles by ascending
+    * global frequency (rarest first); a pair with Jaccard ≥ t must
+    * share a token inside each side's first |s|−⌈t·|s|⌉+1 tokens, so
+    * the candidate join fans out only on those rare prefix tokens. A
+    * length filter (t·|a| ≤ |b| ≤ |a|/t) prunes size-mismatched
+    * candidates before verification.
+    *
+    * Complements MinHash-LSH: exact recall (no banding misses) at the
+    * cost of a frequency pass; prefer it when the threshold is high
+    * (prefixes shrink as t grows). Shuffles carry (token, id) pairs and
+    * (id_a, id_b) candidates — never documents; docs with empty shingle
+    * sets (shorter than the shingle) emit no pairs by definition.
+    */
+  def similarityJoinPrefix(df: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int = 4, threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(idCol),
+      TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
+    val toks = sh.select(col(idCol), size(col("__sh")).as("__len"),
+      explode(col("__sh")).as("__tok"))
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
+    val prefix = toks.join(freq, Seq("__tok"))
+      .withColumn("__r", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("__freq").asc, col("__tok").asc)))
+      .where(col("__r") <= col("__len") - ceil(lit(threshold) * col("__len")) + 1)
+      .select(col("__tok"), col(idCol), col("__len"))
+    val candidates = prefix.select(col("__tok"), col(idCol).as("id_a"), col("__len").as("__la"))
+      .join(prefix.select(col("__tok"), col(idCol).as("id_b"), col("__len").as("__lb")),
+        Seq("__tok"))
+      .where(col("id_a") < col("id_b") &&
+        col("__lb") >= lit(threshold) * col("__la") &&
+        col("__la") >= lit(threshold) * col("__lb"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextAnalysis.jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** MinHash-LSH dedup DECISION — the 100 TB shape. All-pairs output
     * (minhashNearDups) is quadratic in cluster size and explodes on
     * templated corpora; what a training-data pipeline actually needs is

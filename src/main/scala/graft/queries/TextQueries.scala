@@ -353,6 +353,34 @@ object TextQueries {
                      round(score, 6) AS score
               FROM ranked WHERE rank <= 3""")),
 
+    // ---- EXACT similarity join via prefix filtering — same answer as
+    //      the quadratic definition (which IS the oracle, on a 300-doc
+    //      slice so the O(n²) oracle stays tractable; the Spark side
+    //      never builds the cross product at any n) ----
+    Q("q59_similarity_join",
+      (s, dir) => {
+        Dedup.similarityJoinPrefix(
+          Tables.load(s, dir, "documents").where(col("doc_id") < 300),
+          "text", "doc_id", shingleN = 4, threshold = 0.7)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+              sh AS (
+                SELECT doc_id,
+                  list_distinct([substr(text, CAST(i AS INTEGER), 4)
+                    FOR i IN generate_series(1, greatest(length(text) - 3, 0))]) AS s
+                FROM d),
+              pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+                  len(a.s) + len(b.s)
+                    - len(list_filter(a.s, x -> list_contains(b.s, x))) AS uni
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              SELECT id_a, id_b,
+                     round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+              FROM pairs
+              WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.7""")),
+
     // ---- deflate compression ratio (engine-internal codec → rows-only) ----
     Q("q55_compression_ratio",
       (s, dir) => {

@@ -47,6 +47,34 @@ class DedupTextSpec extends SparkSpec {
     assert(m(3L) == (3L, false)) // unrelated: kept
   }
 
+  test("similarityJoinPrefix is EXACT: equals the quadratic all-pairs answer " +
+    "on a mutated-template corpus") {
+    val rnd = new scala.util.Random(37)
+    val vocab = Vector.fill(30)((1 to 7).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val base = Vector.fill(25)(vocab(rnd.nextInt(vocab.size)))
+    val corpus = (0L until 40L).map { i =>
+      // 20 mutated copies of a template + 20 random docs
+      val words =
+        if (i < 20) base.map(w => if (rnd.nextInt(8) == 0) vocab(rnd.nextInt(vocab.size)) else w)
+        else Vector.fill(25)(vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = pairSet(Dedup.similarityJoinPrefix(corpus, "text", "doc_id",
+      shingleN = 4, threshold = 0.6))
+    // quadratic ground truth via the existing verified-jaccard path
+    val sh = corpus.select($"doc_id", TextAnalysis.charNgrams($"text", 4).as("sh"))
+    val brute = pairSet(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+      .crossJoin(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", TextAnalysis.jaccard($"sh_a", $"sh_b").as("jaccard"))
+      .where($"jaccard" >= 0.6))
+    assert(fast == brute, s"fast=${fast.size} brute=${brute.size}")
+    assert(brute.nonEmpty) // the corpus actually exercises the join
+  }
+
   test("simhash: identical texts get identical fingerprints; near-dups close") {
     val fp = Dedup.simhash(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
