@@ -359,16 +359,19 @@ object TextQueries {
     //      never builds the cross product at any n) ----
     Q("q59_similarity_join",
       (s, dir) => {
+        // 3-gram shingles at t=0.7: the corpus's near-dup tail clears
+        // the bar at every sf (4-gram jaccard tops out below 0.5 at
+        // sf0.1, which would make the query vacuous there)
         Dedup.similarityJoinPrefix(
           Tables.load(s, dir, "documents").where(col("doc_id") < 300),
-          "text", "doc_id", shingleN = 4, threshold = 0.7)
+          "text", "doc_id", shingleN = 3, threshold = 0.7)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       },
       Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
               sh AS (
                 SELECT doc_id,
-                  list_distinct([substr(text, CAST(i AS INTEGER), 4)
-                    FOR i IN generate_series(1, greatest(length(text) - 3, 0))]) AS s
+                  list_distinct([substr(text, CAST(i AS INTEGER), 3)
+                    FOR i IN generate_series(1, greatest(length(text) - 2, 0))]) AS s
                 FROM d),
               pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
