@@ -166,10 +166,10 @@ object Dedup {
         lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))
         .as("__band"))
     val bandMin = banded.groupBy(col("__band")).agg(min(col(idCol)).as("__bmin"))
-    // the k smallest distinct lower-id candidates per doc (≤ bands of
-    // them exist; collect_set is bounded by `bands`)
-    // narrow (id, ≤k longs) frame, referenced by both verify tiers —
-    // materialize so the shingle→minhash→band pipeline runs ONCE
+    // the k smallest distinct lower-id candidates per doc (collect_set
+    // bounded by `bands`); narrow (id, ≤k longs) frame referenced by
+    // both verify tiers — checkpointed so the shingle→minhash→band
+    // pipeline runs ONCE
     val cands = banded.join(bandMin, Seq("__band"))
       .where(col("__bmin") < col(idCol))
       .groupBy(col(idCol))
