@@ -39,4 +39,33 @@ object Windows {
     })
     df.withColumn(out, filled)
   }
+
+  /** Linear gap interpolation (the remaining member of the reference's
+    * imputation family): interior NULL runs interpolate linearly between
+    * the nearest non-NULL neighbors by ROW POSITION within the ordered
+    * partition (position-based, so timestamp ties can't divide by
+    * zero); leading/trailing NULLs stay NULL. Two keyed windows
+    * (`last`/`first` ignoreNulls over unbounded frames) — one shuffle
+    * on the partition keys, no self-join, no per-gap iteration.
+    *
+    * `orderCols` must order rows deterministically within each key
+    * (add a tiebreaker column when the primary order has ties).
+    */
+  def interpolateLinear(df: DataFrame, keys: Seq[String],
+                        orderCols: Seq[String], valueCol: String,
+                        out: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rn = row_number().over(w)
+    val markedRn = when(col(valueCol).isNotNull, rn)
+    val prevRn = last(markedRn, ignoreNulls = true).over(back)
+    val nextRn = first(markedRn, ignoreNulls = true).over(fwd)
+    val prevV = last(col(valueCol), ignoreNulls = true).over(back)
+    val nextV = first(col(valueCol), ignoreNulls = true).over(fwd)
+    df.withColumn(out,
+      when(col(valueCol).isNotNull, col(valueCol))
+        .otherwise(prevV + (nextV - prevV) *
+          ((rn - prevRn).cast("double") / (nextRn - prevRn).cast("double"))))
+  }
 }

@@ -813,6 +813,49 @@ object Relational {
                               WHERE event_type = 'view') v
                 ON p.user_id = v.user_id AND p.ts >= v.ts""")),
 
+    // ---- linear gap interpolation (the remaining imputation-family
+    //      member beside scale-up/rolling-mean/lag-join). NULLs seeded
+    //      deterministically on both sides; interpolation is
+    //      position-based so timestamp ties can't divide by zero ----
+    Q("q69_interpolate",
+      (s, dir) => {
+        val gapped = t(s, dir, "events").select(
+          col("event_id"), col("event_type"), col("ts"),
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+        graft.ops.Windows.interpolateLinear(gapped, Seq("event_type"),
+          Seq("ts", "event_id"), "v", "v_interp")
+          .select(col("event_id"), col("event_type"),
+            round(col("v_interp"), 6).as("v_interp"))
+      },
+      Some("""WITH g AS (
+                SELECT event_id, event_type, ts,
+                       CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+                FROM events),
+              r AS (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id) AS rn
+                FROM g),
+              w AS (
+                SELECT event_id, event_type, v, rn,
+                  last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+                    OVER wb AS prn,
+                  first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+                    OVER wf AS nrn,
+                  last_value(v IGNORE NULLS) OVER wb AS pv,
+                  first_value(v IGNORE NULLS) OVER wf AS nv
+                FROM r
+                WINDOW wb AS (PARTITION BY event_type ORDER BY rn
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wf AS (PARTITION BY event_type ORDER BY rn
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              SELECT event_id, event_type,
+                round(CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv) * (CAST(rn - prn AS DOUBLE)
+                                             / CAST(nrn - prn AS DOUBLE)) END,
+                      6) AS v_interp
+              FROM w""")),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,

@@ -38,6 +38,22 @@ class WindowsTimeSpec extends SparkSpec {
     assert(got(Numeric.SparkParity) == Seq(3.0, 4.0, -3.0))  // HALF_UP on 2.5 exact
   }
 
+  test("interpolateLinear: interior gaps interpolate by row position; " +
+    "edges stay NULL; keys isolated") {
+    val df = Seq(
+      ("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None), ("a", 4, Some(40.0)),
+      ("a", 5, None), // trailing → NULL
+      ("b", 1, None), // leading → NULL
+      ("b", 2, Some(7.0))).toDF("k", "i", "v")
+    val out = Windows.interpolateLinear(df, Seq("k"), Seq("i"), "v", "vi")
+      .select($"k", $"i", $"vi").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> Option(r.get(2))).toMap
+    assert(out(("a", 2)).contains(20.0) && out(("a", 3)).contains(30.0))
+    assert(out(("a", 1)).contains(10.0) && out(("a", 4)).contains(40.0))
+    assert(out(("a", 5)).isEmpty && out(("b", 1)).isEmpty)
+    assert(out(("b", 2)).contains(7.0))
+  }
+
   test("composeTimestamp handles fractional minutes (D1)") {
     val df = Seq((d("2020-01-01"), 13, 59.5)).toDF("dt", "h", "m")
     val out = df.select(TimeOps.composeTimestamp($"dt", $"h", $"m").as("t"))
