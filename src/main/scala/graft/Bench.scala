@@ -24,12 +24,17 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 3-decimal times keep the whole line under the harness's 2000-byte
+    // output tail even as the query count grows (70+ entries)
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // "value" placed last: the harness keeps only the final bytes of
+    // output, so the headline total must survive front-truncation
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","value":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -218,7 +218,9 @@ object Glm {
       var go = true
       while (go && outer < 3) {
         alpha = mlAlpha(y, mu)
-        if (alpha > 0) irls(10, updateAlphaMoM = false)
+        // refit also on the alpha→0 transition: beta must be re-estimated
+        // under Poisson weights, not left paired with the stale NB2 fit
+        if (alpha > 0 || prev > 0) irls(10, updateAlphaMoM = false)
         go = math.abs(alpha - prev) > 1e-4 * (1 + prev)
         prev = alpha
         outer += 1
@@ -279,8 +281,12 @@ object Glm {
     }
     val best = math.exp((a + b) / 2)
     // degenerate (equi/under-dispersed) groups profile to the lower
-    // bound — collapse to Poisson exactly rather than keeping ε noise
-    if (best < 2e-8) 0.0 else best
+    // bound — collapse to Poisson exactly rather than keeping ε noise.
+    // Threshold is deliberately loose: near the bound the likelihood
+    // differences are below lgamma(y+1/α)−lgamma(1/α) cancellation noise,
+    // so the search can stall a few ulps above lo; α < 1e-6 means a
+    // variance excess of ~1e-6·μ² — operationally Poisson.
+    if (best < 1e-6) 0.0 else best
   }
 
   /** Count-family deviance at fitted means: Poisson

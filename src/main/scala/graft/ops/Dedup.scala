@@ -106,14 +106,16 @@ object Dedup {
     val prefix = toks.join(freq, Seq("__tok"))
       .withColumn("__r", row_number().over(Window.partitionBy(col(idCol))
         .orderBy(col("__freq").asc, col("__tok").asc)))
-      .where(col("__r") <= col("__len") - ceil(lit(threshold) * col("__len")) + 1)
+      // t*len can land epsilon above an integer in doubles (e.g. 0.7*10);
+      // ceil would then over-shoot and shorten the prefix, dropping exact pairs
+      .where(col("__r") <= col("__len") - ceil(lit(threshold) * col("__len") - lit(1e-9)) + 1)
       .select(col("__tok"), col(idCol), col("__len"))
     val candidates = prefix.select(col("__tok"), col(idCol).as("id_a"), col("__len").as("__la"))
       .join(prefix.select(col("__tok"), col(idCol).as("id_b"), col("__len").as("__lb")),
         Seq("__tok"))
       .where(col("id_a") < col("id_b") &&
-        col("__lb") >= lit(threshold) * col("__la") &&
-        col("__la") >= lit(threshold) * col("__lb"))
+        col("__lb") >= lit(threshold) * col("__la") - lit(1e-9) &&
+        col("__la") >= lit(threshold) * col("__lb") - lit(1e-9))
       .select(col("id_a"), col("id_b"))
       .distinct()
     candidates

@@ -89,9 +89,15 @@ object Joins {
                leftTs: String, rightTs: String,
                payload: Seq[String], prefix: String = "asof_"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val r = right.select(
-      keys.map(col) ++ Seq(col(rightTs).cast("timestamp").as("__ts"),
-        struct(payload.map(col): _*).as("__p"), lit(0).as("__side")): _*)
+    // SQL ASOF equality semantics: a NULL key or NULL timestamp never
+    // matches. Unfiltered, window partitioning would group NULL keys
+    // together and a NULL right ts would sort first and carry forward.
+    val r = right
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTs).isNotNull)
+      .select(
+        keys.map(col) ++ Seq(col(rightTs).cast("timestamp").as("__ts"),
+          struct(payload.map(col): _*).as("__p"), lit(0).as("__side")): _*)
     val l = left
       .withColumn("__ts", col(leftTs).cast("timestamp"))
       .withColumn("__p", lit(null).cast(r.schema("__p").dataType))

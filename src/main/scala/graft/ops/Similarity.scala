@@ -93,6 +93,9 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val sums = corpus
+        // NULL vectors assign to a NULL cell; dropping them here keeps the
+        // driver-side fold from NPE-ing on row.getInt of a null-cell group
+        .where(col(vecCol).isNotNull)
         .select(nearestCentroids(col(vecCol), cents, 1).getItem(0).as("__cell"),
           col(vecCol))
         .groupBy(col("__cell"))

@@ -19,6 +19,7 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 innerAggs: Seq[Column], outerAggs: Seq[Column]): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
     val salted = df.withColumn("__salt",
       pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)))
     salted
@@ -42,6 +43,7 @@ object Skew {
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports inner/left, got $joinType")
+    require(salts > 0, s"salts must be positive, got $salts")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
     val replicated = small.withColumn("__salt",

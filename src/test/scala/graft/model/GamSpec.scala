@@ -73,6 +73,25 @@ class GamSpec extends SparkSpec {
     assert(ml.alpha > 0.02, s"alpha=${ml.alpha}")
   }
 
+  test("alpha == 0 fits carry a Poisson-consistent beta (refit-on-collapse contract)") {
+    // When the profile collapses dispersion to exactly 0 the returned beta
+    // must be re-estimated under Poisson weights, not left paired with the
+    // stale NB2-weighted estimate. Underdispersed and equidispersed groups
+    // both profile to the lower bound and exercise the collapse path.
+    val x = Array.fill(60)(Array(1.0))
+    val under = Array.tabulate(60)(i => if (i % 2 == 0) 9.0 else 11.0) // var 1 < mean 10
+    val equi = Array.tabulate(60)(i => (i % 3) match {
+      case 0 => 10.0; case 1 => 10.0 - math.sqrt(15.0); case _ => 10.0 + math.sqrt(15.0)
+    })
+    for ((y, tag) <- Seq((under, "under"), (equi, "equi"))) {
+      val ml = Glm.fit(x, y, negBin = true)
+      assert(ml.alpha == 0.0, s"$tag: alpha=${ml.alpha}")
+      val pois = Glm.fit(x, y, negBin = false)
+      assert(math.abs(ml.beta(0) - pois.beta(0)) < 1e-10,
+        s"$tag: beta ${ml.beta(0)} vs Poisson ${pois.beta(0)}")
+    }
+  }
+
   test("GAM recovers smooth daily + weekday signal (statistical gate, M2/M4)") {
     // Known signal: volume = exp(3 + 0.8*sin(2π·itime/86400) + weekday lift)
     val cfg = Gam.Config(hourly = true, negBin = false)

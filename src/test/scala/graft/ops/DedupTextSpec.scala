@@ -75,6 +75,21 @@ class DedupTextSpec extends SparkSpec {
     assert(brute.nonEmpty) // the corpus actually exercises the join
   }
 
+  test("similarityJoinPrefix boundary: pair with jaccard exactly == threshold " +
+    "survives the float length filter and prefix ceil") {
+    // 23 distinct chars -> 20 distinct 4-grams; the 14-char prefix -> 11,
+    // a strict subset, so jaccard = 11/20 = 0.55 == t exactly. In doubles
+    // 0.55*20 lands epsilon ABOVE 11, so an un-guarded `lb >= t*la` filter
+    // (and ceil(t*len) prefix bound) silently drops this qualifying pair.
+    val a = "abcdefghijklmnopqrstuvw"
+    val b = a.substring(0, 14)
+    val corpus = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = Dedup.similarityJoinPrefix(corpus, "text", "doc_id",
+      shingleN = 4, threshold = 0.55).collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(2) == 0.55)
+  }
+
   test("simhash: identical texts get identical fingerprints; near-dups close") {
     val fp = Dedup.simhash(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -67,6 +67,26 @@ class JoinsSpec extends SparkSpec {
     assert(out("p3").contains(200L)) // equal ts matches
   }
 
+  test("asofJoin NULL semantics: NULL keys and NULL right ts never match " +
+    "(SQL ASOF equality parity)") {
+    val left = Seq(
+      (Option("u1"), Option(ts("2020-01-01 10:00:00")), "ok"),
+      (Option.empty[String], Option(ts("2020-01-01 10:00:00")), "nullkey"),
+      (Option("u1"), Option.empty[java.sql.Timestamp], "nullts"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Option("u1"), Option(ts("2020-01-01 09:00:00")), 1L),
+      (Option.empty[String], Option(ts("2020-01-01 09:00:00")), 2L), // NULL key: inert
+      (Option("u1"), Option.empty[java.sql.Timestamp], 3L))          // NULL ts: inert
+      .toDF("k", "t", "rid")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("rid"))
+      .select($"tag", $"asof_rid").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("ok").contains(1L))  // matches the real row, not the NULL-ts one
+    assert(out("nullkey").isEmpty)  // NULL key joins nothing
+    assert(out("nullts").isEmpty)   // NULL left ts is before everything
+  }
+
   test("newKeys = anti join (J5); semiFilter = semi join (J12)") {
     val newDf = Seq(("a", 1), ("b", 2)).toDF("k", "v")
     val oldDf = Seq(("a", 9)).toDF("k", "v")

@@ -89,6 +89,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted ops reject non-positive salts with a clear error") {
+    val df = Seq(("a", 1.0)).toDF("k", "v")
+    for (s <- Seq(0, -3)) {
+      intercept[IllegalArgumentException] {
+        Skew.saltedAgg(df, Seq("k"), s, Seq(sum($"v").as("s")), Seq(sum($"s").as("s")))
+      }
+      intercept[IllegalArgumentException] {
+        Skew.saltedJoin(df, df, Seq("k"), s)
+      }
+    }
+  }
+
   test("minhashDedup invariants on a random templated corpus: one decision " +
     "per doc, reps never increase, fixpoint mapping is idempotent") {
     val rnd = new scala.util.Random(31)

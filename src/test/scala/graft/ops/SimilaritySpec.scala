@@ -118,6 +118,15 @@ class SimilaritySpec extends SparkSpec {
     assert(trained(1)(2) > 0.95 && trained(1)(0) < 0.1) // cluster-2 direction
   }
 
+  test("trainCentroids tolerates NULL vectors (no driver-side NPE)") {
+    val pts = ((1L to 10L).map(i => (i, Option(Array(1.0, 0.0)))) :+
+      (11L, Option.empty[Array[Double]]))
+      .toDF("vec_id", "v")
+    val init = Array(Array(0.5, 0.5))
+    val trained = Similarity.trainCentroids(pts, "v", init, iters = 2)
+    assert(trained.length == 1 && trained(0)(0) > 0.95)
+  }
+
   test("lshTopK returns only true-cosine values for pairs it finds") {
     val out = Similarity.lshTopK(vecs, "vec_id", "embedding", bits = 2, k = 3)
     val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)
