@@ -62,6 +62,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint(false) // shingle once: banding + both verify sides
     val banded = sh
       .select(col(idCol), explode(
         lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))
@@ -98,8 +99,15 @@ object Dedup {
   def similarityJoinPrefix(df: DataFrame, textCol: String, idCol: String,
                            shingleN: Int = 4, threshold: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The shingle table feeds three consumers (token explode + both sides
+    // of the verification join) and the prefix table self-joins; without
+    // materialization Catalyst clones the whole shingle→freq→window
+    // pipeline per consumer (6 scans observed). At cluster scale this
+    // intermediate would be written to durable storage; localCheckpoint is
+    // the single-JVM equivalent (lazy: materializes on first use).
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint(false)
     val toks = sh.select(col(idCol), size(col("__sh")).as("__len"),
       explode(col("__sh")).as("__tok"))
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
@@ -110,6 +118,7 @@ object Dedup {
       // ceil would then over-shoot and shorten the prefix, dropping exact pairs
       .where(col("__r") <= col("__len") - ceil(lit(threshold) * col("__len") - lit(1e-9)) + 1)
       .select(col("__tok"), col(idCol), col("__len"))
+      .localCheckpoint(false) // self-joined below: run freq+window once
     val candidates = prefix.select(col("__tok"), col(idCol).as("id_a"), col("__len").as("__la"))
       .join(prefix.select(col("__tok"), col(idCol).as("id_b"), col("__len").as("__lb")),
         Seq("__tok"))
@@ -161,8 +170,11 @@ object Dedup {
                    propagationRounds: Int = 2,
                    verifyCandidates: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // referenced by the banding pipeline and twice per verify tier:
+    // shingle once, serve everyone (a durable intermediate at cluster scale)
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint(false)
     val banded = sh
       .select(col(idCol), explode(
         lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))
@@ -274,4 +286,40 @@ object Dedup {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Passage-level exact-duplication profile (the sub-document variant of
+    * exact dedup: boilerplate headers/footers and syndicated passages
+    * recur across documents that are NOT whole-doc duplicates — cf. the
+    * reference's row-level scrubs vs whole-snapshot diffs). Splits each
+    * text into non-overlapping `words`-token windows, md5-keys each
+    * window, and reports per document how many of its full windows occur
+    * more than once corpus-wide. Shuffles carry only (id, 32-char md5)
+    * rows — never passage text — and the md5 keying is engine-portable,
+    * so an external system (or the DuckDB oracle) reproduces the exact
+    * same buckets. Documents shorter than one window report 0/0.
+    */
+  def passageDupStats(df: DataFrame, textCol: String, idCol: String,
+                      words: Int = 10): DataFrame = {
+    require(words > 0, s"words must be positive, got $words")
+    val withWords = df.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__w"))
+    val passages = withWords
+      .select(col(idCol),
+        explode(when(size(col("__w")) >= words,
+          sequence(lit(0), floor(size(col("__w")) / words).cast("int") - 1))
+          .otherwise(array().cast("array<int>"))).as("__g"),
+        col("__w"))
+      .select(col(idCol),
+        md5(array_join(slice(col("__w"), col("__g") * words + 1, lit(words)), " "))
+          .as("__ph"))
+    val freq = passages.groupBy(col("__ph")).agg(count(lit(1)).as("__pf"))
+    val perDoc = passages.join(freq, Seq("__ph"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("__pf") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_dup_passages"), lit(0L)).as("n_dup_passages"))
+  }
 }

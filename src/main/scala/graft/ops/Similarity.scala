@@ -22,7 +22,9 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.VectorExprs.cosineSim(a, b)
 
-  def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
+  // native Cast handles array<float>→array<double> inside codegen; the
+  // transform(_.cast) form evaluates its lambda interpreted per element
+  def toDoubleVec(c: Column): Column = c.cast("array<double>")
 
   /** Exact brute-force top-k cosine neighbors of `queries` within
     * `corpus` (self-matches by id excluded). Query side is broadcast —
@@ -170,5 +172,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), cosine(col("__qv"), col("__cv")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** SemDedup-style semantic dedup decision (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then drop
+    * near-identical vectors WITHIN each cluster — cosine pairs are only
+    * computed against same-cluster vectors, so the quadratic term is
+    * bounded by the largest cell, not the corpus. One decision row per
+    * input vector: `rep_id` is the smallest same-cluster id with
+    * cosine ≥ `threshold` (self if none), mirroring minhashDedup's
+    * smallest-representative convention. Clustering uses the same
+    * deterministic hash-sample seed + spherical Lloyd rounds as ivfTopK.
+    * Cross-cluster near-dups are missed by construction — that is the
+    * documented SemDedup trade-off (raise nClusters for speed, lower for
+    * recall). NULL vectors keep themselves (never match anything).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               nClusters: Int, threshold: Double,
+               kmeansIters: Int = 2): DataFrame = {
+    val c = df.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
+    val nonNull = c.where(col("__v").isNotNull)
+    val init: Array[Array[Double]] = nonNull
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h")).limit(nClusters)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents = trainCentroids(nonNull, "__v", init, kmeansIters)
+    // map-side cell assignment; materialized once for the self-join
+    val assigned = nonNull.select(col(idCol),
+      nearestCentroids(col("__v"), cents, 1).getItem(0).as("__cell"), col("__v"))
+      .localCheckpoint(false)
+    val pairs = assigned
+      .join(assigned.select(col("__cell"), col(idCol).as("__cand"),
+        col("__v").as("__cv")), Seq("__cell"))
+      .where(col("__cand") < col(idCol))
+      .select(col(idCol), col("__cand"),
+        cosine(col("__v"), col("__cv")).as("__sim"))
+      .where(col("__sim") >= threshold)
+    val best = pairs.groupBy(col(idCol))
+      .agg(min(struct(col("__cand"), col("__sim"))).as("__rep"))
+    df.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__rep.__cand"), col(idCol)).as("rep_id"),
+        col("__rep.__sim").as("sim"),
+        col("__rep").isNotNull.as("is_dup"))
   }
 }

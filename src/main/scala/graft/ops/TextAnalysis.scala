@@ -30,12 +30,12 @@ object TextAnalysis {
   def charNgrams(text: Column, n: Int): Column =
     graft.expressions.MinHashExprs.charNgrams(text, n)
 
-  /** Exact Jaccard similarity of two shingle sets. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    val uni = size(a) + size(b) - inter
-    when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(lit(1.0))
-  }
+  /** Exact Jaccard similarity of two shingle sets (native codegen pass;
+    * the `array_intersect`+`size` formulation re-builds SQL set machinery
+    * per row and dominated candidate verification).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    graft.expressions.MinHashExprs.jaccardSim(a, b)
 
   /** Share of tokens found in `words` (stopword ratio — a standard
     * fluency signal in quality filters).

@@ -856,6 +856,28 @@ object Relational {
                       6) AS v_interp
               FROM w""")),
 
+    // ---- exact distinct cardinality (ground truth for the HLL pair) ----
+    Q("q73_distinct_exact",
+      (s, dir) => {
+        t(s, dir, "events").groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+                     count(*) AS n_events
+              FROM events GROUP BY 1""")),
+
+    // ---- HLL approximate distinct: the bounded-memory scale path for
+    // q73 (one pass, fixed sketch size per group vs a full distinct
+    // shuffle; sketch internals are engine-specific → rows-only) ----
+    Q("q74_approx_distinct",
+      (s, dir) => {
+        t(s, dir, "events").groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+            count(lit(1)).as("n_events"))
+      },
+      None),
+
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",
       (s, dir) => Scd2Fixture.merged(s, dir).dim,

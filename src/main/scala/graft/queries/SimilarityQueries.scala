@@ -13,6 +13,18 @@ object SimilarityQueries {
 
   val qs: Seq[Q] = Seq(
 
+    // ---- SemDedup: cluster-scoped semantic dedup decision (k-means
+    // centroids are engine-specific → rows-only; SimilaritySpec pins the
+    // decision semantics against a constructed clustered corpus) ----
+    Q("q71_semdedup",
+      (s, dir) => {
+        Similarity.semDedup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", nClusters = 16, threshold = 0.4)
+          .select(col("vec_id"), col("rep_id"),
+            round(col("sim"), 6).as("sim"), col("is_dup"))
+      },
+      None),
+
     // ---- brute-force exact cosine top-k (ANN baseline) ----
     Q("q40_cosine_topk",
       (s, dir) => {

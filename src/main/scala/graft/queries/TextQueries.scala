@@ -393,6 +393,87 @@ object TextQueries {
       },
       None),
 
+    // ---- passage-level exact dedup (sub-document boilerplate) ----
+    Q("q70_passage_dedup",
+      (s, dir) => {
+        Dedup.passageDupStats(Tables.load(s, dir, "documents"),
+          "text", "doc_id", words = 10)
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents),
+              p AS (
+                SELECT doc_id,
+                       md5(array_to_string(ws[g.g*10+1 : g.g*10+10], ' ')) AS ph
+                FROM w, LATERAL (
+                  SELECT unnest(generate_series(0, len(ws)//10 - 1)) AS g) g
+                WHERE len(ws) >= 10),
+              f AS (SELECT ph, count(*) AS pf FROM p GROUP BY 1),
+              d AS (
+                SELECT p.doc_id, count(*) AS n_passages,
+                       CAST(sum(CASE WHEN f.pf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_dup_passages
+                FROM p JOIN f USING (ph) GROUP BY 1)
+              SELECT doc_id,
+                     COALESCE(d.n_passages, 0) AS n_passages,
+                     COALESCE(d.n_dup_passages, 0) AS n_dup_passages
+              FROM documents LEFT JOIN d USING (doc_id)""")),
+
+    // ---- DSIR-style target-coverage importance score (hashable ints) ----
+    Q("q72_importance_weights",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), col("lang"),
+          explode(TA.tokens(col("text"))).as("tok"))
+        val top = toks.where(col("lang") === "de")
+          .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("f").desc, col("tok").asc)))
+          .where(col("r") <= 10).select(col("tok"))
+        val scored = toks
+          .join(broadcast(top.withColumn("hit", lit(1L))), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("hit"), lit(0L))).as("target_hits"))
+        scored.select(col("doc_id"), col("n_tokens"), col("target_hits"),
+          expr("target_hits * 1000000 div n_tokens").as("score_ppm"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents),
+              top AS (
+                SELECT tok FROM (
+                  SELECT tok, count(*) AS f FROM toks WHERE lang = 'de' GROUP BY 1)
+                QUALIFY row_number() OVER (ORDER BY f DESC, tok ASC) <= 10),
+              scored AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       CAST(sum(CASE WHEN tok IN (SELECT tok FROM top)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS target_hits
+                FROM toks GROUP BY 1)
+              SELECT doc_id, n_tokens, target_hits,
+                     target_hits * 1000000 // n_tokens AS score_ppm
+              FROM scored""")),
+
+    // ---- deterministic per-stratum sampling (portable md5 buckets) ----
+    Q("q75_stratified_sample",
+      (s, dir) => {
+        val b = TA.hashBucket(col("text"), "strat")
+        Tables.load(s, dir, "documents")
+          .withColumn("bucket", b)
+          .where(col("bucket") <
+            when(col("lang") === "en", 10).otherwise(50))
+          .select(col("doc_id"), col("lang"), col("bucket"))
+      },
+      Some("""SELECT doc_id, lang,
+                CAST(CAST(('0x' || substr(md5(text || 'strat'), 1, 8)) AS UBIGINT)
+                     % 100 AS BIGINT) AS bucket
+              FROM documents
+              WHERE CAST(CAST(('0x' || substr(md5(text || 'strat'), 1, 8)) AS UBIGINT)
+                         % 100 AS BIGINT)
+                    < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""")),
+
     // ---- multimodal: opaque binary column + typed metadata ----
     Q("q38_multimodal_binary",
       (s, dir) => {

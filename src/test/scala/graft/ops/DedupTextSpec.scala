@@ -90,6 +90,22 @@ class DedupTextSpec extends SparkSpec {
     assert(out.head.getDouble(2) == 0.55)
   }
 
+  test("passageDupStats: shared 10-word windows counted per doc; " +
+    "short docs report 0/0; window alignment is per-doc") {
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")   // one full window
+    val docs = Seq(
+      (1L, shared + " " + (11 to 20).map(i => s"a$i").mkString(" ")), // shared + unique
+      (2L, shared + " " + (11 to 20).map(i => s"b$i").mkString(" ")), // shared + unique
+      (3L, (21 to 35).map(i => s"c$i").mkString(" ")),                // 1 window + tail
+      (4L, "too short")).toDF("doc_id", "text")                       // no full window
+    val out = Dedup.passageDupStats(docs, "text", "doc_id", words = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (2L, 1L)) // 2 windows, the shared one duplicated
+    assert(out(2L) == (2L, 1L))
+    assert(out(3L) == (1L, 0L)) // 15 words -> one window, unique
+    assert(out(4L) == (0L, 0L)) // shorter than a window
+  }
+
   test("simhash: identical texts get identical fingerprints; near-dups close") {
     val fp = Dedup.simhash(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -127,6 +127,29 @@ class SimilaritySpec extends SparkSpec {
     assert(trained.length == 1 && trained(0)(0) > 0.95)
   }
 
+  test("semDedup: within-cluster near-identicals collapse to the smallest id; " +
+    "NULL vectors and singletons keep themselves") {
+    // two well-separated direction clusters; ids 1,2,3 near-identical in
+    // cluster A, id 4 alone in cluster B, id 5 NULL
+    val pts = Seq(
+      (1L, Option(Array(1.0, 0.0, 0.01))),
+      (2L, Option(Array(1.0, 0.0, 0.02))),
+      (3L, Option(Array(1.0, 0.0, 0.00))),
+      (4L, Option(Array(0.0, 1.0, 0.00))),
+      (5L, Option.empty[Array[Double]])).toDF("vec_id", "v")
+    // nClusters = 1 keeps the cell assignment trivially deterministic so
+    // the DECISION semantics are what's pinned (with k > 1 the hash-seeded
+    // quantizer may legitimately split the near-identical trio)
+    val out = Similarity.semDedup(pts, "vec_id", "v",
+      nClusters = 1, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out(1L) == (1L, false)) // smallest id keeps itself
+    assert(out(2L) == (1L, true))
+    assert(out(3L) == (1L, true))
+    assert(out(4L) == (4L, false)) // own cluster: no candidates
+    assert(out(5L) == (5L, false)) // NULL vector never matches
+  }
+
   test("lshTopK returns only true-cosine values for pairs it finds") {
     val out = Similarity.lshTopK(vecs, "vec_id", "embedding", bits = 2, k = 3)
     val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)
