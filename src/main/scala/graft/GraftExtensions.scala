@@ -15,6 +15,8 @@ import graft.expressions._
   *   lsh_sign_bits(vec, bits)
   *   char_ngrams(text, n)
   *   fingerprint(tokens)
+  *   jaccard_sim(a, b)
+  *   nearest_centroids(vec, array(array(...), ...), k)
   *
   * Activate with
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -27,6 +29,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
     case other => throw new IllegalArgumentException(
       s"expected integer literal argument, got $other")
+  }
+
+  /** Fold a constant array<array<double|float>> argument (e.g.
+    * `array(array(1.0d, 0.0d), ...)`) into the centroid matrix
+    * `NearestCentroidsExpr` ships with the plan.
+    */
+  private def centroidMatrix(e: Expression): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    require(e.foldable, s"nearest_centroids needs a constant centroid matrix, got $e")
+    val rowType = e.dataType match {
+      case ArrayType(t: ArrayType, _) => t
+      case t => throw new IllegalArgumentException(
+        s"nearest_centroids needs array<array<double|float>> centroids, got $t")
+    }
+    e.eval(null).asInstanceOf[ArrayData]
+      .toObjectArray(rowType)
+      .map { row =>
+        val ad = row.asInstanceOf[ArrayData]
+        rowType.elementType match {
+          case DoubleType => ad.toDoubleArray()
+          case FloatType => ad.toFloatArray().map(_.toDouble)
+          case t => throw new IllegalArgumentException(
+            s"centroid elements must be double|float, got $t")
+        }
+      }
   }
 
   /** Post-hoc registration on an already-built session (the builder
@@ -47,6 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => CharNgramsExpr(args(0), lit(args(1))))
     g.registerFunction(classic, "fingerprint",
       args => FingerprintExpr(args(0)))
+    g.registerFunction(classic, "jaccard_sim",
+      args => JaccardExpr(args(0), args(1)))
+    g.registerFunction(classic, "nearest_centroids",
+      args => NearestCentroidsExpr(args(0), centroidMatrix(args(1)), lit(args(2))))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -74,5 +106,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("fingerprint"),
       new ExpressionInfo(classOf[FingerprintExpr].getName, "fingerprint"),
       (args: Seq[Expression]) => FingerprintExpr(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardExpr].getName, "jaccard_sim"),
+      (args: Seq[Expression]) => JaccardExpr(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("nearest_centroids"),
+      new ExpressionInfo(classOf[NearestCentroidsExpr].getName, "nearest_centroids"),
+      (args: Seq[Expression]) =>
+        NearestCentroidsExpr(args(0), centroidMatrix(args(1)), lit(args(2)))))
   }
 }

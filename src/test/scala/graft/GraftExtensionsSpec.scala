@@ -34,6 +34,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(s.getBoolean(0))
   }
 
+  test("jaccard_sim and nearest_centroids through the SQL surface") {
+    new GraftExtensions().registerOn(spark)
+    val r = spark.sql(
+      """SELECT
+        |  jaccard_sim(array('a','b','c'), array('b','c','d')) AS j_half,
+        |  jaccard_sim(array('a','a','b'), array('a','b'))     AS j_dupes,
+        |  jaccard_sim(array('a'), array('b'))                 AS j_none,
+        |  nearest_centroids(array(1.0d, 0.1d),
+        |    array(array(1.0d, 0.0d), array(0.0d, 1.0d)), 1)   AS cell,
+        |  nearest_centroids(array(0.1d, 1.0d),
+        |    array(array(1.0d, 0.0d), array(0.0d, 1.0d)), 2)   AS probes
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 0.5)  // |{b,c}| / |{a,b,c,d}|
+    assert(r.getDouble(1) == 1.0)  // set semantics: duplicates collapse
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getSeq[Int](3) == Seq(0))
+    assert(r.getSeq[Int](4) == Seq(1, 0)) // nearest first
+  }
+
   test("builder-path extensions class wires the same builders (compile check)") {
     // The SparkSessionExtensions path can't be exercised in a shared-JVM
     // test (getOrCreate reuses the active session); assert the entry
