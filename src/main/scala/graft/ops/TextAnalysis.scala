@@ -143,6 +143,19 @@ object TextAnalysis {
       s => text.substr(s, lit(size)))
   }
 
+  /** Adjacent word bigrams of a text ("a b", "b c", …); empty below two
+    * tokens. Built on index arithmetic so the window join stays a pure
+    * array expression (HOF lambdas run interpreted, but only ~one eval
+    * per token — not a per-pair hot loop).
+    */
+  def wordBigrams(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Deterministic, engine-portable sharding bucket in [0, 100): parsed
     * from the first 8 hex chars of md5(text ‖ salt). The standard
     * train/val splitter — unlike xxhash64 the hash family is identical

@@ -419,6 +419,47 @@ object TextQueries {
                      COALESCE(d.n_dup_passages, 0) AS n_dup_passages
               FROM documents LEFT JOIN d USING (doc_id)""")),
 
+    // ---- cross-doc bigram novelty (curation-ordering signal): how much
+    // of a doc's distinct-bigram vocabulary first appears in THIS doc
+    // (corpus-wide min doc_id)? Shuffles carry (doc_id, md5) only. ----
+    Q("q76_ngram_novelty",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val bg = docs.select(col("doc_id"),
+          explode(TA.wordBigrams(col("text"))).as("bg"))
+          .select(col("doc_id"), md5(col("bg")).as("h"))
+          .distinct()
+        val first = bg.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+        val per = bg.join(first, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+        docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents),
+              bg AS (
+                SELECT DISTINCT doc_id,
+                       md5(ws[i.i] || ' ' || ws[i.i+1]) AS h
+                FROM w, LATERAL (
+                  SELECT unnest(generate_series(1, len(ws) - 1)) AS i) i
+                WHERE len(ws) >= 2),
+              f AS (SELECT h, min(doc_id) AS first_doc FROM bg GROUP BY 1),
+              per AS (
+                SELECT bg.doc_id, count(*) AS n_bigrams,
+                       CAST(sum(CASE WHEN f.first_doc = bg.doc_id
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                FROM bg JOIN f USING (h) GROUP BY 1)
+              SELECT doc_id,
+                     COALESCE(per.n_bigrams, 0) AS n_bigrams,
+                     COALESCE(per.n_novel, 0) AS n_novel
+              FROM documents LEFT JOIN per USING (doc_id)""")),
+
     // ---- DSIR-style target-coverage importance score (hashable ints) ----
     Q("q72_importance_weights",
       (s, dir) => {

@@ -154,6 +154,12 @@ class DedupTextSpec extends SparkSpec {
       Seq("en", "es", "und"))
   }
 
+  test("wordBigrams yields adjacent pairs; empty below two tokens") {
+    val df = Seq("a b c d", "solo", "", "  x   y  ").toDF("t")
+    val out = df.select(TextAnalysis.wordBigrams($"t")).as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq("a b", "b c", "c d"), Seq(), Seq(), Seq("x y")))
+  }
+
   test("fingerprint is order-sensitive") {
     val df = Seq(("a b c", "c b a")).toDF("x", "y")
     val r = df.select(TextAnalysis.fingerprint($"x"), TextAnalysis.fingerprint($"y")).head()
