@@ -24,10 +24,11 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // 3-decimal times keep the whole line under the harness's 2000-byte
-    // output tail even as the query count grows (70+ entries)
+    // 3-decimal times + qNN-prefix keys keep the whole line under the
+    // harness's 2000-byte output tail even as the query count grows
     def f3(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")

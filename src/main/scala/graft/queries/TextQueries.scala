@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Dedup, TextAnalysis => TA}
+import graft.ops.{Dedup, Membership, TextAnalysis => TA}
 
 /** Training-data text operators over the `documents` table. */
 object TextQueries {
@@ -514,6 +514,39 @@ object TextQueries {
               WHERE CAST(CAST(('0x' || substr(md5(text || 'strat'), 1, 8)) AS UBIGINT)
                          % 100 AS BIGINT)
                     < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""")),
+
+    // ---- cross-corpus membership, EXACT path: "seen" = md5(text) hit
+    // in the reference slice. Both sides reduce to 32-byte hashes
+    // before the join shuffle — documents never move. ----
+    Q("q77_cross_corpus_seen",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val ref = d.where(col("doc_id") % 5 === 0)
+        Membership.markSeen(
+          d.where(col("doc_id") % 5 =!= 0).select(col("doc_id"), md5(col("text")).as("k")),
+          ref, col("k"), md5(col("text")), flag = "seen")
+          .select(col("doc_id"), col("seen"))
+      },
+      Some("""WITH ref AS (
+                SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 5 = 0)
+              SELECT d.doc_id, (r.k IS NOT NULL) AS seen
+              FROM documents d LEFT JOIN ref r ON md5(d.text) = r.k
+              WHERE d.doc_id % 5 <> 0""")),
+
+    // ---- cross-corpus membership, SKETCH path: Bloom filter built in
+    // one distributed pass over the reference slice, probed map-side
+    // (zero shuffle on the probe corpus). Engine-specific hash family →
+    // rows-only; MembershipSpec pins no-false-negative vs q77. ----
+    Q("q78_bloom_seen",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val ref = d.where(col("doc_id") % 5 === 0)
+        val bloom = Membership.bloomOfKeys(
+          ref, col("text"), expectedItems = math.max(ref.count(), 1L), fpp = 0.01)
+        d.where(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), Membership.seenBloom(col("text"), bloom).as("maybe_seen"))
+      },
+      None),
 
     // ---- multimodal: opaque binary column + typed metadata ----
     Q("q38_multimodal_binary",
