@@ -322,4 +322,108 @@ object Dedup {
         coalesce(col("n_passages"), lit(0L)).as("n_passages"),
         coalesce(col("n_dup_passages"), lit(0L)).as("n_dup_passages"))
   }
+
+  /** Substring-level duplication profile — the hashed stand-in for
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * every OVERLAPPING stride-1 window of `words` tokens is keyed by
+    * md5; a window position counts as duplicated when its key occurs
+    * more than once corpus-wide (covers both cross-document boilerplate
+    * and within-document repetition — any repeated `words`-token
+    * substring is caught at every position it spans). Reports per doc
+    * the window count, duplicated-window count, and the duplicated
+    * fraction in ppm (integer, engine-exact).
+    *
+    * vs [[passageDupStats]]: non-overlapping windows miss duplicate
+    * passages that straddle a window boundary; stride-1 windows detect a
+    * shared `words`-token run at ANY alignment, at `words`× the window
+    * volume. Shuffles carry (id, 32-char md5) rows only — text never
+    * moves; volume is O(total tokens), the same order as tokenization.
+    */
+  def substringDupStats(df: DataFrame, textCol: String, idCol: String,
+                        words: Int = 8): DataFrame = {
+    require(words > 0, s"words must be positive, got $words")
+    val withWords = df.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__w"))
+    val windows = withWords
+      .select(col(idCol),
+        explode(when(size(col("__w")) >= words,
+          sequence(lit(1), size(col("__w")) - words + 1))
+          .otherwise(array().cast("array<int>"))).as("__i"),
+        col("__w"))
+      .select(col(idCol),
+        md5(array_join(slice(col("__w"), col("__i"), lit(words)), " ")).as("__wh"))
+    val freq = windows.groupBy(col("__wh")).agg(count(lit(1)).as("__f"))
+    val perDoc = windows.join(freq, Seq("__wh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__f") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(expr("n_dup_windows * 1000000 div n_windows"), lit(0L))
+          .as("dup_ppm"))
+  }
+
+  /** Incremental batch-vs-store near-dup check — the nightly shape of
+    * [[similarityJoinPrefix]]: a new batch arrives, the historical store
+    * is already deduplicated, and the question is only "is each NEW doc
+    * a duplicate of the STORE" — never store×store again. Exact-recall
+    * prefix filtering with one asymmetry: candidate pairs are built
+    * new-prefix ⋈ old-prefix, so the fan-out is proportional to the
+    * batch, not the corpus. Token frequencies (the prefix ordering) are
+    * computed over the union — both sides must rank tokens identically
+    * for the prefix principle to hold. Returns one row per new doc:
+    * whether its exact text (md5) already exists in the store, and its
+    * best store match at `threshold` (highest Jaccard, ties to the
+    * smallest store id), NULL when nothing clears the bar.
+    */
+  def incrementalDedup(newBatch: DataFrame, store: DataFrame,
+                       textCol: String, idCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = newBatch.select(col(idCol), col(textCol), lit(true).as("__new"))
+      .unionByName(store.select(col(idCol), col(textCol), lit(false).as("__new")))
+    val sh = tagged.select(col(idCol), col("__new"),
+      TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint(false) // feeds the token explode + both verify sides
+    val toks = sh.select(col(idCol), col("__new"), size(col("__sh")).as("__len"),
+      explode(col("__sh")).as("__tok"))
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
+    val prefix = toks.join(freq, Seq("__tok"))
+      .withColumn("__r", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("__freq").asc, col("__tok").asc)))
+      .where(col("__r") <= col("__len") - ceil(lit(threshold) * col("__len") - lit(1e-9)) + 1)
+      .select(col("__tok"), col(idCol), col("__new"), col("__len"))
+      .localCheckpoint(false) // joined twice below: run freq+window once
+    val candidates = prefix.where(col("__new"))
+      .select(col("__tok"), col(idCol).as("__nid"), col("__len").as("__ln"))
+      .join(prefix.where(!col("__new"))
+        .select(col("__tok"), col(idCol).as("__oid"), col("__len").as("__lo")),
+        Seq("__tok"))
+      .where(col("__lo") >= lit(threshold) * col("__ln") - lit(1e-9) &&
+        col("__ln") >= lit(threshold) * col("__lo") - lit(1e-9))
+      .select(col("__nid"), col("__oid"))
+      .distinct()
+    val verified = candidates
+      .join(sh.select(col(idCol).as("__nid"), col("__sh").as("__sh_n")), Seq("__nid"))
+      .join(sh.select(col(idCol).as("__oid"), col("__sh").as("__sh_o")), Seq("__oid"))
+      .select(col("__nid"), col("__oid"),
+        TextAnalysis.jaccard(col("__sh_n"), col("__sh_o")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    // best store match per new doc: max Jaccard, ties to the min old id
+    // (max over a struct compares fields in order; negate the id so the
+    // lexicographic max prefers SMALLER store ids on Jaccard ties)
+    val best = verified.groupBy(col("__nid"))
+      .agg(max(struct(col("jaccard"), (-col("__oid")).as("__noid"))).as("__b"))
+      .select(col("__nid").as(idCol),
+        (-col("__b.__noid")).as("best_old_id"),
+        col("__b.jaccard").as("best_jaccard"))
+    val storeKeys = store.select(md5(col(textCol)).as("__k")).distinct()
+    newBatch.select(col(idCol), md5(col(textCol)).as("__k"))
+      .join(storeKeys.withColumn("__hit", lit(true)), Seq("__k"), "left")
+      .select(col(idCol), coalesce(col("__hit"), lit(false)).as("exact_dup"))
+      .join(best, Seq(idCol), "left")
+  }
 }

@@ -167,6 +167,38 @@ object TextAnalysis {
     conv(substring(md5(concat(text, lit(salt))), 1, 8), 16, 10)
       .cast("long") % 100
 
+  /** [[hashBucket]] at arbitrary resolution: bucket in [0, mod) from the
+    * first 8 hex chars of md5(text ‖ salt). ppm-resolution (mod = 1e6)
+    * backs sampling-rate comparisons where 1% granularity is too coarse.
+    */
+  def hashBucketMod(text: Column, salt: String, mod: Long): Column =
+    conv(substring(md5(concat(text, lit(salt))), 1, 8), 16, 10)
+      .cast("long") % mod
+
+  // ---- normalization (training-data canonical form) ----
+  // The accent map is an explicit lowercase Latin table rather than a
+  // Unicode normalizer: NFD/NFKD tables differ across ICU versions and
+  // engines, while `translate` with a fixed map means the same thing
+  // everywhere (Spark, DuckDB, any SQL engine) — normalized corpora stay
+  // byte-identical across engine migrations.
+  val accentFrom = "áàâäãåāéèêëēíìîïīóòôöõōúùûüūçñýÿšž"
+  val accentTo   = "aaaaaaaeeeeeiiiiiooooooouuuuucnyysz"
+
+  /** Canonical text normalization: lowercase → strip accents (fixed
+    * map) → control chars to spaces → collapse whitespace runs → trim.
+    * Pure codegen projection (translate + regexp_replace) — no UDF, no
+    * shuffle, safe to push below any downstream dedup/hash step. Order
+    * matters: lowercasing first means the accent map needs only
+    * lowercase entries; control-strip before collapse so a control run
+    * becomes one space.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        translate(lower(text), accentFrom, accentTo),
+        "[\\x00-\\x1f\\x7f]", " "),
+      "\\s+", " "))
+
   /** Within-document n-gram repetition: 1 − distinct/total n-gram
     * positions — the C4/Gopher-style boilerplate signal (near 0 for
     * natural prose, toward 1 for templated/repeated text); 0.0 for docs

@@ -68,4 +68,42 @@ object Windows {
         .otherwise(prevV + (nextV - prevV) *
           ((rn - prevRn).cast("double") / (nextRn - prevRn).cast("double"))))
   }
+
+  /** Distributed global running sum (inclusive prefix sum over the total
+    * order of `orderCol`) — the scalable form of
+    * `sum(x) OVER (ORDER BY o)`, which Spark plans as a SINGLE-partition
+    * window (one task owns every row: the classic global-window
+    * scale-killer). Classic two-phase prefix sum instead: range-partition
+    * by `orderCol`, compute per-partition totals (one tiny row each),
+    * prefix-sum those on the driver-sized frame, broadcast the offsets
+    * back, and run the running sum per partition in parallel. Every
+    * partition works concurrently; the only serial step is over
+    * #partitions rows.
+    *
+    * `orderCol` must be globally unique (range partitioning must not
+    * split ties across partitions). The ranged frame is checkpointed:
+    * RangePartitioner samples its bounds, so the two consumers must see
+    * the same physical partitioning for the offsets to line up.
+    */
+  def globalRunningSum(df: DataFrame, orderCol: String, valueCol: String,
+                       out: String, partitions: Int = 0): DataFrame = {
+    val parts =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    // #partitions rows: the single-partition window here is over a frame
+    // that FITS by construction (one row per partition)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__psum"))
+      .withColumn("__offset",
+        coalesce(sum(col("__psum")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__offset") + sum(col(valueCol)).over(w))
+      .drop("__pid", "__offset")
+  }
 }

@@ -14,7 +14,8 @@ final case class Q(
 
 object Registry {
   def all: Seq[Q] =
-    Relational.qs ++ TextQueries.qs ++ SimilarityQueries.qs ++ ModelQueries.qs
+    Relational.qs ++ TextQueries.qs ++ SimilarityQueries.qs ++
+      ModelQueries.qs ++ CurationQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
