@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Dedup, TextAnalysis => TA, Windows}
+import graft.ops.{Dedup, Layout, TextAnalysis => TA, Windows}
 
 /** Round-4 corpus-curation operators: canonical text normalization,
   * substring-level (stride-1) duplication profiling, sequence packing,
@@ -110,6 +110,124 @@ object CurationQueries {
                      (tok_end - n_tokens) // 512 AS first_seq,
                      (tok_end - 1) // 512 AS last_seq,
                      (tok_end - 1) // 512 - (tok_end - n_tokens) // 512 + 1 AS n_seqs
-              FROM c"""))
+              FROM c""")),
+
+    // ---- temperature-scaled source mixture (T=2 via sqrt — IEEE
+    //      requires sqrt correctly rounded, so the weights are
+    //      bit-identical across engines; everything after the one sqrt
+    //      is integer arithmetic) + deterministic md5 sampling at the
+    //      resulting per-source rate, against a 10k-token budget ----
+    Q("q82_mixture_sampling",
+      (s, dir) => {
+        val t = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            TA.tokenCount(col("text")).cast("long").as("n_tok"))
+        val src = t.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+        val w = src.select(col("source"), col("n_tokens"),
+          floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long").as("w_int"))
+        val tot = w.agg(sum(col("w_int")).as("tot"))
+        val rates = w.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            expr("w_int * 1000000 div tot").as("share_ppm"))
+          .withColumn("rate_ppm",
+            least(lit(1000000L), expr("10000 * share_ppm div n_tokens")))
+        t.join(broadcast(rates.select(col("source"), col("share_ppm"), col("rate_ppm"))),
+            Seq("source"))
+          .select(col("doc_id"), col("source"), col("share_ppm"), col("rate_ppm"),
+            (TA.hashBucketMod(col("text"), "mix", 1000000L) < col("rate_ppm"))
+              .as("sampled"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, source, text,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                         AS n_tok
+                FROM documents),
+              src AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                      FROM t GROUP BY 1),
+              w AS (SELECT source, n_tokens,
+                           CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)
+                             AS w_int
+                    FROM src),
+              tot AS (SELECT CAST(sum(w_int) AS BIGINT) AS tot FROM w),
+              r AS (SELECT source, n_tokens,
+                           w_int * 1000000 // tot AS share_ppm
+                    FROM w, tot),
+              r2 AS (SELECT source, share_ppm,
+                            least(1000000, 10000 * share_ppm // n_tokens) AS rate_ppm
+                     FROM r)
+              SELECT t.doc_id, t.source, r2.share_ppm, r2.rate_ppm,
+                     (CAST(CAST(('0x' || substr(md5(t.text || 'mix'), 1, 8)) AS UBIGINT)
+                           % 1000000 AS BIGINT) < r2.rate_ppm) AS sampled
+              FROM t JOIN r2 USING (source)""")),
+
+    // ---- Z-order (Morton) layout key over events (user_id × epoch-day):
+    //      pure 64-bit shift/mask arithmetic, identical in any engine;
+    //      zbucket is the file-assignment a Z-ordered writer would use ----
+    Q("q83_zorder",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val x = pmod(col("user_id"), lit(65536L)).cast("long")
+        val y = datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+        e.select(col("event_id"),
+          Layout.zorder2(x, y).as("zval"))
+          .withColumn("zbucket", expr("zval div 65536"))
+      },
+      Some {
+        // CAST to BIGINT: spread16's last step shifts past 2^31 — 32-bit
+        // arithmetic would overflow in the oracle engine
+        val x = "(CAST(user_id % 65536 AS BIGINT))"
+        val y = "(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT))"
+        s"""SELECT event_id,
+           |  ${Layout.zorder2Sql(x, y)} AS zval,
+           |  ${Layout.zorder2Sql(x, y)} // 65536 AS zbucket
+           |FROM events""".stripMargin
+      }),
+
+    // ---- incremental batch-vs-store dedup: exact (md5) + best near
+    //      match via exact-recall prefix filtering, new×store only ----
+    Q("q85_incremental_dedup",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val r = Dedup.incrementalDedup(
+          d.where(col("doc_id") % 7 === 3), d.where(col("doc_id") % 7 =!= 3),
+          "text", "doc_id", shingleN = 3, threshold = 0.7)
+        r.select(col("doc_id"), col("exact_dup"), col("best_old_id"),
+          round(col("best_jaccard"), 6).as("best_jaccard"))
+      },
+      Some("""WITH newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3),
+              old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+              shn AS (
+                SELECT doc_id,
+                  list_distinct([substr(text, CAST(i AS INTEGER), 3)
+                    FOR i IN generate_series(1, greatest(length(text) - 2, 0))]) AS s
+                FROM newb),
+              sho AS (
+                SELECT doc_id,
+                  list_distinct([substr(text, CAST(i AS INTEGER), 3)
+                    FOR i IN generate_series(1, greatest(length(text) - 2, 0))]) AS s
+                FROM old),
+              pairs AS (
+                SELECT n.doc_id AS nid, o.doc_id AS oid,
+                  len(list_filter(n.s, x -> list_contains(o.s, x))) AS inter,
+                  len(n.s) + len(o.s)
+                    - len(list_filter(n.s, x -> list_contains(o.s, x))) AS uni
+                FROM shn n, sho o),
+              v AS (
+                SELECT nid, oid, CAST(inter AS DOUBLE) / uni AS j
+                FROM pairs
+                WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.7),
+              best AS (
+                SELECT nid, oid, j,
+                       row_number() OVER (PARTITION BY nid
+                                          ORDER BY j DESC, oid ASC) AS rn
+                FROM v),
+              ex AS (SELECT DISTINCT md5(text) AS k FROM old)
+              SELECT n.doc_id,
+                     (ex.k IS NOT NULL) AS exact_dup,
+                     b.oid AS best_old_id,
+                     round(b.j, 6) AS best_jaccard
+              FROM newb n
+              LEFT JOIN ex ON md5(n.text) = ex.k
+              LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.nid"""))
   )
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorder2 interleaves bits (known values)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(Layout.zorder2(col("x"), col("y")).as("z"))
+    val z = df.collect().map(_.getLong(0))
+    assert(z(0) == 0L)
+    assert(z(1) == 1L)          // x bit 0 -> position 0
+    assert(z(2) == 2L)          // y bit 0 -> position 1
+    // x=3 (bits 0,1 -> pos 0,2 = 5); y=5 (bits 0,2 -> pos 1,5 = 34)
+    assert(z(3) == 39L)
+    assert(z(4) == 0xFFFFFFFFL) // full 16+16 bits -> all 32 bits set
+  }
+
+  test("zorder2 masks inputs to 16 bits") {
+    val r = Seq((65536L + 3L, 0L)).toDF("x", "y")
+      .select(Layout.zorder2(col("x"), col("y")).as("z")).head().getLong(0)
+    assert(r == 5L) // the 2^16 bit is dropped; only x=3 survives
+  }
+
+  test("writeZOrdered: per-file bounding boxes beat a linear sort for 2-D pruning") {
+    // 64x64 uniform grid; 16 files. Z-ordered files cover small squares:
+    // every file's x-span * y-span should be far below the global area.
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    val path = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    Layout.writeZOrdered(df, path, col("x"), col("y"), numFiles = 16)
+    val withFile = spark.read.parquet(path)
+      .select(col("x"), col("y"), input_file_name().as("f"))
+    val boxes = withFile.groupBy("f")
+      .agg((max(col("x")) - min(col("x"))).as("xs"),
+        (max(col("y")) - min(col("y"))).as("ys"))
+      .collect()
+    assert(boxes.length > 1)
+    val worstArea = boxes.map(r => (r.getLong(1) + 1) * (r.getLong(2) + 1)).max
+    // global area 64*64 = 4096 over 16 files; allow 2x slack over the
+    // ideal 256 for boxes that straddle a Z-cell boundary
+    assert(worstArea <= 512, s"worst per-file bounding box area $worstArea")
+    // a linear sort on x would give every file the FULL y-span (63)
+    val worstY = boxes.map(_.getLong(2)).max
+    assert(worstY < 63)
+  }
+}
