@@ -228,6 +228,20 @@ object CurationQueries {
                      round(b.j, 6) AS best_jaccard
               FROM newb n
               LEFT JOIN ex ON md5(n.text) = ex.k
-              LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.nid"""))
+              LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.nid""")),
+
+    // ---- fastText-style quality classifier: hashed-BoW logistic
+    //      regression trained distributed (two hash-aggs per GD step,
+    //      model collect is ≤ dim+1 rows) on the weak label lang='en',
+    //      scoring the whole corpus. Iterative float fit → rows-only ----
+    Q("q84_quality_classifier",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.model.LogReg.trainScore(d, "text", "doc_id",
+            col("lang") === "en", dim = 128, iters = 12)
+          .select(col("doc_id"), round(col("score"), 4).as("score"),
+            (col("score") >= 0.5).as("pred_en"))
+      },
+      None)
   )
 }

@@ -1,0 +1,53 @@
+package graft.model
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LogRegSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    // linearly separable by vocabulary: English-ish vs German-ish docs
+    val en = Seq("the and of to is that for with", "the cat is on the mat and happy",
+      "that dog runs with the ball for fun", "is it the best of times and worst")
+    val de = Seq("der die das und ist nicht ein mit", "der hund ist nicht mit dem ball",
+      "die katze und der vogel mit futter", "das ist nicht der beste und letzte")
+    (0 until 200).map { i =>
+      val base = if (i % 2 == 0) en(i / 2 % en.length) else de(i / 2 % de.length)
+      (i.toLong, s"$base tail$i", i % 2 == 0)
+    }.toDF("doc_id", "text", "is_en")
+  }
+
+  test("separable weak labels: accuracy >= 0.95, scores in (0,1)") {
+    val df = corpus
+    val scored = LogReg.trainScore(df, "text", "doc_id", col("is_en"),
+      dim = 64, iters = 15, lr = 5.0)
+    val joined = scored.join(df.select(col("doc_id"), col("is_en")), Seq("doc_id"))
+    val n = joined.count().toDouble
+    val correct = joined
+      .where((col("score") >= 0.5) === col("is_en")).count().toDouble
+    assert(correct / n >= 0.95, s"accuracy ${correct / n}")
+    val bounds = scored.agg(min(col("score")), max(col("score"))).head()
+    assert(bounds.getDouble(0) > 0.0 && bounds.getDouble(1) < 1.0)
+  }
+
+  test("training moves scores in the right direction (vs the 0.5 prior)") {
+    val df = corpus
+    val scored = LogReg.trainScore(df, "text", "doc_id", col("is_en"),
+      dim = 64, iters = 15, lr = 5.0)
+    val avg = scored.join(df.select(col("doc_id"), col("is_en")), Seq("doc_id"))
+      .groupBy(col("is_en")).agg(org.apache.spark.sql.functions.avg("score").as("s"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(avg(true) > 0.7 && avg(false) < 0.3,
+      s"class means ${avg(true)} / ${avg(false)}")
+  }
+
+  test("hashedFeatures: bias row present, L1-normalized tokens") {
+    val df = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val f = LogReg.hashedFeatures(df, "text", "doc_id", dim = 16)
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
+    assert(f.exists { case (b, x) => b == 16 && x == 1.0 }) // bias bucket
+    val tokenRows = f.filter(_._1 != 16)
+    assert(math.abs(tokenRows.map(_._2).sum - 1.0) < 1e-9)  // L1 norm
+  }
+}
