@@ -39,10 +39,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // With a query filter, write the partial map to a DISTINCT file so a
+    // filtered local run against a previously-full outDir can never shrink
+    // the driver's oracle coverage (stale parquet would keep rows-only
+    // checks while their oracle entries silently vanished).
+    val oracleFile =
+      if (only.isEmpty) "oracle_sql.json" else "oracle_sql.partial.json"
+    if (only.nonEmpty)
+      System.err.println(s"[verify] query filter active -> writing $oracleFile (oracle_sql.json untouched)")
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (parameter-server-in-miniature): the MODEL is tiny (a
   * dim+1 double vector on the driver) while the DATA never leaves the
-  * executors. Each gradient-descent iteration is two hash aggregations
-  * over the sparse feature rows — (doc, bucket, x) triples — plus a
-  * collect of at most dim+1 partial-gradient rows. No per-row UDF: the
-  * margin is a broadcast-join dot product and the sigmoid/gradient are
-  * codegen'd column arithmetic. At 100 TB the feature frame is the only
-  * big thing, and it is touched exactly `iters` times, always as a
-  * scan+agg — no driver-side row iteration anywhere.
+  * executors. The sparse (doc, bucket, x) rows are pivoted ONCE into a
+  * doc-array frame — one row per doc with sorted bucket/x arrays — and
+  * checkpointed; each gradient-descent iteration is then a single job:
+  * the margin w·x is computed map-side against the plan-shipped weight
+  * array (no per-doc shuffle), and the only exchange carries the
+  * partially-aggregated per-bucket gradient (≤ dim+1 rows per
+  * partition, ≤ dim+1 rows collected). At 100 TB the pivoted training
+  * frame is the only big thing, and it is touched exactly `iters`
+  * times, always as a scan + tiny agg — no driver-side row iteration.
   *
   * The bias is feature bucket `dim` (constant x=1 per doc), so one
   * aggregation computes every gradient component including the
@@ -45,35 +47,50 @@ object LogReg {
       .unionByName(df.select(col(idCol), lit(dim).as("bucket"), lit(1.0).as("x")))
   }
 
-  /** Batch gradient descent with L2 (not on the bias). `labels` is
-    * (idCol, y) with y in {0,1}. Deterministic given the data: zero
-    * init, fixed step count — no sampling, no shuffling-order
-    * dependence beyond float-sum rounding.
+  /** Pivot sparse (id, bucket, x) rows to one row per doc with sorted
+    * parallel arrays — buckets are unique per doc, so the sort makes
+    * every downstream float sum order-deterministic.
     */
-  def train(features: DataFrame, labels: DataFrame, idCol: String, dim: Int,
-            iters: Int = 12, lr: Double = 5.0, l2: Double = 1e-4): Model = {
-    val spark = features.sparkSession
-    import spark.implicits._
-    // one materialized (doc, bucket, x, y) frame feeds every iteration —
-    // at cluster scale this is the cached/checkpointed training set
-    val f = features.join(labels, Seq(idCol))
-      .select(col(idCol), col("bucket"), col("x"), col("y").cast("double"))
-      .localCheckpoint(false)
-    val nDocs = math.max(labels.count(), 1L).toDouble
+  private def docFeatures(features: DataFrame, idCol: String): DataFrame =
+    features.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("x")))).as("__bx"))
+      .select(col(idCol),
+        col("__bx.bucket").as("__b"), col("__bx.x").as("__x"))
+
+  /** Map-side margin w·x over the doc arrays: the weight vector rides in
+    * the plan as an array literal, so no join and no shuffle.
+    */
+  private def marginCol(w: Array[Double]): Column = {
+    // typedlit (ArrayType Literal), NOT array(lit...): a array-typed
+    // Literal rides in the codegen reference table, so every iteration's
+    // plan compiles to the SAME generated source and the codegen cache
+    // hits — array(lit...) would inline 129 values and force a fresh
+    // compile per GD step
+    val wLit = typedlit(w.toIndexedSeq)
+    aggregate(
+      zip_with(col("__b"), col("__x"),
+        (b, x) => x * element_at(wLit, b + 1)),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** GD loop over a pivoted-and-materialized doc frame with a __y label
+    * column (no nulls). One job per iteration: map-side margin/residual,
+    * explode to (bucket, g·x), partial-agg per bucket, collect ≤ dim+1
+    * rows.
+    */
+  private def trainDocs(f: DataFrame, dim: Int, iters: Int, lr: Double,
+                        l2: Double, nDocs: Double): Model = {
     val w = Array.fill(dim + 1)(0.0)
     for (_ <- 0 until iters) {
-      val wDf = broadcast(w.zipWithIndex
-        .map { case (wv, i) => (i, wv) }.toSeq.toDF("bucket", "__w"))
-      // per-doc residual g = sigmoid(w·x) − y  (bias lives in the dot
-      // product via the bucket=dim feature row)
-      val resid = f.join(wDf, Seq("bucket"))
-        .groupBy(col(idCol))
-        .agg(sum(col("x") * col("__w")).as("__m"), first(col("y")).as("__y"))
-        .select(col(idCol),
-          (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y")).as("__g"))
-      // per-bucket gradient: sum over docs of g·x — ≤ dim+1 rows collect
-      val grads = f.join(resid, Seq(idCol))
-        .groupBy(col("bucket")).agg(sum(col("__g") * col("x")).as("__gw"))
+      // per-doc residual g = sigmoid(w·x) − y, then per-bucket gradient
+      // sum over docs of g·x — partial aggregation collapses the explode
+      // before the exchange, so the shuffle carries ≤ dim+1 rows/partition
+      val g = (lit(1.0) / (lit(1.0) + exp(-marginCol(w))) - col("__y")).as("__g")
+      val grads = f.select(col("__b"), col("__x"), g)
+        .select(explode(zip_with(col("__b"), col("__x"),
+          (b, x) => struct(b.as("bucket"), (x * col("__g")).as("gx")))).as("__e"))
+        .groupBy(col("__e.bucket").as("bucket"))
+        .agg(sum(col("__e.gx")).as("__gw"))
         .collect()
       grads.foreach { r =>
         val i = r.getInt(0)
@@ -84,27 +101,52 @@ object LogReg {
     Model(w, dim)
   }
 
-  /** Score feature rows with a trained model: (idCol, score) with
-    * score = sigmoid(w·x) ∈ (0,1). Broadcast-join dot product.
+  /** Batch gradient descent with L2 (not on the bias). `labels` is
+    * (idCol, y) with y in {0,1}; NULL labels are dropped (an unlabeled
+    * doc must neither poison a bucket's gradient with null sums nor
+    * inflate nDocs and silently shrink the learning rate).
+    * Deterministic given the data: zero init, fixed step count, sorted
+    * per-doc arrays — no sampling, no shuffling-order dependence beyond
+    * cross-doc float-sum rounding.
     */
-  def score(features: DataFrame, model: Model, idCol: String): DataFrame = {
-    val spark = features.sparkSession
-    import spark.implicits._
-    val wDf = broadcast(model.weights.zipWithIndex
-      .map { case (wv, i) => (i, wv) }.toSeq.toDF("bucket", "__w"))
-    features.join(wDf, Seq("bucket"))
-      .groupBy(col(idCol)).agg(sum(col("x") * col("__w")).as("__m"))
-      .select(col(idCol), (lit(1.0) / (lit(1.0) + exp(-col("__m")))).as("score"))
+  def train(features: DataFrame, labels: DataFrame, idCol: String, dim: Int,
+            iters: Int = 12, lr: Double = 5.0, l2: Double = 1e-4): Model = {
+    val lab = labels.where(col("y").isNotNull)
+      .select(col(idCol), col("y").cast("double").as("__y"))
+    // one materialized doc-array frame feeds every iteration — at
+    // cluster scale this is the cached/checkpointed training set
+    val f = docFeatures(features, idCol).join(lab, Seq(idCol))
+      .localCheckpoint(false)
+    val nDocs = math.max(f.count(), 1L).toDouble
+    trainDocs(f, dim, iters, lr, l2, nDocs)
   }
 
-  /** End-to-end convenience: train on weak labels, score every doc. */
+  /** Score feature rows with a trained model: (idCol, score) with
+    * score = sigmoid(w·x) ∈ (0,1). Map-side dot product over the doc
+    * arrays — the one groupBy is the pivot itself.
+    */
+  def score(features: DataFrame, model: Model, idCol: String): DataFrame =
+    scoreDocs(docFeatures(features, idCol), model, idCol)
+
+  private def scoreDocs(f: DataFrame, model: Model, idCol: String): DataFrame =
+    f.select(col(idCol),
+      (lit(1.0) / (lit(1.0) + exp(-marginCol(model.weights)))).as("score"))
+
+  /** End-to-end convenience: train on weak labels (NULL labels excluded
+    * from training), score every doc. Pivots once; the checkpointed
+    * doc-array frame feeds all `iters` gradient jobs and the final
+    * scoring pass.
+    */
   def trainScore(df: DataFrame, textCol: String, idCol: String,
                  label: Column, dim: Int = 128, iters: Int = 12,
                  lr: Double = 5.0): DataFrame = {
-    val feat = hashedFeatures(df, textCol, idCol, dim)
+    val labels = df.select(col(idCol), label.cast("int").cast("double").as("__y"))
+    val f = docFeatures(hashedFeatures(df, textCol, idCol, dim), idCol)
+      .join(labels, Seq(idCol), "left")
       .localCheckpoint(false) // feeds every GD iteration + final scoring
-    val labels = df.select(col(idCol), label.cast("int").as("y"))
-    val model = train(feat, labels, idCol, dim, iters, lr)
-    score(feat, model, idCol)
+    val train = f.where(col("__y").isNotNull)
+    val nDocs = math.max(train.count(), 1L).toDouble
+    val model = trainDocs(train, dim, iters, lr, l2 = 1e-4, nDocs = nDocs)
+    scoreDocs(f, model, idCol)
   }
 }

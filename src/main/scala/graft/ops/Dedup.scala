@@ -377,7 +377,9 @@ object Dedup {
     * for the prefix principle to hold. Returns one row per new doc:
     * whether its exact text (md5) already exists in the store, and its
     * best store match at `threshold` (highest Jaccard, ties to the
-    * smallest store id), NULL when nothing clears the bar.
+    * smallest store id), NULL when nothing clears the bar. Batch and
+    * store ids are independent sequences and MAY collide: every internal
+    * step keys on (id, side), so a reused id never mixes the two docs.
     */
   def incrementalDedup(newBatch: DataFrame, store: DataFrame,
                        textCol: String, idCol: String,
@@ -392,7 +394,10 @@ object Dedup {
       explode(col("__sh")).as("__tok"))
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
     val prefix = toks.join(freq, Seq("__tok"))
-      .withColumn("__r", row_number().over(Window.partitionBy(col(idCol))
+      // partition by (id, side): a doc_id reused across batch and store
+      // must not share one prefix window, or row_number interleaves the
+      // two docs' tokens and truncates/mixes their prefixes
+      .withColumn("__r", row_number().over(Window.partitionBy(col(idCol), col("__new"))
         .orderBy(col("__freq").asc, col("__tok").asc)))
       .where(col("__r") <= col("__len") - ceil(lit(threshold) * col("__len") - lit(1e-9)) + 1)
       .select(col("__tok"), col(idCol), col("__new"), col("__len"))
@@ -407,8 +412,10 @@ object Dedup {
       .select(col("__nid"), col("__oid"))
       .distinct()
     val verified = candidates
-      .join(sh.select(col(idCol).as("__nid"), col("__sh").as("__sh_n")), Seq("__nid"))
-      .join(sh.select(col(idCol).as("__oid"), col("__sh").as("__sh_o")), Seq("__oid"))
+      .join(sh.where(col("__new"))
+        .select(col(idCol).as("__nid"), col("__sh").as("__sh_n")), Seq("__nid"))
+      .join(sh.where(!col("__new"))
+        .select(col(idCol).as("__oid"), col("__sh").as("__sh_o")), Seq("__oid"))
       .select(col("__nid"), col("__oid"),
         TextAnalysis.jaccard(col("__sh_n"), col("__sh_o")).as("jaccard"))
       .where(col("jaccard") >= threshold)

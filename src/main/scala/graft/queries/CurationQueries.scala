@@ -83,7 +83,12 @@ object CurationQueries {
     //      cumsum via the DISTRIBUTED prefix sum (Windows.globalRunningSum
     //      — parallel per partition, not Spark's single-task global
     //      window), then pure integer arithmetic per doc: which packed
-    //      ctx=512 sequences the doc spans ----
+    //      ctx=512 sequences the doc spans.
+    //      PARITY INVARIANT (cf. the q83 CAST-to-BIGINT note): Spark `div`
+    //      truncates toward zero while DuckDB `//` floors — they agree
+    //      here ONLY because every operand is provably non-negative
+    //      (tokenCount >= 1 even for empty text: split yields [""], so
+    //      tok_end >= 1 and tok_end-1 >= 0). Keep it that way. ----
     Q("q81_sequence_packing",
       (s, dir) => {
         val t = Tables.load(s, dir, "documents")
@@ -116,7 +121,10 @@ object CurationQueries {
     //      requires sqrt correctly rounded, so the weights are
     //      bit-identical across engines; everything after the one sqrt
     //      is integer arithmetic) + deterministic md5 sampling at the
-    //      resulting per-source rate, against a 10k-token budget ----
+    //      resulting per-source rate, against a 10k-token budget.
+    //      Same div-vs-// invariant as q81: all shares/rates/totals are
+    //      non-negative by construction (counts and floor(sqrt) weights),
+    //      so truncate-toward-zero and floor agree ----
     Q("q82_mixture_sampling",
       (s, dir) => {
         val t = Tables.load(s, dir, "documents")

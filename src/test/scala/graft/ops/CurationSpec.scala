@@ -96,4 +96,26 @@ class CurationSpec extends SparkSpec {
     val r = Dedup.incrementalDedup(batch, store, "text", "doc_id")
     assert(r.count() == 1 && r.head().getLong(0) == 10L)
   }
+
+  test("incrementalDedup tolerates doc_id collisions between batch and store") {
+    // batch and store use INDEPENDENT id sequences: id 1 exists on both
+    // sides with different text. The colliding batch doc must still find
+    // its true store match (id 2), with one output row and the correct
+    // Jaccard — not a self-pairing or a mixed-prefix miss.
+    val store = Seq(
+      (1L, "an entirely different store document about spark and scale"),
+      (2L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // near dup of STORE 2, id collides with STORE 1
+      (3L, "completely novel content nothing like the store at all xyzzy")
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(batch, store, "text", "doc_id",
+      shingleN = 3, threshold = 0.6).orderBy("doc_id").collect()
+    assert(r.length == 2, s"expected one row per batch doc, got ${r.length}")
+    assert(r(0).getLong(0) == 1L && !r(0).getBoolean(1))
+    assert(r(0).getLong(2) == 2L, s"best_old_id ${r(0).get(2)}")
+    assert(r(0).getDouble(3) >= 0.6)
+    assert(r(1).getLong(0) == 3L && r(1).isNullAt(2))
+  }
 }
