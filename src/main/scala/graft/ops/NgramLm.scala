@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus n-gram language-model scoring — the classic KenLM-style
+  * fluency/perplexity signal of training-data pipelines (filtering by
+  * LM score), re-expressed as pure relational algebra with exact
+  * integer probabilities so the scores are bit-identical across
+  * engines.
+  *
+  * The model IS the corpus: bigram and unigram-prefix counts are
+  * aggregated once, then each document's bigrams join back to the
+  * counts and average an add-one-smoothed conditional probability
+  * quantized to parts-per-million:
+  *
+  *   p_ppm(w2|w1)  = (c(w1,w2) + 1) * 1e6  div  (c(w1,·) + V)
+  *   lm_ppm(doc)   = Σ p_ppm over the doc's bigrams  div  n_bigrams
+  *
+  * (V = corpus vocabulary size, the add-one denominator.) No log, no
+  * float: libm log differs in the last ulp across engines, so the
+  * standard avg-log-prob is replaced by avg smoothed probability — the
+  * FILTERING ORDER it induces is the same for the screening use case,
+  * and the arithmetic is exactly reproducible. All quantities are
+  * non-negative, so `div` (truncate) and `//` (floor) agree.
+  *
+  * Scale shape: tokenize → explode bigrams (one shuffle to count),
+  * broadcast-join nothing — the bigram-count join is a shuffle join on
+  * the bigram key (the count table is corpus-sized), and the per-doc
+  * average is a map-side-combinable agg on doc_id. The V scalar rides
+  * via a 1-row broadcast cross join. Three shuffles total, each
+  * carrying (hash-sized) token keys, never text.
+  */
+object NgramLm {
+
+  /** Per-document bigram LM score. Output: idCol, n_bigrams,
+    * lm_ppm (NULL for docs with < 2 tokens — nothing to score).
+    */
+  def bigramScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      TextAnalysis.tokens(lower(col(textCol))).as("__w"))
+    // (doc, w1, w2) exploded bigrams: zip the array with its tail
+    val bigrams = toks.select(col(idCol),
+      explode(zip_with(
+        slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))),
+        slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+      .localCheckpoint(false) // feeds counts AND the scoring join
+    val c12 = bigrams.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val c1 = bigrams.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = toks.select(explode(col("__w")).as("__t"))
+      .agg(countDistinct(col("__t")).as("__v"))
+    val scored = bigrams
+      .join(c12, Seq("__w1", "__w2"))
+      .join(c1, Seq("__w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        expr("(__c12 + 1) * 1000000 div (__c1 + __v)").as("__p_ppm"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__p_ppm")).as("__sp"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("__sp div n_bigrams").as("lm_ppm"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_ppm"))
+  }
+
+  /** One round of BPE-style vocabulary induction at corpus scale: count
+    * every within-word adjacent character pair and return the `topK`
+    * merge candidates with a deterministic total order (count desc, pair
+    * asc). This is the inner loop of tokenizer training — at 100 TB the
+    * pair counting is the expensive part and is exactly this explode +
+    * count shuffle (pairs are ≤ a few thousand distinct keys, so the
+    * map-side combine collapses almost everything before the exchange).
+    * Output: pair, cnt, rank.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("__word"))
+    val p = words.where(length(col("__word")) >= 2)
+      .select(explode(sequence(lit(1), length(col("__word")) - 1)).as("__i"),
+        col("__word"))
+      .select(expr("substr(__word, __i, 2)").as("pair"))
+    p.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("pair").asc)))
+      .where(col("rank") <= topK)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher/C4-style rule-based quality filtering — the deterministic
+  * cousin of the learned classifier (model/LogReg): a battery of cheap
+  * per-document statistics with hard thresholds, the standard first
+  * pass over a raw web crawl before any model-based scoring
+  * (cf. Gopher's quality heuristics and C4's cleaning rules).
+  *
+  * Every metric is exact integer / parts-per-million arithmetic — no
+  * floats — so an external engine (or the DuckDB oracle) reproduces the
+  * numbers bit-for-bit, and the rule outcomes are portable across the
+  * fleet. All metrics are non-negative by construction, so truncating
+  * integer division (Spark `div`) and flooring division (DuckDB `//`)
+  * agree — same invariant as the q81/q83 queries.
+  *
+  * Scale shape: one narrow projection over the corpus — no shuffle, no
+  * join, no UDF; the token work is Catalyst HOFs over the split array.
+  * At 100 TB this is a single map-only pass that fuses into whatever
+  * scan feeds it.
+  */
+object QualityRules {
+
+  final case class Thresholds(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLenPpm: Long = 3000000L, maxMeanWordLenPpm: Long = 10000000L,
+      minStopwordPpm: Long = 20000L,   // ≥ 2% stopwords
+      minAlphaWordPpm: Long = 800000L, // ≥ 80% of words contain a letter
+      maxSymbolPpm: Long = 100000L)    // ≤ 10% symbol characters
+
+  /** Per-document rule metrics + individual rule verdicts + the overall
+    * pass flag. Output columns (beyond idCol): n_words, n_word_chars,
+    * mean_word_len_ppm, stopword_ppm, alpha_word_ppm, symbol_ppm,
+    * pass_words, pass_word_len, pass_stopwords, pass_alpha, pass_symbols,
+    * pass_all.
+    */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+                  stopwords: Seq[String] = TextAnalysis.defaultStopwords,
+                  t: Thresholds = Thresholds()): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val nWords = size(toks).cast("long")
+    // total characters inside words (whitespace excluded) — robust to
+    // repeated separators, unlike length(text) - (n-1)
+    val nWordChars = aggregate(transform(toks, w => length(w).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val nStop = size(filter(toks, w => w.isInCollection(stopwords))).cast("long")
+    val nAlpha = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    // count of non-alnum, non-space chars
+    val nSymbols = nChars -
+      length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", "")).cast("long")
+    df.select(col(idCol),
+        nWords.as("n_words"),
+        nWordChars.as("n_word_chars"),
+        nStop.as("__nstop"), nAlpha.as("__nalpha"),
+        nChars.as("__nchars"), nSymbols.as("__nsym"))
+      .select(col(idCol), col("n_words"), col("n_word_chars"),
+        expr("n_word_chars * 1000000 div n_words").as("mean_word_len_ppm"),
+        expr("__nstop * 1000000 div n_words").as("stopword_ppm"),
+        expr("__nalpha * 1000000 div n_words").as("alpha_word_ppm"),
+        when(col("__nchars") > 0, expr("__nsym * 1000000 div __nchars"))
+          .otherwise(0L).as("symbol_ppm"))
+      .select(col(idCol), col("n_words"), col("n_word_chars"),
+        col("mean_word_len_ppm"), col("stopword_ppm"), col("alpha_word_ppm"),
+        col("symbol_ppm"),
+        (col("n_words") >= t.minWords && col("n_words") <= t.maxWords)
+          .as("pass_words"),
+        (col("mean_word_len_ppm") >= t.minMeanWordLenPpm &&
+          col("mean_word_len_ppm") <= t.maxMeanWordLenPpm).as("pass_word_len"),
+        (col("stopword_ppm") >= t.minStopwordPpm).as("pass_stopwords"),
+        (col("alpha_word_ppm") >= t.minAlphaWordPpm).as("pass_alpha"),
+        (col("symbol_ppm") <= t.maxSymbolPpm).as("pass_symbols"))
+      .withColumn("pass_all",
+        col("pass_words") && col("pass_word_len") && col("pass_stopwords") &&
+          col("pass_alpha") && col("pass_symbols"))
+  }
+}

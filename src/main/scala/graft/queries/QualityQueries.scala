@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{NgramLm, QualityRules, VectorOps, Winnow}
+
+/** Round-5 corpus-quality operators: Gopher-style rule filtering,
+  * corpus bigram-LM scoring, winnowing (MOSS) fingerprints, int8
+  * embedding quantization, and BPE-pair vocabulary induction. All five
+  * are exact-arithmetic formulations (integer/ppm, md5 hashes,
+  * correctly-rounded IEEE steps) so each has a full DuckDB oracle.
+  */
+object QualityQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- Gopher/C4 rule battery: integer/ppm metrics + hard-threshold
+    //      verdicts, one map-only pass (the deterministic pre-filter in
+    //      front of the learned classifier q84) ----
+    Q("q86_gopher_rules",
+      (s, dir) => QualityRules.gopherRules(
+        Tables.load(s, dir, "documents"), "text", "doc_id"),
+      Some("""WITH w AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+                       CAST(length(text) AS BIGINT) AS nchars
+                FROM documents),
+              m AS (
+                SELECT doc_id,
+                  CAST(len(ws) AS BIGINT) AS n_words,
+                  CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT)
+                    AS n_word_chars,
+                  CAST(len(list_filter(ws, x -> list_contains(
+                    ['the','a','an','of','and','to','in','is','it','that'], x)))
+                    AS BIGINT) AS nstop,
+                  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                    AS BIGINT) AS nalpha,
+                  nchars,
+                  nchars - CAST(length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+                    AS BIGINT) AS nsym
+                FROM w),
+              p AS (
+                SELECT doc_id, n_words, n_word_chars,
+                  n_word_chars * 1000000 // n_words AS mean_word_len_ppm,
+                  nstop * 1000000 // n_words AS stopword_ppm,
+                  nalpha * 1000000 // n_words AS alpha_word_ppm,
+                  CASE WHEN nchars > 0 THEN nsym * 1000000 // nchars
+                       ELSE 0 END AS symbol_ppm
+                FROM m)
+              SELECT doc_id, n_words, n_word_chars, mean_word_len_ppm,
+                     stopword_ppm, alpha_word_ppm, symbol_ppm,
+                     (n_words >= 50 AND n_words <= 100000) AS pass_words,
+                     (mean_word_len_ppm >= 3000000 AND mean_word_len_ppm <= 10000000)
+                       AS pass_word_len,
+                     (stopword_ppm >= 20000) AS pass_stopwords,
+                     (alpha_word_ppm >= 800000) AS pass_alpha,
+                     (symbol_ppm <= 100000) AS pass_symbols,
+                     (n_words >= 50 AND n_words <= 100000
+                      AND mean_word_len_ppm >= 3000000 AND mean_word_len_ppm <= 10000000
+                      AND stopword_ppm >= 20000
+                      AND alpha_word_ppm >= 800000
+                      AND symbol_ppm <= 100000) AS pass_all
+              FROM p""")),
+
+    // ---- corpus bigram LM score: add-one-smoothed conditional
+    //      probability in exact ppm integers (no log, no float —
+    //      cross-engine reproducible KenLM-style fluency filter) ----
+    Q("q87_bigram_lm",
+      (s, dir) => NgramLm.bigramScore(
+        Tables.load(s, dir, "documents"), "text", "doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                FROM documents),
+              bg AS (
+                SELECT doc_id, ws[CAST(i.i AS INTEGER)] AS w1,
+                       ws[CAST(i.i AS INTEGER) + 1] AS w2
+                FROM t, LATERAL (
+                  SELECT unnest(generate_series(1, len(ws) - 1)) AS i) i
+                WHERE len(ws) >= 2),
+              c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                      FROM bg GROUP BY 1, 2),
+              c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                     FROM bg GROUP BY 1),
+              v AS (SELECT CAST(count(DISTINCT u.t) AS BIGINT) AS v
+                    FROM (SELECT unnest(ws) AS t FROM t) u),
+              s AS (
+                SELECT bg.doc_id,
+                       (c12.c12 + 1) * 1000000 // (c1.c1 + v.v) AS p_ppm
+                FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+              d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                           CAST(sum(p_ppm) AS BIGINT) AS sp
+                    FROM s GROUP BY 1)
+              SELECT doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+                     sp // n_bigrams AS lm_ppm
+              FROM documents LEFT JOIN d USING (doc_id)""")),
+
+    // ---- winnowing (MOSS) fingerprints: md5 k-gram hashes, w-window
+    //      minima, corpus-wide sharing counts — the sub-document
+    //      copy-detection standard with its ≥ k+w−1 match guarantee ----
+    Q("q88_winnowing",
+      (s, dir) => Winnow.fingerprints(
+        Tables.load(s, dir, "documents"), "text", "doc_id", k = 8, w = 4),
+      Some("""WITH g AS (
+                SELECT doc_id, i.i AS p,
+                  CAST(CAST(('0x' || substr(md5(substr(text, CAST(i.i AS INTEGER), 8)), 1, 8))
+                    AS UBIGINT) AS BIGINT) AS h
+                FROM documents, LATERAL (
+                  SELECT unnest(generate_series(1, length(text) - 7)) AS i) i
+                WHERE length(text) >= 8),
+              wm AS (
+                SELECT doc_id, p,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                  count(*) OVER (PARTITION BY doc_id) AS npos
+                FROM g),
+              sel AS (SELECT DISTINCT doc_id, wmin AS fp
+                      FROM wm WHERE p <= greatest(npos - 3, 1)),
+              sh AS (SELECT fp, count(DISTINCT doc_id) AS ndocs
+                     FROM sel GROUP BY 1),
+              d AS (SELECT sel.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+                           CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_shared_fp
+                    FROM sel JOIN sh USING (fp) GROUP BY 1)
+              SELECT doc_id,
+                     CAST(greatest(length(text) - 7, 0) AS BIGINT) AS n_grams,
+                     COALESCE(n_fp, 0) AS n_fp,
+                     COALESCE(n_shared_fp, 0) AS n_shared_fp
+              FROM documents LEFT JOIN d USING (doc_id)""")),
+
+    // ---- int8 embedding quantization audit: exact integer checksums of
+    //      the faiss-style symmetric scalar quantizer (float→double is
+    //      exact; scale+round are correctly-rounded IEEE + C round) ----
+    Q("q89_embedding_quantize",
+      (s, dir) => VectorOps.quantizeInt8Stats(
+        Tables.load(s, dir, "embeddings"), "embedding", "vec_id"),
+      Some("""WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              m AS (SELECT vec_id, v,
+                           list_max(list_transform(v, x -> abs(x))) AS mx
+                    FROM e),
+              q AS (
+                SELECT vec_id,
+                  CASE WHEN mx > 0 THEN CAST(round(u.x * 127 / mx) AS BIGINT)
+                       ELSE 0 END AS q
+                FROM m, LATERAL (SELECT unnest(v) AS x) u)
+              SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+                     CAST(sum(q) AS BIGINT) AS qsum,
+                     CAST(min(q) AS BIGINT) AS qmin,
+                     CAST(max(q) AS BIGINT) AS qmax,
+                     CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sat
+              FROM q GROUP BY 1""")),
+
+    // ---- one BPE merge round at corpus scale: within-word adjacent
+    //      char-pair counts, top-20 merge candidates, deterministic
+    //      total order (count desc, pair asc) ----
+    Q("q90_bpe_pairs",
+      (s, dir) => NgramLm.bpePairCounts(
+        Tables.load(s, dir, "documents"), "text", topK = 20),
+      Some("""WITH w AS (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+                FROM documents),
+              p AS (
+                SELECT substr(word, CAST(i.i AS INTEGER), 2) AS pair
+                FROM w, LATERAL (
+                  SELECT unnest(generate_series(1, length(word) - 1)) AS i) i
+                WHERE length(word) >= 2),
+              c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+                    FROM p GROUP BY 1)
+              SELECT pair, cnt,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC)
+                       AS INTEGER) AS rank
+              FROM c
+              ORDER BY rank
+              LIMIT 20"""))
+  )
+}

@@ -15,7 +15,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     Relational.qs ++ TextQueries.qs ++ SimilarityQueries.qs ++
-      ModelQueries.qs ++ CurationQueries.qs
+      ModelQueries.qs ++ CurationQueries.qs ++ QualityQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-5 quality operators: Gopher rule battery, bigram LM scoring,
+  * winnowing fingerprints, int8 quantization, BPE pair counting.
+  */
+class QualityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopherRules: exact integer metrics on a known doc") {
+    val df = Seq((1L, "the cat sat on a mat!")).toDF("doc_id", "text")
+    val r = QualityRules.gopherRules(df, "text", "doc_id").head()
+    assert(r.getAs[Long]("n_words") == 6)
+    // the(3) cat(3) sat(3) on(2) a(1) mat!(4) = 16 chars
+    assert(r.getAs[Long]("n_word_chars") == 16)
+    assert(r.getAs[Long]("mean_word_len_ppm") == 16L * 1000000 / 6)
+    // stopwords: the, on? ("on" not in default list) → the, a = 2 of 6
+    assert(r.getAs[Long]("stopword_ppm") == 2L * 1000000 / 6)
+    assert(r.getAs[Long]("alpha_word_ppm") == 1000000L) // all contain a letter
+    // text len 21, symbols: '!' → 1
+    assert(r.getAs[Long]("symbol_ppm") == 1000000L / 21)
+    assert(!r.getAs[Boolean]("pass_words")) // 6 < 50
+    assert(!r.getAs[Boolean]("pass_all"))
+  }
+
+  test("gopherRules: thresholds split the synthetic corpus non-vacuously") {
+    val docs = (0 until 100).map { i =>
+      val n = 20 + i // word counts 20..119 straddle the min-50 rule
+      (i.toLong, (Seq.fill(n / 2)("the") ++ Seq.fill(n - n / 2)("word")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = QualityRules.gopherRules(docs, "text", "doc_id")
+    val passes = r.where(col("pass_all")).count()
+    assert(passes > 0 && passes < 100, s"passes=$passes should be strictly between")
+  }
+
+  test("bigramScore: hand-computed add-one ppm on a 2-doc corpus") {
+    // corpus: "a b a" and "a b" → bigrams: (a,b)x2, (b,a)x1
+    // c1: a→2, b→1; vocab {a,b} V=2
+    val df = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val r = NgramLm.bigramScore(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val pAB = (2L + 1) * 1000000 / (2 + 2) // 750000
+    val pBA = (1L + 1) * 1000000 / (1 + 2) // 666666
+    assert(r(0).getAs[Long]("n_bigrams") == 2)
+    assert(r(0).getAs[Long]("lm_ppm") == (pAB + pBA) / 2)
+    assert(r(1).getAs[Long]("n_bigrams") == 1)
+    assert(r(1).getAs[Long]("lm_ppm") == pAB)
+  }
+
+  test("bigramScore: single-token doc gets NULL score, zero bigrams") {
+    val df = Seq((1L, "lonely"), (2L, "two words")).toDF("doc_id", "text")
+    val r = NgramLm.bigramScore(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_bigrams") == 0 && r(0).isNullAt(2))
+    assert(r(1).getAs[Long]("n_bigrams") == 1)
+  }
+
+  test("winnowing guarantee: shared substring >= k+w-1 chars -> shared fingerprint") {
+    val shared = "zqxjkvbwpfmghydclrtnzqxjkvbwpf" // 30 chars >= 8+4-1
+    val df = Seq(
+      (1L, s"aaaa bbbb $shared cccc dddd"),
+      (2L, s"eeee ffff gggg $shared hhhh"),
+      (3L, "totally different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val r = Winnow.fingerprints(df, "text", "doc_id", k = 8, w = 4)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_shared_fp") >= 1, "doc 1 must share with doc 2")
+    assert(r(1).getAs[Long]("n_shared_fp") >= 1)
+    assert(r(2).getAs[Long]("n_shared_fp") == 0)
+  }
+
+  test("winnowing: doc shorter than k has zero grams/fingerprints; short doc selects global min") {
+    val df = Seq((1L, "short"), (2L, "exactly9!")).toDF("doc_id", "text")
+    val r = Winnow.fingerprints(df, "text", "doc_id", k = 8, w = 4)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_grams") == 0 && r(0).getAs[Long]("n_fp") == 0)
+    // 9 chars → 2 positions < w: degenerate single window → 1 fingerprint
+    assert(r(1).getAs[Long]("n_grams") == 2 && r(1).getAs[Long]("n_fp") == 1)
+  }
+
+  test("quantizeInt8Stats: hand vector, zero vector, saturation") {
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 4.0f)),   // scale 127/4 → q = 32, -64, 127
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = VectorOps.quantizeInt8Stats(df, "embedding", "vec_id")
+      .orderBy("vec_id").collect()
+    assert(r(0).getAs[Long]("n_dims") == 3)
+    assert(r(0).getAs[Long]("qsum") == 32 - 64 + 127)
+    assert(r(0).getAs[Long]("qmin") == -64 && r(0).getAs[Long]("qmax") == 127)
+    assert(r(0).getAs[Long]("n_sat") == 1)
+    assert(r(1).getAs[Long]("qsum") == 0 && r(1).getAs[Long]("n_sat") == 0)
+  }
+
+  test("bpePairCounts: exact pair counts, deterministic order") {
+    // "abab abc" → pairs: ab,ba,ab | ab,bc → ab:3, ba:1, bc:1
+    val df = Seq((1L, "abab abc")).toDF("doc_id", "text")
+    val r = NgramLm.bpePairCounts(df, "text", topK = 20)
+      .orderBy("rank").collect()
+    assert(r(0).getString(0) == "ab" && r(0).getAs[Long]("cnt") == 3)
+    assert(r(1).getString(0) == "ba" && r(1).getAs[Long]("cnt") == 1) // tie: asc
+    assert(r(2).getString(0) == "bc" && r(2).getAs[Long]("cnt") == 1)
+    assert(r.length == 3)
+  }
+}
