@@ -135,6 +135,70 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT containment join — the asymmetric cousin of
+    * [[similarityJoinPrefix]]: all pairs with
+    * containment = |A∩B| / min(|A|,|B|) ≥ threshold. Symmetric Jaccard
+    * misses near-SUBSETS (a short doc embedded verbatim in a long one
+    * scores low Jaccard but containment ≈ 1), which is exactly the
+    * quote/aggregation/expansion duplication mode in web corpora.
+    *
+    * Prefix principle on the SMALLER side: if |A∩B| ≥ ⌈t·|A|⌉ and A's
+    * first |A| − ⌈t·|A|⌉ + 1 rarest tokens (global frequency order)
+    * share nothing with B, at most ⌈t·|A|⌉ − 1 of A's tokens can be in
+    * B — contradiction. So candidates are generated by joining the
+    * smaller side's prefix against the larger side's FULL token list
+    * (containment puts no lower bound on the larger side, so there is
+    * no length filter and no larger-side prefix — the price of
+    * asymmetry, which is why this op fans out more than the Jaccard
+    * join and the threshold should stay high). The prefix bound is
+    * computed in exact integer arithmetic (ppm threshold), and the
+    * outputs are integer ppm — fully engine-portable.
+    *
+    * Returns (id_a < id_b, containment_ppm, jaccard_ppm) for pairs
+    * clearing the containment bar. Shuffles carry (token, id) pairs and
+    * (id_a, id_b) candidates — never documents.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int = 3,
+                       thresholdPpm: Long = 700000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(idCol),
+      TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint(false) // feeds ranking + both verify sides
+    val toks = sh.select(col(idCol), size(col("__sh")).cast("long").as("__len"),
+      explode(col("__sh")).as("__tok"))
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
+    val ranked = toks.join(freq, Seq("__tok"))
+      .withColumn("__r", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("__freq").asc, col("__tok").asc)))
+      .select(col("__tok"), col(idCol), col("__len"), col("__r"))
+      .localCheckpoint(false) // consumed twice: prefix side + full side
+    // integer ceil: ⌈len·t⌉ = (len·tPpm + 999999) div 1e6 — no float eps
+    val prefix = ranked.where(col("__r") <=
+      col("__len") - expr(s"(__len * $thresholdPpm + 999999) div 1000000") + 1)
+    val candidates = prefix
+      .select(col("__tok"), col(idCol).as("__is"), col("__len").as("__ls"))
+      .join(ranked.select(col("__tok"), col(idCol).as("__io"), col("__len").as("__lo")),
+        Seq("__tok"))
+      // smaller side carries the prefix; equal lengths dedupe by id order
+      .where(col("__ls") < col("__lo") ||
+        (col("__ls") === col("__lo") && col("__is") =!= col("__io")))
+      .select(least(col("__is"), col("__io")).as("id_a"),
+        greatest(col("__is"), col("__io")).as("id_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long").as("__inter"),
+        size(col("__sh_a")).cast("long").as("__la"),
+        size(col("__sh_b")).cast("long").as("__lb"))
+      .select(col("id_a"), col("id_b"),
+        expr("__inter * 1000000 div least(__la, __lb)").as("containment_ppm"),
+        expr("__inter * 1000000 div (__la + __lb - __inter)").as("jaccard_ppm"))
+      .where(col("containment_ppm") >= thresholdPpm)
+  }
+
   /** MinHash-LSH dedup DECISION — the 100 TB shape. All-pairs output
     * (minhashNearDups) is quadratic in cluster size and explodes on
     * templated corpora; what a training-data pipeline actually needs is

@@ -44,4 +44,37 @@ object VectorOps {
         max(col("__q")).as("qmax"),
         sum(when(abs(col("__q")) === 127, 1L).otherwise(0L)).as("n_sat"))
   }
+
+  /** Johnson–Lindenstrauss random projection with a DETERMINISTIC
+    * md5-derived ±1 matrix — dimensionality reduction for the embedding
+    * column without any stored projection matrix: sign(j,k) is a pure
+    * function of (input dim j, output dim k), so every engine, every
+    * rerun, and every external consumer projects identically (the same
+    * rerun-stability argument as the md5 train/val split).
+    *
+    * Arithmetic is exact: inputs quantize to integers
+    * (⌊x·10⁶⌋ — float→double widening and the one multiply/floor are
+    * exact or correctly rounded IEEE steps identical everywhere), and
+    * the projection is then a ±1-weighted integer sum — order-free, so
+    * no float-summation divergence across engines or partitionings.
+    *
+    * Scale shape: posexplode to (id, dim, int) rows, ONE partial-
+    * aggregated groupBy(id) with k conditional sums — the shuffle
+    * carries k longs per vector; no dims×k row blowup, no matrix join.
+    */
+  def jlProject(df: DataFrame, vecCol: String, idCol: String,
+                k: Int = 16): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val asD = col(vecCol).cast("array<double>")
+    val q = df.select(col(idCol), posexplode(asD).as(Seq("__j", "__x")))
+      .select(col(idCol), col("__j"),
+        floor(col("__x") * 1000000.0).cast("long").as("__xq"))
+    val sums = (0 until k).map { kk =>
+      val bit = conv(substring(
+        md5(concat(col("__j").cast("string"), lit(s"_$kk"))), 1, 8), 16, 10)
+        .cast("long") % 2
+      sum(when(bit === 0, col("__xq")).otherwise(-col("__xq"))).as(s"proj_$kk")
+    }
+    q.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{NgramLm, QualityRules, VectorOps, Winnow}
+import graft.ops.{Dedup, NgramLm, QualityRules, VectorOps, Winnow}
 
 /** Round-5 corpus-quality operators: Gopher-style rule filtering,
   * corpus bigram-LM scoring, winnowing (MOSS) fingerprints, int8
@@ -174,6 +174,56 @@ object QualityQueries {
                        AS INTEGER) AS rank
               FROM c
               ORDER BY rank
-              LIMIT 20"""))
+              LIMIT 20""")),
+
+    // ---- Johnson–Lindenstrauss projection with a deterministic
+    //      md5 ±1 matrix: exact integer arithmetic end-to-end, so the
+    //      16 projected coordinates hash-match across engines ----
+    Q("q91_jl_projection",
+      (s, dir) => VectorOps.jlProject(
+        Tables.load(s, dir, "embeddings"), "embedding", "vec_id", k = 16),
+      Some {
+        val projCols = (0 until 16).map { kk =>
+          s"""CAST(sum(CASE WHEN CAST(('0x' || substr(md5(j || '_$kk'), 1, 8))
+             |  AS UBIGINT) % 2 = 0 THEN xq ELSE -xq END) AS BIGINT) AS proj_$kk"""
+            .stripMargin
+        }.mkString(",\n                     ")
+        s"""WITH e AS (
+           |  SELECT vec_id,
+           |         unnest(list_transform(embedding,
+           |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS xq,
+           |         generate_subscripts(embedding, 1) - 1 AS j
+           |  FROM embeddings)
+           |SELECT vec_id,
+           |                     $projCols
+           |FROM e GROUP BY vec_id""".stripMargin
+      }),
+
+    // ---- EXACT containment join (asymmetric near-subset detection):
+    //      prefix filtering on the smaller side; quadratic definition
+    //      is the oracle on a 300-doc slice; integer-ppm outputs ----
+    Q("q92_containment_join",
+      (s, dir) => Dedup.containmentPairs(
+        Tables.load(s, dir, "documents").where(col("doc_id") < 300),
+        "text", "doc_id", shingleN = 3, thresholdPpm = 700000L),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+              sh AS (
+                SELECT doc_id,
+                  list_distinct([substr(text, CAST(i AS INTEGER), 3)
+                    FOR i IN generate_series(1, greatest(length(text) - 2, 0))]) AS s
+                FROM d),
+              pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS BIGINT)
+                    AS inter,
+                  CAST(len(a.s) AS BIGINT) AS la,
+                  CAST(len(b.s) AS BIGINT) AS lb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(a.s) > 0 AND len(b.s) > 0)
+              SELECT id_a, id_b,
+                     inter * 1000000 // least(la, lb) AS containment_ppm,
+                     inter * 1000000 // (la + lb - inter) AS jaccard_ppm
+              FROM pairs
+              WHERE inter * 1000000 // least(la, lb) >= 700000"""))
   )
 }

@@ -93,6 +93,59 @@ class QualityOpsSpec extends SparkSpec {
     assert(r(1).getAs[Long]("qsum") == 0 && r(1).getAs[Long]("n_sat") == 0)
   }
 
+  test("containmentPairs: catches a near-subset that Jaccard misses") {
+    val long = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 4
+    val short = "alpha bravo charlie delta echo"
+    val df = Seq((1L, long.trim), (2L, short),
+      (3L, "zulu yankee xray whiskey victor uniform tango sierra"))
+      .toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(df, "text", "doc_id",
+      shingleN = 3, thresholdPpm = 900000L).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 1L && r(0).getLong(1) == 2L)
+    assert(r(0).getAs[Long]("containment_ppm") == 1000000L) // full subset
+    assert(r(0).getAs[Long]("jaccard_ppm") < 900000L) // jaccard would miss it
+  }
+
+  test("containmentPairs matches the quadratic definition on a random corpus") {
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.containmentPairs(docs, "text", "doc_id",
+      shingleN = 3, thresholdPpm = 600000L)
+    val sh = docs.select(col("doc_id"),
+      TextAnalysis.charNgrams(col("text"), 3).as("s"))
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        size(array_intersect(col("a.s"), col("b.s"))).cast("long").as("i"),
+        size(col("a.s")).cast("long").as("la"), size(col("b.s")).cast("long").as("lb"))
+      .where(col("la") > 0 && col("lb") > 0)
+      .select(col("id_a"), col("id_b"),
+        expr("i * 1000000 div least(la, lb)").as("containment_ppm"),
+        expr("i * 1000000 div (la + lb - i)").as("jaccard_ppm"))
+      .where(col("containment_ppm") >= 600000L)
+    assert(rows(fast) == rows(brute))
+  }
+
+  test("jlProject: deterministic, exact on unit basis vectors, zero maps to zero") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r1 = VectorOps.jlProject(df, "embedding", "vec_id", k = 8)
+    val r2 = VectorOps.jlProject(df, "embedding", "vec_id", k = 8)
+    assert(rows(r1) == rows(r2)) // md5 matrix → rerun-identical
+    val basis = r1.where(col("vec_id") === 1).head()
+    (1 to 8).foreach(i => assert(math.abs(basis.getLong(i)) == 1000000L,
+      s"proj_${i - 1} = ${basis.getLong(i)}"))
+    val zero = r1.where(col("vec_id") === 2).head()
+    (1 to 8).foreach(i => assert(zero.getLong(i) == 0L))
+  }
+
   test("bpePairCounts: exact pair counts, deterministic order") {
     // "abab abc" → pairs: ab,ba,ab | ab,bc → ab:3, ba:1, bc:1
     val df = Seq((1L, "abab abc")).toDF("doc_id", "text")
