@@ -80,4 +80,45 @@ object Aggs {
     val r = df.agg(max(col(c)).cast("date")).head()
     if (r.isNullAt(0)) None else Some(r.getDate(0))
   }
+
+  /** Mergeable per-key aggregate STATE — incremental view maintenance,
+    * the 100 TB generalization of the reference's watermark-incremental
+    * nightly (re-aggregate only the new partition, fold it into the
+    * stored rollup instead of recomputing history): cnt/sum/min/max are
+    * all mergeable, so `mergeAggState(state(A), state(B)) ≡ state(A∪B)`
+    * exactly — the invariant the spec and the q93 oracle assert.
+    *
+    * The sum is carried as DECIMAL(18,2)-exact (the input is 2-dp data;
+    * decimal addition is associative, so merge order — and engine —
+    * cannot change the result, unlike double sums). Expose the final
+    * state with [[finishAggState]], which emits the portable double
+    * view (sum/avg) of the exact decimal.
+    */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Fold one state into another (either side may be a fresh batch's
+    * state). One shuffle over the KEY SPACE (not the event volume) —
+    * that asymmetry is the entire point at scale.
+    */
+  def mergeAggState(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
+  /** Portable final view of an aggregate state: the exact decimal sum
+    * cast once to double, and avg = sum/cnt as one IEEE division —
+    * identical in any engine.
+    */
+  def finishAggState(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select((keys.map(col) :+ col("cnt") :+
+      col("sum_v").cast("double").as("sum_v") :+
+      (col("sum_v").cast("double") / col("cnt").cast("double")).as("avg_v") :+
+      col("min_v") :+ col("max_v")): _*)
 }

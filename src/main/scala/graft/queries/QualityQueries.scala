@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Dedup, NgramLm, QualityRules, VectorOps, Winnow}
+import graft.ops.{Aggs, Dedup, NgramLm, QualityRules, VectorOps, Winnow}
 
 /** Round-5 corpus-quality operators: Gopher-style rule filtering,
   * corpus bigram-LM scoring, winnowing (MOSS) fingerprints, int8
@@ -224,6 +224,26 @@ object QualityQueries {
                      inter * 1000000 // least(la, lb) AS containment_ppm,
                      inter * 1000000 // (la + lb - inter) AS jaccard_ppm
               FROM pairs
-              WHERE inter * 1000000 // least(la, lb) >= 700000"""))
+              WHERE inter * 1000000 // least(la, lb) >= 700000""")),
+
+    // ---- incremental aggregate maintenance: fold a new batch's
+    //      mergeable state (cnt/sum/min/max, DECIMAL-exact sums) into
+    //      the stored rollup — merge(state(A), state(B)) ≡ state(A∪B),
+    //      and the oracle IS the from-scratch aggregation ----
+    Q("q93_incremental_agg",
+      (s, dir) => {
+        val keys = Seq("event_type", "day")
+        val e = Tables.load(s, dir, "events").withColumn("day", to_date(col("ts")))
+        val store = Aggs.aggState(e.where(col("event_id") % 5 =!= 0), keys, "value")
+        val batch = Aggs.aggState(e.where(col("event_id") % 5 === 0), keys, "value")
+        Aggs.finishAggState(Aggs.mergeAggState(store, batch, keys), keys)
+      },
+      Some("""SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                       AS avg_v,
+                     min(value) AS min_v, max(value) AS max_v
+              FROM events GROUP BY 1, 2"""))
   )
 }

@@ -146,6 +146,22 @@ class QualityOpsSpec extends SparkSpec {
     (1 to 8).foreach(i => assert(zero.getLong(i) == 0L))
   }
 
+  test("aggState merge invariant: merge(state(A), state(B)) == state(A union B), nulls included") {
+    val a = Seq(("x", Some(1.25)), ("x", None), ("y", Some(-3.5)))
+      .toDF("k", "v").select(col("k"), col("v").as("v"))
+    val b = Seq(("x", Some(2.75)), ("z", None), ("z", None))
+      .toDF("k", "v").select(col("k"), col("v").as("v"))
+    val merged = Aggs.finishAggState(
+      Aggs.mergeAggState(Aggs.aggState(a, Seq("k"), "v"),
+        Aggs.aggState(b, Seq("k"), "v"), Seq("k")), Seq("k"))
+    val direct = Aggs.finishAggState(
+      Aggs.aggState(a.unionByName(b), Seq("k"), "v"), Seq("k"))
+    assert(rows(merged) == rows(direct))
+    // all-null group carries null sum/avg/min/max but the right count
+    val z = merged.where(col("k") === "z").head()
+    assert(z.getAs[Long]("cnt") == 2 && z.isNullAt(2) && z.isNullAt(3))
+  }
+
   test("bpePairCounts: exact pair counts, deterministic order") {
     // "abab abc" → pairs: ab,ba,ab | ab,bc → ab:3, ba:1, bc:1
     val df = Seq((1L, "abab abc")).toDF("doc_id", "text")
