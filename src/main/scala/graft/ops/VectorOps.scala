@@ -45,6 +45,105 @@ object VectorOps {
         sum(when(abs(col("__q")) === 127, 1L).otherwise(0L)).as("n_sat"))
   }
 
+  final case class PcaModel(mean: Array[Double],
+                            components: Array[Array[Double]],
+                            eigenvalues: Array[Double], n: Long)
+
+  /** Distributed PCA over the embedding column — the data-dependent
+    * counterpart of [[jlProject]] (JL preserves distances obliviously;
+    * PCA finds the directions this corpus actually varies in, the
+    * standard pre-step for visualization, whitening, and IVF/PQ-style
+    * index training).
+    *
+    * Scale shape: the d×d second-moment matrix is accumulated
+    * PER-PARTITION in one pass (`mapPartitions` over primitive arrays —
+    * the one genuinely imperative kernel where a row-wise relational
+    * formulation would explode d² rows per vector into the shuffle), so
+    * the job moves exactly one d² double array per partition and the
+    * driver reduces partials. Eigenvectors come from power iteration
+    * with deflation on the 64×64 driver-side matrix — O(k·iters·d²)
+    * scalar work, irrelevant next to the scan. Deterministic: fixed
+    * init (dominant-diagonal basis vector), fixed iteration count, and
+    * a sign convention (largest-|component| coordinate positive).
+    *
+    * NULL and wrong-dimension vectors are skipped (counted out of `n`).
+    */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int = 4,
+             iters: Int = 100): PcaModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(vecCol).cast("array<double>"))
+      .where(col(vecCol).isNotNull)
+      .as[Seq[Double]]
+    val dims = vecs.head().length
+    val partials = vecs.rdd.mapPartitions { it =>
+      var n = 0L
+      val s = new Array[Double](dims)
+      val m = new Array[Double](dims * dims)
+      it.foreach { v =>
+        if (v.length == dims) {
+          val a = v.toArray
+          n += 1
+          var i = 0
+          while (i < dims) {
+            val ai = a(i)
+            s(i) += ai
+            var j = 0
+            while (j < dims) { m(i * dims + j) += ai * a(j); j += 1 }
+            i += 1
+          }
+        }
+      }
+      if (n == 0) Iterator.empty else Iterator((n, s, m))
+    }
+    val (n, s, m) = partials.reduce { case ((n1, s1, m1), (n2, s2, m2)) =>
+      var i = 0; while (i < s1.length) { s1(i) += s2(i); i += 1 }
+      i = 0; while (i < m1.length) { m1(i) += m2(i); i += 1 }
+      (n1 + n2, s1, m1)
+    }
+    val mean = s.map(_ / n)
+    // covariance C = M/n − μμᵀ (symmetric PSD up to rounding)
+    val c = Array.tabulate(dims, dims)((i, j) => m(i * dims + j) / n - mean(i) * mean(j))
+    val comps = new Array[Array[Double]](k)
+    val eigs = new Array[Double](k)
+    for (kk <- 0 until k) {
+      // deterministic init: basis vector at the largest remaining diagonal
+      val d0 = (0 until dims).maxBy(i => c(i)(i))
+      var v = Array.tabulate(dims)(i => if (i == d0) 1.0 else 0.0)
+      var lambda = 0.0
+      for (_ <- 0 until iters) {
+        val w = Array.tabulate(dims)(i => (0 until dims).map(j => c(i)(j) * v(j)).sum)
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        if (norm > 0) { v = w.map(_ / norm); lambda = norm }
+      }
+      // sign convention: the largest-|coordinate| entry is positive
+      val imax = (0 until dims).maxBy(i => math.abs(v(i)))
+      if (v(imax) < 0) v = v.map(-_)
+      comps(kk) = v; eigs(kk) = lambda
+      // deflate: C ← C − λ v vᵀ
+      for (i <- 0 until dims; j <- 0 until dims) c(i)(j) -= lambda * v(i) * v(j)
+    }
+    PcaModel(mean, comps, eigs, n)
+  }
+
+  /** Project the corpus onto the fitted components: pc_k = (x−μ)·v_k,
+    * computed map-side against plan-shipped component arrays (typedlit
+    * → codegen reference table; no join, no shuffle — the μ·v_k term is
+    * a per-component constant folded at plan time).
+    */
+  def pcaProject(df: DataFrame, vecCol: String, idCol: String,
+                 model: PcaModel): DataFrame = {
+    val asD = col(vecCol).cast("array<double>")
+    val cols = model.components.zipWithIndex.map { case (v, kk) =>
+      val vLit = typedlit(v.toIndexedSeq)
+      val meanDot = model.mean.zip(v).map { case (a, b) => a * b }.sum
+      (aggregate(
+        zip_with(asD, vLit, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x) - lit(meanDot)).as(s"pc_$kk")
+    }
+    df.select((col(idCol) +: cols.toIndexedSeq): _*)
+  }
+
   /** Johnson–Lindenstrauss random projection with a DETERMINISTIC
     * md5-derived ±1 matrix — dimensionality reduction for the embedding
     * column without any stored projection matrix: sign(j,k) is a pure

@@ -244,6 +244,22 @@ object QualityQueries {
                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
                        AS avg_v,
                      min(value) AS min_v, max(value) AS max_v
-              FROM events GROUP BY 1, 2"""))
+              FROM events GROUP BY 1, 2""")),
+
+    // ---- distributed PCA: one mapPartitions pass accumulates the d×d
+    //      second-moment matrix (one array per partition moves — the
+    //      d²-rows-per-vector relational formulation never exists);
+    //      driver-side power iteration; map-side projection.
+    //      Iterative float fit → rows-only ----
+    Q("q94_pca",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val model = graft.ops.VectorOps.pcaFit(e, "embedding", k = 4)
+        graft.ops.VectorOps.pcaProject(e, "embedding", "vec_id", model)
+          .select(col("vec_id"),
+            round(col("pc_0"), 6).as("pc_0"), round(col("pc_1"), 6).as("pc_1"),
+            round(col("pc_2"), 6).as("pc_2"), round(col("pc_3"), 6).as("pc_3"))
+      },
+      None)
   )
 }

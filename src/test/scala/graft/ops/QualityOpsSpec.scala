@@ -162,6 +162,31 @@ class QualityOpsSpec extends SparkSpec {
     assert(z.getAs[Long]("cnt") == 2 && z.isNullAt(2) && z.isNullAt(3))
   }
 
+  test("pcaFit recovers a rank-2 subspace; projections match eigenvalues") {
+    val d = 8
+    val u = Array(1.0, 1, 1, 1, 0, 0, 0, 0).map(_ / 2.0)
+    val w = Array(0.0, 0, 0, 0, 1, 1, 1, 1).map(_ / 2.0)
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 300).map { i =>
+      val (a, b) = (rnd.nextGaussian() * 3.0, rnd.nextGaussian())
+      (i.toLong, (0 until d).map(j => (a * u(j) + b * w(j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val m = VectorOps.pcaFit(data, "embedding", k = 3, iters = 200)
+    assert(m.n == 300)
+    assert(m.eigenvalues(0) >= m.eigenvalues(1))
+    assert(m.eigenvalues(2) < 1e-9, s"rank-2 data: lambda3 = ${m.eigenvalues(2)}")
+    val dot01 = m.components(0).zip(m.components(1)).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot01) < 1e-6, s"components not orthogonal: $dot01")
+    // projection variance onto pc_0 equals lambda1
+    val proj = VectorOps.pcaProject(data, "embedding", "vec_id", m)
+    val v = proj.agg(var_pop(col("pc_0"))).head().getDouble(0)
+    assert(math.abs(v - m.eigenvalues(0)) < 1e-6 * math.max(1.0, m.eigenvalues(0)),
+      s"var(pc_0)=$v vs lambda1=${m.eigenvalues(0)}")
+    // deterministic: refit identical
+    val m2 = VectorOps.pcaFit(data, "embedding", k = 3, iters = 200)
+    assert(m.components(0).toSeq == m2.components(0).toSeq)
+  }
+
   test("bpePairCounts: exact pair counts, deterministic order") {
     // "abab abc" → pairs: ab,ba,ab | ab,bc → ab:3, ba:1, bc:1
     val df = Seq((1L, "abab abc")).toDF("doc_id", "text")
