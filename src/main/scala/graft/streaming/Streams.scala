@@ -140,6 +140,41 @@ object Streams {
       }
   }
 
+  /** Streaming incremental-aggregate maintenance: fold each micro-batch
+    * into a stored per-key rollup with the SAME merge the nightly path
+    * uses (`Aggs.aggState`/`mergeAggState` — q93) — one code path for
+    * both cadences, which is the point: the "streaming vs batch"
+    * distinction collapses to trigger choice when the aggregate is
+    * mergeable. `foreachBatch` gives exactly-once-per-batch semantics
+    * via the checkpoint; the store rewrite touches the KEY SPACE, not
+    * history (at warehouse scale the store is partitioned and only
+    * affected partitions rewrite — here, the single-dir test shape
+    * rewrites the whole small state table).
+    */
+  def mergeAggStream(df: DataFrame, keys: Seq[String], valueCol: String,
+                     storeDir: String, checkpointDir: String): Unit = {
+    import graft.ops.Aggs
+    val spark = df.sparkSession
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val batchState = Aggs.aggState(batch, keys, valueCol)
+        val merged =
+          if (new java.io.File(storeDir).exists()) {
+            val store = spark.read.parquet(storeDir)
+            // schema-aligned merge (decimal sums read back as decimal)
+            Aggs.mergeAggState(store, batchState, keys)
+          } else batchState
+        // materialize before overwriting the input path
+        val rows = merged.localCheckpoint(true)
+        rows.write.mode("overwrite").parquet(storeDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain everything currently available (the nightly-batch equivalent)
     * into a date-partitioned parquet sink, then stop — idempotent via
     * the checkpoint.

@@ -133,4 +133,26 @@ class StreamsSpec extends SparkSpec {
     assert(out.head.gapSec == 300)
     assert(out.head.gapStart == ts("2020-01-01 00:00:30"))
   }
+
+  test("mergeAggStream: two drains fold into the same state as one batch recompute") {
+    val srcDir = Files.createTempDirectory("mas_src").toString
+    val ckDir = Files.createTempDirectory("mas_ck").toString
+    val storeDir = Files.createTempDirectory("mas_store").toString + "/state"
+    val batch1 = Seq(("a", 1.25), ("a", 2.50), ("b", -1.00)).toDF("k", "v")
+    val batch2 = Seq(("a", 4.00), ("c", 0.75)).toDF("k", "v")
+    batch1.write.mode("overwrite").parquet(srcDir + "/b1")
+    Streams.mergeAggStream(
+      spark.readStream.schema("k string, v double").parquet(srcDir + "/*"),
+      Seq("k"), "v", storeDir, ckDir)
+    batch2.write.mode("overwrite").parquet(srcDir + "/b2")
+    Streams.mergeAggStream(
+      spark.readStream.schema("k string, v double").parquet(srcDir + "/*"),
+      Seq("k"), "v", storeDir, ckDir)
+    val merged = graft.ops.Aggs.finishAggState(
+      spark.read.parquet(storeDir), Seq("k"))
+    val direct = graft.ops.Aggs.finishAggState(
+      graft.ops.Aggs.aggState(batch1.unionByName(batch2), Seq("k"), "v"), Seq("k"))
+    assert(rows(merged.select("k", "cnt", "sum_v", "min_v", "max_v"))
+      == rows(direct.select("k", "cnt", "sum_v", "min_v", "max_v")))
+  }
 }
