@@ -67,6 +67,88 @@ object NgramLm {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_ppm"))
   }
 
+  final case class BpeMerge(round: Int, x: String, y: String, cnt: Long)
+
+  /** FULL greedy BPE tokenizer training at corpus scale — `rounds`
+    * iterations of the classic loop: count adjacent token pairs
+    * (weighted by word frequency), pick the most frequent pair
+    * (deterministic tie-break: count desc, pair asc), merge it
+    * everywhere, repeat. The merge itself is a greedy left-to-right
+    * fold over each word's token array — a Catalyst `aggregate` HOF, no
+    * UDF — which is exactly the sequential non-overlapping semantics of
+    * reference BPE implementations ((a,a) on "aaa" → ["aa","a"]).
+    *
+    * Scale shape: training runs on the DISTINCT-word table (pair counts
+    * weighted by word frequency) — corpus text is touched once to build
+    * it; each round is then one pair-count shuffle over the (small)
+    * vocabulary plus a 1-row collect, and each round's token arrays are
+    * checkpointed so lineage stays flat. The learned merge list is
+    * driver-side (like any trained-model artifact) but every decision
+    * is recomputable relationally — the q95 oracle replays the whole
+    * training loop in SQL and must agree on every merge.
+    *
+    * Returns the merge list and the final (word-frequency, tokens)
+    * frame.
+    */
+  def bpeTrain(df: DataFrame, textCol: String,
+               rounds: Int): (Seq[BpeMerge], DataFrame) = {
+    val words = df
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("__word"))
+      .where(length(col("__word")) > 0)
+      .groupBy(col("__word")).agg(count(lit(1)).as("__wc"))
+      .select(col("__wc"),
+        transform(sequence(lit(1), length(col("__word"))),
+          i => col("__word").substr(i, lit(1))).as("__toks"))
+    var cur = words.localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val n = size(col("__toks"))
+      val top = cur.select(col("__wc"),
+          explode(zip_with(
+            slice(col("__toks"), lit(1), greatest(n - 1, lit(0))),
+            slice(col("__toks"), lit(2), greatest(n - 1, lit(0))),
+            (a, b) => struct(a.as("x"), b.as("y")))).as("__p"))
+        .groupBy(col("__p.x").as("x"), col("__p.y").as("y"))
+        .agg(sum(col("__wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (x, y) = (top(0).getString(0), top(0).getString(1))
+        merges += BpeMerge(r, x, y, top(0).getLong(2))
+        // greedy left-to-right merge of (x,y): fold each token into the
+        // accumulator, gluing when the accumulator's last token is x and
+        // the incoming token is y
+        val merged = aggregate(col("__toks"),
+          array().cast("array<string>"),
+          (acc, t) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(x) && t === lit(y),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(element_at(acc, -1), t))))
+            .otherwise(concat(acc, array(t))))
+        cur = cur.select(col("__wc"), merged.as("__toks"))
+          .localCheckpoint(false)
+      }
+    }
+    (merges.toSeq, cur)
+  }
+
+  /** Post-training vocabulary view: the corpus re-tokenized by the
+    * learned merges, top-`topK` tokens by weighted frequency with a
+    * deterministic total order. Output: token, cnt, rank.
+    */
+  def bpeTopTokens(df: DataFrame, textCol: String, rounds: Int,
+                   topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, cur) = bpeTrain(df, textCol, rounds)
+    cur.select(col("__wc"), explode(col("__toks")).as("token"))
+      .groupBy(col("token")).agg(sum(col("__wc")).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)))
+      .where(col("rank") <= topK)
+  }
+
   /** One round of BPE-style vocabulary induction at corpus scale: count
     * every within-word adjacent character pair and return the `topK`
     * merge candidates with a deterministic total order (count desc, pair

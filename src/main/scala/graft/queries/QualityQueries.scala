@@ -246,6 +246,57 @@ object QualityQueries {
                      min(value) AS min_v, max(value) AS max_v
               FROM events GROUP BY 1, 2""")),
 
+    // ---- FULL BPE tokenizer training (6 greedy merge rounds) — the
+    //      oracle replays the entire training loop in SQL (unrolled
+    //      CTE per round, reduce() as the greedy merge fold) and must
+    //      agree with Spark on every merge decision and the final
+    //      vocabulary ----
+    Q("q95_bpe_train",
+      (s, dir) => NgramLm.bpeTopTokens(
+        Tables.load(s, dir, "documents"), "text", rounds = 6, topK = 30),
+      Some {
+        def roundCtes(r: Int): String = {
+          val prev = s"w${r - 1}"
+          s"""p$r AS (
+             |  SELECT toks[CAST(i.i AS INTEGER)] AS x,
+             |         toks[CAST(i.i AS INTEGER) + 1] AS y,
+             |         CAST(sum(wc) AS BIGINT) AS cnt
+             |  FROM $prev, LATERAL (
+             |    SELECT unnest(generate_series(1, len(toks) - 1)) AS i) i
+             |  WHERE len(toks) >= 2
+             |  GROUP BY 1, 2
+             |  ORDER BY cnt DESC, x ASC, y ASC
+             |  LIMIT 1),
+             |w$r AS (
+             |  SELECT wc,
+             |    CASE WHEN p$r.x IS NULL THEN toks ELSE
+             |      reduce(list_transform(toks, t -> [t]),
+             |        (acc, el) -> CASE WHEN acc[-1] = p$r.x AND el[1] = p$r.y
+             |                     THEN acc[:-2] || [acc[-1] || el[1]]
+             |                     ELSE acc || el END)
+             |    END AS toks
+             |  FROM $prev LEFT JOIN p$r ON TRUE)""".stripMargin
+        }
+        val rounds = 6
+        s"""WITH w0 AS (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS wc,
+           |         [substr(word, CAST(i AS INTEGER), 1)
+           |          FOR i IN generate_series(1, length(word))] AS toks
+           |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+           |          AS word FROM documents)
+           |  WHERE length(word) > 0
+           |  GROUP BY word),
+           |${(1 to rounds).map(roundCtes).mkString(",\n")},
+           |tok AS (
+           |  SELECT u.t AS token, CAST(sum(wc) AS BIGINT) AS cnt
+           |  FROM w$rounds, LATERAL (SELECT unnest(toks) AS t) u
+           |  GROUP BY 1)
+           |SELECT token, cnt,
+           |       CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INTEGER)
+           |         AS rank
+           |FROM tok ORDER BY rank LIMIT 30""".stripMargin
+      }),
+
     // ---- distributed PCA: one mapPartitions pass accumulates the d×d
     //      second-moment matrix (one array per partition moves — the
     //      d²-rows-per-vector relational formulation never exists);

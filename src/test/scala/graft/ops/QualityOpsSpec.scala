@@ -187,6 +187,30 @@ class QualityOpsSpec extends SparkSpec {
     assert(m.components(0).toSeq == m2.components(0).toSeq)
   }
 
+  test("bpeTrain: hand-computed merges, greedy left-to-right semantics") {
+    // words: aaab (wc 2), ab (wc 1)
+    // r1 pairs: (a,a)=4, (a,b)=3 -> merge (a,a); GREEDY: aaab -> [aa,a,b]
+    // r2 pairs: (aa,a)=2, (a,b)=3 -> merge (a,b); aaab -> [aa,ab], ab -> [ab]
+    // r3 pairs: (aa,ab)=2 -> merge; aaab -> [aaab]
+    val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val (merges, fin) = NgramLm.bpeTrain(df, "text", rounds = 3)
+    assert(merges == Seq(
+      NgramLm.BpeMerge(1, "a", "a", 4L),
+      NgramLm.BpeMerge(2, "a", "b", 3L),
+      NgramLm.BpeMerge(3, "aa", "ab", 2L)))
+    val toks = fin.select(col("__wc"), col("__toks")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSet
+    assert(toks == Set((2L, List("aaab")), (1L, List("ab"))))
+  }
+
+  test("bpeTopTokens: vocabulary after training is the merged tokens") {
+    val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val r = NgramLm.bpeTopTokens(df, "text", rounds = 3, topK = 10)
+      .orderBy("rank").collect()
+    assert(r.map(x => (x.getString(0), x.getAs[Long]("cnt"))).toSeq ==
+      Seq(("aaab", 2L), ("ab", 1L)))
+  }
+
   test("bpePairCounts: exact pair counts, deterministic order") {
     // "abab abc" → pairs: ab,ba,ab | ab,bc → ab:3, ba:1, bc:1
     val df = Seq((1L, "abab abc")).toDF("doc_id", "text")
