@@ -134,6 +134,43 @@ object NgramLm {
     (merges.toSeq, cur)
   }
 
+  /** Apply a learned merge list to new text — the inference half of
+    * [[bpeTrain]] (train once on a reference corpus, tokenize any later
+    * batch with the frozen merges, exactly like production tokenizers).
+    * Each merge is one greedy fold, applied in training order; the
+    * whole chain is a single map-side projection — no shuffle, no
+    * state, embarrassingly parallel at any scale.
+    * Output: the input plus `tokens` (array) and `n_tokens`.
+    */
+  def bpeApply(df: DataFrame, textCol: String, idCol: String,
+               merges: Seq[BpeMerge]): DataFrame = {
+    val charsOf = (w: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    val wordToks = merges.foldLeft(charsOf(col("__word"))) { (toks, m) =>
+      aggregate(toks, array().cast("array<string>"),
+        (acc, t) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(m.x) && t === lit(m.y),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), t))))
+          .otherwise(concat(acc, array(t))))
+    }
+    // posexplode keeps the word index: collect_list order after a
+    // shuffle is NOT document order, so sort by position before flatten
+    val perWord = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(lower(col(textCol))))
+        .as(Seq("__wi", "__word")))
+      .where(length(col("__word")) > 0)
+      .select(col(idCol), col("__wi"), wordToks.as("__wt"))
+    val perDoc = perWord.groupBy(col(idCol))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("__wi"), col("__wt")))),
+        s => s.getField("__wt"))).as("tokens"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("tokens",
+        coalesce(col("tokens"), array().cast("array<string>")))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Post-training vocabulary view: the corpus re-tokenized by the
     * learned merges, top-`topK` tokens by weighted frequency with a
     * deterministic total order. Output: token, cnt, rank.

@@ -211,6 +211,19 @@ class QualityOpsSpec extends SparkSpec {
       Seq(("aaab", 2L), ("ab", 1L)))
   }
 
+  test("bpeApply: frozen merges tokenize new text in document order") {
+    val train = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val (merges, _) = NgramLm.bpeTrain(train, "text", rounds = 3)
+    // new batch, unseen words: merges (a,a), (a,b), (aa,ab) apply greedily
+    val batch = Seq((10L, "ab aaab ba"), (11L, "")).toDF("doc_id", "text")
+    val r = NgramLm.bpeApply(batch, "text", "doc_id", merges)
+      .orderBy("doc_id").collect()
+    assert(r(0).getSeq[String](r(0).fieldIndex("tokens")) ==
+      Seq("ab", "aaab", "b", "a")) // ba: no (b,a) merge learned
+    assert(r(0).getAs[Long]("n_tokens") == 4)
+    assert(r(1).getAs[Long]("n_tokens") == 0) // empty doc -> empty tokens
+  }
+
   test("bpePairCounts: exact pair counts, deterministic order") {
     // "abab abc" → pairs: ab,ba,ab | ab,bc → ab:3, ba:1, bc:1
     val df = Seq((1L, "abab abc")).toDF("doc_id", "text")
