@@ -17,6 +17,7 @@ import graft.expressions._
   *   fingerprint(tokens)
   *   jaccard_sim(a, b)
   *   nearest_centroids(vec, array(array(...), ...), k)
+  *   sparse_dot(indices, values, array(w0, w1, ...))
   *
   * Activate with
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -57,6 +58,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
   }
 
+  /** Fold a constant array<double|float> argument into the dense weight
+    * vector `SparseDotExpr` ships with the plan.
+    */
+  private def weightVector(e: Expression): Array[Double] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    require(e.foldable, s"sparse_dot needs a constant weight vector, got $e")
+    e.dataType match {
+      case ArrayType(DoubleType, _) =>
+        e.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+      case ArrayType(FloatType, _) =>
+        e.eval(null).asInstanceOf[ArrayData].toFloatArray().map(_.toDouble)
+      case t => throw new IllegalArgumentException(
+        s"sparse_dot weights must be array<double|float>, got $t")
+    }
+  }
+
   /** Post-hoc registration on an already-built session (the builder
     * path, `withExtensions`, only applies at session construction).
     */
@@ -79,6 +97,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => JaccardExpr(args(0), args(1)))
     g.registerFunction(classic, "nearest_centroids",
       args => NearestCentroidsExpr(args(0), centroidMatrix(args(1)), lit(args(2))))
+    g.registerFunction(classic, "sparse_dot",
+      args => SparseDotExpr(args(0), args(1), weightVector(args(2))))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -115,5 +135,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NearestCentroidsExpr].getName, "nearest_centroids"),
       (args: Seq[Expression]) =>
         NearestCentroidsExpr(args(0), centroidMatrix(args(1)), lit(args(2)))))
+    ext.injectFunction((
+      new FunctionIdentifier("sparse_dot"),
+      new ExpressionInfo(classOf[SparseDotExpr].getName, "sparse_dot"),
+      (args: Seq[Expression]) => SparseDotExpr(args(0), args(1), weightVector(args(2)))))
   }
 }

@@ -39,6 +39,18 @@ object VectorExprs {
     */
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
     ExpressionUtils.column(NearestCentroidsExpr(ExpressionUtils.expression(vec), centroids, k))
+
+  /** Sparse dot product Σ x(i)·w(b(i)) over parallel (indices, values)
+    * arrays against a plan-shipped dense weight vector — the margin of
+    * a linear model over hashed sparse features as ONE compiled loop
+    * per row. Replaces `aggregate(zip_with(b, x, …))`, whose lambdas
+    * evaluate interpreted per element. Out-of-range indices contribute
+    * 0 (a hashed feature space never produces them; dropping beats
+    * null-poisoning the whole margin).
+    */
+  def sparseDot(indices: Column, values: Column, weights: Array[Double]): Column =
+    ExpressionUtils.column(SparseDotExpr(
+      ExpressionUtils.expression(indices), ExpressionUtils.expression(values), weights))
 }
 
 case class CosineSimExpr(left: Expression, right: Expression)
@@ -197,6 +209,64 @@ object NearestCentroidsExpr {
     i = 0
     while (i < filled) { out(i) = topIdx(i); i += 1 }
     new GenericArrayData(out)
+  }
+}
+
+case class SparseDotExpr(left: Expression, right: Expression,
+                         weights: Array[Double])
+  extends BinaryExpression {
+  private def idxOk(t: DataType): Boolean = t match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+  private def valOk(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType | FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (idxOk(left.dataType) && valOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sparse_dot needs (array<int>, array<double|float>), got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sparse_dot"
+
+  private lazy val valFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+
+  override def nullSafeEval(b: Any, x: Any): Any =
+    SparseDotExpr.compute(b.asInstanceOf[ArrayData],
+      x.asInstanceOf[ArrayData], valFloat, weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "double[]")
+    defineCodeGen(ctx, ev, (b, x) =>
+      s"graft.expressions.SparseDotExpr.compute($b, $x, $valFloat, $w)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SparseDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SparseDotExpr {
+  /** Left-to-right accumulation in array order — bit-identical to the
+    * `aggregate(zip_with(...), 0.0, _+_)` fold it replaces.
+    */
+  def compute(b: ArrayData, x: ArrayData, xFloat: Boolean,
+              w: Array[Double]): Double = {
+    val n = math.min(b.numElements(), x.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val bi = b.getInt(i)
+      if (bi >= 0 && bi < w.length) {
+        val xi = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        acc += xi * w(bi)
+      }
+      i += 1
+    }
+    acc
   }
 }
 

@@ -1,6 +1,7 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Distributed logistic regression over hashed bag-of-words features —
@@ -13,9 +14,9 @@ import org.apache.spark.sql.functions._
   * doc-array frame — one row per doc with sorted bucket/x arrays — and
   * checkpointed; each gradient-descent iteration is then a single job:
   * the margin w·x is computed map-side against the plan-shipped weight
-  * array (no per-doc shuffle), and the only exchange carries the
-  * partially-aggregated per-bucket gradient (≤ dim+1 rows per
-  * partition, ≤ dim+1 rows collected). At 100 TB the pivoted training
+  * array (no per-doc shuffle), and the only exchange carries one
+  * partially-accumulated dim+1 gradient array per partition (the
+  * driver collects exactly one row). At 100 TB the pivoted training
   * frame is the only big thing, and it is touched exactly `iters`
   * times, always as a scan + tiny agg — no driver-side row iteration.
   *
@@ -57,45 +58,69 @@ object LogReg {
       .select(col(idCol),
         col("__bx.bucket").as("__b"), col("__bx.x").as("__x"))
 
-  /** Map-side margin w·x over the doc arrays: the weight vector rides in
-    * the plan as an array literal, so no join and no shuffle.
+  /** Map-side margin w·x over the doc arrays: the weight vector rides
+    * inside the native `sparse_dot` expression as a plan reference
+    * object — one compiled loop per doc, no join and no shuffle. (The
+    * earlier `aggregate(zip_with(...))` formulation evaluated its
+    * lambdas interpreted per element: docs × nnz interpreted calls per
+    * GD step dominated training time.)
     */
-  private def marginCol(w: Array[Double]): Column = {
-    // typedlit (ArrayType Literal), NOT array(lit...): a array-typed
-    // Literal rides in the codegen reference table, so every iteration's
-    // plan compiles to the SAME generated source and the codegen cache
-    // hits — array(lit...) would inline 129 values and force a fresh
-    // compile per GD step
-    val wLit = typedlit(w.toIndexedSeq)
-    aggregate(
-      zip_with(col("__b"), col("__x"),
-        (b, x) => x * element_at(wLit, b + 1)),
-      lit(0.0), (acc, v) => acc + v)
+  private def marginCol(w: Array[Double]): Column =
+    graft.expressions.VectorExprs.sparseDot(col("__b"), col("__x"), w)
+
+  /** Per-bucket gradient Σ_docs g·x as a typed Aggregator that
+    * accumulates straight into a dense dim+1 array. One buffer per
+    * partition rides the exchange (vs exploding docs × nnz (bucket, g·x)
+    * rows and hash-aggregating them): the gradient job is a pure scan.
+    */
+  private final class GradSum(dim: Int)
+    extends Aggregator[(Seq[Int], Seq[Double], Double), Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = new Array[Double](dim + 1)
+    override def reduce(buf: Array[Double],
+                        in: (Seq[Int], Seq[Double], Double)): Array[Double] = {
+      val (b, x, g) = in
+      val n = math.min(b.length, x.length)
+      var i = 0
+      while (i < n) {
+        val bi = b(i)
+        if (bi >= 0 && bi < buf.length) buf(bi) += x(i) * g
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Double]): Seq[Double] = b.toIndexedSeq
+    override def bufferEncoder: Encoder[Array[Double]] =
+      Encoders.kryo[Array[Double]]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
   /** GD loop over a pivoted-and-materialized doc frame with a __y label
-    * column (no nulls). One job per iteration: map-side margin/residual,
-    * explode to (bucket, g·x), partial-agg per bucket, collect ≤ dim+1
-    * rows.
+    * column (no nulls). One job per iteration: map-side margin/residual
+    * (codegen'd sparse_dot), per-partition gradient accumulation into a
+    * dim+1 array, collect ONE row.
     */
   private def trainDocs(f: DataFrame, dim: Int, iters: Int, lr: Double,
                         l2: Double, nDocs: Double): Model = {
+    val gradOf = udaf(new GradSum(dim))
     val w = Array.fill(dim + 1)(0.0)
     for (_ <- 0 until iters) {
-      // per-doc residual g = sigmoid(w·x) − y, then per-bucket gradient
-      // sum over docs of g·x — partial aggregation collapses the explode
-      // before the exchange, so the shuffle carries ≤ dim+1 rows/partition
-      val g = (lit(1.0) / (lit(1.0) + exp(-marginCol(w))) - col("__y")).as("__g")
-      val grads = f.select(col("__b"), col("__x"), g)
-        .select(explode(zip_with(col("__b"), col("__x"),
-          (b, x) => struct(b.as("bucket"), (x * col("__g")).as("gx")))).as("__e"))
-        .groupBy(col("__e.bucket").as("bucket"))
-        .agg(sum(col("__e.gx")).as("__gw"))
-        .collect()
-      grads.foreach { r =>
-        val i = r.getInt(0)
+      // per-doc residual g = sigmoid(w·x) − y, then one global aggregate:
+      // partials are dim+1 doubles per partition, the exchange carries
+      // #partitions rows, the driver sees exactly one
+      val g = lit(1.0) / (lit(1.0) + exp(-marginCol(w))) - col("__y")
+      val gw = f.select(gradOf(col("__b"), col("__x"), g).as("__gw"))
+        .head().getSeq[Double](0)
+      var i = 0
+      while (i < w.length) {
         val reg = if (i == dim) 0.0 else l2 * w(i)
-        w(i) -= lr * (r.getDouble(1) / nDocs + reg)
+        w(i) -= lr * (gw(i) / nDocs + reg)
+        i += 1
       }
     }
     Model(w, dim)

@@ -29,6 +29,26 @@ object Dedup {
     df.join(df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)),
       Seq(textCol, idCol), "left_semi")
 
+  /** Canonical-selection dedup: cluster rows by `keyCol` and keep, per
+    * cluster, the row that maximizes `pref` — curation's "keep the BEST
+    * duplicate", vs [[exactDedup]]'s arbitrary keep-first. `pref` must
+    * totally order each cluster (append the id as the last tiebreak);
+    * with e.g. `struct(quality, -id)` the survivor is the
+    * highest-quality copy, not whichever arrived first.
+    *
+    * Scale shape: a single `max_by` hash-aggregate on the cluster key —
+    * partial aggregation keeps one candidate row per key per partition,
+    * so the exchange carries at most one row per (partition, cluster);
+    * no window, no sort, no second join back.
+    */
+  def canonicalPick(df: DataFrame, keyCol: Column, pref: Column): DataFrame = {
+    val cols = df.columns.map(col).toIndexedSeq
+    df.groupBy(keyCol.as("__ck"))
+      .agg(max_by(struct(cols: _*), pref).as("__best"),
+        count(lit(1)).as("n_in_cluster"))
+      .select(col("__best.*") +: Seq(col("n_in_cluster")): _*)
+  }
+
   /** MinHash signature: for each of `numHashes` hash families, the
     * minimum hash over the document's shingles. Native Catalyst
     * expression (graft.expressions.MinHashSigExpr) — one compiled pass
@@ -385,6 +405,51 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("n_passages"), lit(0L)).as("n_passages"),
         coalesce(col("n_dup_passages"), lit(0L)).as("n_dup_passages"))
+  }
+
+  /** Passage-level scrub — the REMOVAL counterpart of
+    * [[passageDupStats]] (CCNet-style repeated-passage elimination,
+    * Wenzek et al. 2020, arXiv:1911.00359 §3.1: drop text units that
+    * recur across the corpus, keep the rest of the document). Splits
+    * each text into non-overlapping `words`-token windows, keeps only
+    * windows whose md5 occurs at most `maxFreq` times corpus-wide, and
+    * reassembles the survivors in original document order.
+    *
+    * Scale shape: the frequency pass shuffles (id, md5) rows only; the
+    * reassembly groups (id, idx, passage-text) — passage text moves
+    * exactly once, partitioned by document id, and the in-order rebuild
+    * is a `sort_array` over each doc's own (idx, text) pairs, never a
+    * global sort. Documents shorter than one window (or with every
+    * window scrubbed) come back as the empty string with 0 kept.
+    */
+  def passageScrub(df: DataFrame, textCol: String, idCol: String,
+                   words: Int = 10, maxFreq: Long = 1L): DataFrame = {
+    require(words > 0, s"words must be positive, got $words")
+    val withWords = df.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__w"))
+    val passages = withWords
+      .select(col(idCol),
+        explode(when(size(col("__w")) >= words,
+          sequence(lit(0), floor(size(col("__w")) / words).cast("int") - 1))
+          .otherwise(array().cast("array<int>"))).as("__g"),
+        col("__w"))
+      .select(col(idCol), col("__g"),
+        array_join(slice(col("__w"), col("__g") * words + 1, lit(words)), " ")
+          .as("__p"))
+      .withColumn("__ph", md5(col("__p")))
+    val freq = passages.select(col("__ph"))
+      .groupBy(col("__ph")).agg(count(lit(1)).as("__pf"))
+    val perDoc = passages.join(freq, Seq("__ph"))
+      .where(col("__pf") <= maxFreq)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__g"), col("__p")))),
+          s => s("__p")), " ").as("clean_text"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Substring-level duplication profile — the hashed stand-in for

@@ -244,4 +244,56 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
       .where(col("n_hits") >= minHits)
   }
+
+  /** BM25 relevance of every document to a fixed term set (Robertson &
+    * Zaragoza 2009, "The Probabilistic Relevance Framework: BM25 and
+    * Beyond") — the retrieval scorer behind quality-by-query curation
+    * (rank a corpus against seed queries, keep the head).
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * Scale shape: tokens are filtered to the query terms BEFORE any
+    * shuffle (the explode feeds an `isin` the optimizer pushes against
+    * the scan projection), so the tf aggregation moves only matching
+    * (doc, term) pairs — O(hits), not O(tokens). Corpus stats (N,
+    * avgdl) and per-term df are tiny aggregates that ride broadcast
+    * joins. The per-doc total folds contributions in sorted term order
+    * (same trick as the model ops): float addition is order-sensitive,
+    * and the sorted fold is what an external oracle can reproduce
+    * exactly.
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, textCol: String,
+           idCol: String, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val lens = docs.select(col(idCol), tokenCount(lower(col(textCol))).as("__dl"))
+    val stats = lens.agg(count(lit(1)).as("__n"),
+      sum(col("__dl")).as("__sumdl"))
+    val tf = docs.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("__t"))
+      .where(col("__t").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("__t"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("__t"),
+        (log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          (col("__tf") * (k1 + 1.0)) /
+          (col("__tf") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") /
+              (col("__sumdl").cast("double") / col("__n"))))).as("__c"))
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(transform(
+            sort_array(collect_list(struct(col("__t"), col("__c")))),
+            s => s("__c")),
+          lit(0.0), (acc, c) => acc + c).as("score"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
 }

@@ -15,7 +15,8 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     Relational.qs ++ TextQueries.qs ++ SimilarityQueries.qs ++
-      ModelQueries.qs ++ CurationQueries.qs ++ QualityQueries.qs
+      ModelQueries.qs ++ CurationQueries.qs ++ QualityQueries.qs ++
+      WebCurationQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
