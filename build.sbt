@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe forked-run output straight to this process's stdout/stderr
+// instead of through sbt's logger: Bench's one-line JSON contract must
+// arrive WITHOUT the "[info] " prefix the logger would add, so the
+// harness can parse the line as-is.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
