@@ -415,12 +415,15 @@ object Dedup {
     * windows whose md5 occurs at most `maxFreq` times corpus-wide, and
     * reassembles the survivors in original document order.
     *
-    * Scale shape: the frequency pass shuffles (id, md5) rows only; the
-    * reassembly groups (id, idx, passage-text) — passage text moves
-    * exactly once, partitioned by document id, and the in-order rebuild
-    * is a `sort_array` over each doc's own (idx, text) pairs, never a
-    * global sort. Documents shorter than one window (or with every
-    * window scrubbed) come back as the empty string with 0 kept.
+    * Scale shape: the frequency pass shuffles 32-char md5 keys only,
+    * and the survivor filter is an anti-join against the DUPLICATED
+    * hash set (freq > maxFreq — tiny in a real corpus, so it
+    * broadcasts). Passage text crosses exactly one exchange: the
+    * per-doc rebuild, partitioned by document id, where the in-order
+    * reassembly is a `sort_array` over each doc's own (idx, text)
+    * pairs — never a global sort. Documents shorter than one window
+    * (or with every window scrubbed) come back as the empty string
+    * with 0 kept.
     */
   def passageScrub(df: DataFrame, textCol: String, idCol: String,
                    words: Int = 10, maxFreq: Long = 1L): DataFrame = {
@@ -437,10 +440,15 @@ object Dedup {
         array_join(slice(col("__w"), col("__g") * words + 1, lit(words)), " ")
           .as("__p"))
       .withColumn("__ph", md5(col("__p")))
-    val freq = passages.select(col("__ph"))
+    // anti-join against the DUPLICATED hash set, not an inner join
+    // against the full frequency table: the bad set is tiny in a real
+    // corpus (only hashes with freq > maxFreq), so it broadcasts, and
+    // passage text crosses exactly one exchange — the per-doc rebuild
+    val dups = passages.select(col("__ph"))
       .groupBy(col("__ph")).agg(count(lit(1)).as("__pf"))
-    val perDoc = passages.join(freq, Seq("__ph"))
-      .where(col("__pf") <= maxFreq)
+      .where(col("__pf") > maxFreq)
+      .select(col("__ph"))
+    val perDoc = passages.join(dups, Seq("__ph"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

@@ -274,6 +274,7 @@ object TextAnalysis {
         explode(tokens(lower(col(textCol)))).as("__t"))
       .where(col("__t").isin(queryTerms: _*))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(false) // feeds df AND the contrib join: tokenize once
     val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     val contrib = tf
       .join(broadcast(dfreq), Seq("__t"))

@@ -24,9 +24,14 @@ object WebCurationQueries {
     //      hash-agg; no window, no join-back. ----
     Q("q96_canonical_dedup",
       (s, dir) => {
+        // project to (id, pref, key) BEFORE the pick: max_by carries its
+        // whole payload struct through the exchange, and column pruning
+        // does not reach inside it — dropping text here keeps the
+        // shuffle at three narrow columns per row
         val d = Tables.load(s, dir, "documents")
-          .withColumn("__key", md5(array_join(
-            array_sort(array_distinct(TA.tokens(trim(lower(col("text")))))), " ")))
+          .select(col("doc_id"), col("n_chars"), md5(array_join(
+            array_sort(array_distinct(TA.tokens(trim(lower(col("text")))))), " "))
+            .as("__key"))
         Dedup.canonicalPick(d, col("__key"),
             struct(col("n_chars"), -col("doc_id")))
           .select(col("doc_id"), col("n_chars"), col("n_in_cluster"))
