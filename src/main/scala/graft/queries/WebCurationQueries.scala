@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Dedup, TextAnalysis => TA, UrlOps}
+import graft.ops.{Dedup, Sampling, TextAnalysis => TA, UrlOps}
 
 /** Round-5 web-curation & retrieval operators: canonical-selection
   * dedup (keep the BEST duplicate, not the first), BM25 corpus ranking
@@ -192,5 +192,31 @@ object WebCurationQueries {
                      COALESCE(k.n_kept, 0) AS n_kept,
                      CAST(length(COALESCE(k.clean, '')) AS INTEGER) AS n_chars_clean,
                      md5(COALESCE(k.clean, '')) AS clean_md5
-              FROM documents d LEFT JOIN k USING (doc_id)""")))
+              FROM documents d LEFT JOIN k USING (doc_id)""")),
+
+    // ---- weighted reservoir sample (Efraimidis-Spirakis A-ES): k docs
+    //      per language, P ∝ n_chars, deterministic md5-derived draws —
+    //      two-phase sharded top-k on the Spark side (low-cardinality
+    //      groups never funnel through one task), bit-identical to the
+    //      oracle's naive single window ----
+    Q("q100_weighted_sample",
+      (s, dir) => {
+        Sampling.weightedSample(Tables.load(s, dir, "documents"),
+            col("lang"), col("n_chars"), col("doc_id"), k = 5, salt = "res1")
+          .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"))
+      },
+      Some("""WITH k AS (
+                SELECT lang, doc_id, n_chars,
+                       -ln((CAST(CAST(('0x' ||
+                            substr(md5(CAST(doc_id AS VARCHAR) || 'res1'), 1, 8))
+                            AS UBIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+                         / CAST(greatest(n_chars, 1) AS DOUBLE) AS key
+                FROM documents),
+              r AS (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY key ASC, doc_id ASC) AS rank
+                FROM k)
+              SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id, n_chars
+              FROM r WHERE rank <= 5""")))
 }

@@ -90,6 +90,45 @@ class WebCurationSpec extends SparkSpec {
     assert(out === Seq((1L, 2L), (2L, 1L)))
   }
 
+  // ---- Sampling.weightedSample ----
+
+  test("weightedSample: k per group, sharded phase matches naive window") {
+    val df = (1L to 200L).map(i => (i, s"g${i % 3}", i % 7 + 1)).toDF("id", "g", "w")
+    val out = Sampling.weightedSample(df, col("g"), col("w"), col("id"),
+      k = 4, salt = "t", shards = 8)
+    // exactly k per group (groups are larger than k)
+    val per = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(per === Map("g0" -> 4L, "g1" -> 4L, "g2" -> 4L))
+    // the sharded two-phase selection is bit-identical to the naive
+    // single window over the same deterministic keys
+    val naive = Sampling.weightedSample(df, col("g"), col("w"), col("id"),
+      k = 4, salt = "t", shards = 1)
+    assert(rows(out.select("g", "rank", "id")) ===
+      rows(naive.select("g", "rank", "id")))
+    // stable under re-runs and salt-sensitive
+    assert(rows(out) === rows(Sampling.weightedSample(df, col("g"), col("w"),
+      col("id"), k = 4, salt = "t", shards = 8)))
+    val other = Sampling.weightedSample(df, col("g"), col("w"), col("id"),
+      k = 4, salt = "u", shards = 8)
+    assert(rows(out.select("g", "rank", "id")) !==
+      rows(other.select("g", "rank", "id")))
+  }
+
+  test("weightedSample favors heavy rows in aggregate") {
+    // one heavy row (w=1000) among light rows (w=1): across 40
+    // independent salts it must be selected far more often than a
+    // fixed light row (binomial tail makes a flip astronomically rare)
+    val df = (1L to 50L).map(i => (i, "g", if (i == 1L) 1000L else 1L))
+      .toDF("id", "g", "w")
+    val picks = (1 to 40).map { s =>
+      Sampling.weightedSample(df, col("g"), col("w"), col("id"),
+        k = 3, salt = s"s$s").select("id").as[Long].collect().toSet
+    }
+    val heavy = picks.count(_.contains(1L))
+    val light = picks.count(_.contains(2L))
+    assert(heavy > light + 10, s"heavy=$heavy light=$light")
+  }
+
   // ---- sparse_dot through the SQL surface ----
 
   test("sparse_dot SQL function matches the manual dot product") {
