@@ -145,4 +145,56 @@ object Multimodal {
     media.select(col("media_id"), col("media_type"),
       col("width"), col("height"), col("duration_ms"),
       length(col("payload")).as("n_bytes"))
+
+  /** Perceptual near-duplicate pairs over binary payloads — the pHash
+    * dedup shape: decode to a feature (STUB codec; a real pHash/CLIP
+    * embedding drops into the same plumbing), sign-project to a 64-bit
+    * signature (random-hyperplane LSH — the native `lsh_sign_bits`
+    * codegen expression), then find signature pairs within `maxHamming`
+    * bits via 16-bit band buckets.
+    *
+    * Exactness: by pigeonhole, two signatures ≤ 3 bits apart share at
+    * least one of the four 16-bit bands, so candidate generation has
+    * FULL recall for `maxHamming` ≤ 3; larger radii are best-effort
+    * (standard LSH tradeoff — add bands to push the guarantee out).
+    *
+    * Scale shape: payloads never shuffle — features are extracted
+    * map-side and collapse to one long per payload BEFORE any exchange.
+    * Banding moves (band_idx, band_value, id, sig) rows (4 per media);
+    * only bucket collisions become pairs, verified with the codegen
+    * `bit_count` hamming and deduplicated across bands.
+    */
+  def nearDupMedia(media: DataFrame, dim: Int = 16,
+                   maxHamming: Int = 3): DataFrame = {
+    // center each feature on its own mean before sign-hashing — the
+    // pHash construction (bits = coefficient vs median): raw byte
+    // histograms are near-constant vectors, and sign-LSH is
+    // scale-invariant, so WITHOUT centering every bland payload hashes
+    // identically and candidate generation goes quadratic. The centered
+    // vector captures the payload's position pattern instead.
+    val feats = extractFeatures(media, dim)
+    val mean = aggregate(col("feature"), lit(0.0d), (a, x) => a + x) /
+      greatest(size(col("feature")), lit(1))
+    val sigs = feats
+      .select(col("media_id"),
+        transform(col("feature"), x => x - mean).as("__cf"))
+      .select(col("media_id"),
+        graft.expressions.VectorExprs.lshSignBits(col("__cf"), 64).as("__sig"))
+      .localCheckpoint(false) // decode once: both join sides reuse it
+    val bands = sigs.select(col("media_id"), col("__sig"),
+        explode(sequence(lit(0), lit(3))).as("__b"))
+      .withColumn("__bv",
+        expr("shiftrightunsigned(__sig, __b * 16)").bitwiseAND(lit(0xFFFFL)))
+    val left = bands.select(col("media_id").as("id_a"),
+      col("__sig").as("__sa"), col("__b"), col("__bv"))
+    val right = bands.select(col("media_id").as("id_b"),
+      col("__sig").as("__sb"), col("__b"), col("__bv"))
+    left.join(right, Seq("__b", "__bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .distinct() // a pair may collide in several bands
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -101,6 +101,21 @@ object SimilarityQueries {
       },
       None),
 
+    // ---- multimodal perceptual near-dup (pHash shape): stub decode →
+    //      sign-bit signature → 16-bit band buckets → hamming verify.
+    //      Full recall at hamming ≤ 3 by pigeonhole; payloads never
+    //      shuffle (engine-specific hash family → rows-only) ----
+    Q("q101_media_neardup",
+      (s, dir) => {
+        val media = Tables.load(s, dir, "documents").select(
+          col("doc_id").as("media_id"), lit("image").as("media_type"),
+          col("text").cast("binary").as("payload"),
+          lit(64).as("width"), lit(64).as("height"),
+          lit(null).cast("int").as("duration_ms"))
+        graft.ops.Multimodal.nearDupMedia(media, dim = 16, maxHamming = 3)
+      },
+      None),
+
     // ---- label centroid norm: agg over vector columns. Elements are
     //      quantized to 1e-4 BEFORE summing (floor(x·1e4) as BIGINT) so
     //      every aggregate is integer-exact and order-independent —

@@ -58,6 +58,40 @@ class MultimodalSpec extends SparkSpec {
     assert(md.where($"media_id" === 3).head().getAs[Int]("n_bytes") == 100)
   }
 
+  test("nearDupMedia pairs identical payloads, skips distinct ones") {
+    // doc 3's feature must DIFFER IN DIRECTION, not just magnitude:
+    // sign-LSH is scale-invariant (cosine semantics), so any two
+    // near-constant byte histograms hash identically by design — a
+    // half-high/half-low position pattern points elsewhere
+    val rows = Seq(
+      Row(1L, "image", "aaaa".getBytes("UTF-8"), 64, 64, null),
+      Row(2L, "image", "aaaa".getBytes("UTF-8"), 64, 64, null), // exact dup
+      Row(3L, "image", Array.tabulate(100)(i =>
+        if (i % 4 < 2) 0xFF.toByte else 0x00.toByte), 64, 64, null),
+      Row(4L, "image", null, null, null, null))
+    val m = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 2), Multimodal.mediaSchema)
+    val out = Multimodal.nearDupMedia(m, dim = 4, maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // identical payloads ⇒ identical signature ⇒ hamming 0; the null
+    // payload shares the zero-feature signature with nothing dissimilar
+    assert(out.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    assert(!out.exists { case (a, b, _) => Set(a, b).contains(3L) })
+  }
+
+  test("nearDupMedia emits each pair once despite multi-band collisions") {
+    // identical payloads collide in ALL four bands — distinct() must
+    // still yield exactly one (1,2) row
+    val rows = Seq(
+      Row(1L, "image", "samebytes".getBytes("UTF-8"), 8, 8, null),
+      Row(2L, "image", "samebytes".getBytes("UTF-8"), 8, 8, null))
+    val m = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1), Multimodal.mediaSchema)
+    val out = Multimodal.nearDupMedia(m, dim = 4, maxHamming = 3).collect()
+    assert(out.length == 1)
+  }
+
   test("embeddingNearDups finds only above-threshold pairs (dedup path)") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.04f)), // near-dup pair
