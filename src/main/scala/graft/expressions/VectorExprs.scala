@@ -36,9 +36,12 @@ object VectorExprs {
     * a plan reference object — it reaches executors with the task
     * binary (broadcast semantics), so assignment is a pure map: no
     * corpus×centroids explode, no per-vector window.
+    * `l2 = true` ranks by squared Euclidean distance instead (asc) —
+    * the PQ-codebook metric, where subvector magnitudes carry signal.
     */
-  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
-    ExpressionUtils.column(NearestCentroidsExpr(ExpressionUtils.expression(vec), centroids, k))
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], k: Int,
+                       l2: Boolean = false): Column =
+    ExpressionUtils.column(NearestCentroidsExpr(ExpressionUtils.expression(vec), centroids, k, l2))
 
   /** Sparse dot product Σ x(i)·w(b(i)) over parallel (indices, values)
     * arrays against a plan-shipped dense weight vector — the margin of
@@ -130,7 +133,8 @@ case class LshSignBitsExpr(child: Expression, bits: Int)
 }
 
 case class NearestCentroidsExpr(child: Expression,
-                                centroids: Array[Array[Double]], k: Int)
+                                centroids: Array[Array[Double]], k: Int,
+                                l2: Boolean = false)
   extends UnaryExpression {
   private def ok(t: DataType): Boolean = t match {
     case ArrayType(DoubleType | FloatType, _) => true
@@ -148,12 +152,12 @@ case class NearestCentroidsExpr(child: Expression,
   }
 
   override def nullSafeEval(input: Any): Any =
-    NearestCentroidsExpr.compute(input.asInstanceOf[ArrayData], isFloat, centroids, k)
+    NearestCentroidsExpr.compute(input.asInstanceOf[ArrayData], isFloat, centroids, k, l2)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.expressions.NearestCentroidsExpr.compute($c, $isFloat, $mat, $k)")
+      s"graft.expressions.NearestCentroidsExpr.compute($c, $isFloat, $mat, $k, $l2)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
@@ -161,14 +165,17 @@ case class NearestCentroidsExpr(child: Expression,
 }
 
 object NearestCentroidsExpr {
-  /** Top-k centroid indices by cosine similarity — one compiled
+  /** Top-k centroid indices by cosine similarity (or, with `l2`, by
+    * ascending squared Euclidean distance) — one compiled
     * centroids×dims loop per row with a size-k insertion select (k is
-    * 1 for assignment, nProbe for probing; both tiny). Cosine ties
-    * break to the lower index; a zero-norm input scores 0 against
-    * every centroid (CosineSimExpr semantics).
+    * 1 for assignment, nProbe for probing; both tiny). Ties
+    * break to the lower index; in cosine mode a zero-norm input scores
+    * 0 against every centroid (CosineSimExpr semantics). L2 mode ranks
+    * by -distance² so the same descending insertion select applies.
     */
   def compute(v: ArrayData, isFloat: Boolean,
-              cents: Array[Array[Double]], k: Int): ArrayData = {
+              cents: Array[Array[Double]], k: Int,
+              l2: Boolean = false): ArrayData = {
     val n = v.numElements()
     val x = new Array[Double](n)
     var nx = 0.0
@@ -192,7 +199,10 @@ object NearestCentroidsExpr {
       while (d < m) { dot += x(d) * cv(d); nc += cv(d) * cv(d); d += 1 }
       var dd = m
       while (dd < cv.length) { nc += cv(dd) * cv(dd); dd += 1 }
-      val sim = if (nx > 0 && nc > 0) dot / (math.sqrt(nx) * math.sqrt(nc)) else 0.0
+      val sim =
+        if (l2) -(nx + nc - 2.0 * dot) // -‖x−c‖²: larger = nearer
+        else if (nx > 0 && nc > 0) dot / (math.sqrt(nx) * math.sqrt(nc))
+        else 0.0
       // insertion into the sorted top-k (desc sim; existing entries win ties)
       var pos = filled
       while (pos > 0 && topSim(pos - 1) < sim) pos -= 1

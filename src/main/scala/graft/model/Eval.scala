@@ -1,0 +1,51 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Windows
+
+/** Distributed model-evaluation metrics.
+  *
+  * AUC is the curation-pipeline metric: every quality classifier
+  * (fastText-style, LogReg here) is judged by ranking quality before
+  * its threshold is picked. The textbook formulation — rank all N rows,
+  * sum positive ranks — plans as a single-partition global window. This
+  * form aggregates BY SCORE first (one hash-agg), then runs the
+  * distributed two-phase prefix sum over the per-score frame, so no
+  * single task ever owns the full order.
+  *
+  * All arithmetic is integer (counts and doubled rank sums) until the
+  * final division: the Mann-Whitney U with midrank tie handling is
+  *   AUC = Σ_s pos(s) · (2·negBelow(s) + neg(s)) / (2 · P · N)
+  * — exactly the average-rank formula, but order-independent and
+  * engine-reproducible (same ppm discipline as QualityRules/Graph).
+  */
+object Eval {
+
+  /** Exact ROC AUC of `scoreCol` against boolean `labelCol`.
+    * Returns one row: (n_pos, n_neg, auc_num2, auc) where
+    * auc = auc_num2 / (2·n_pos·n_neg) and auc_num2 is the exact integer
+    * numerator — ties get midrank credit (1/2 per tied neg).
+    * NULL labels and NULL scores are excluded (LogReg null-label
+    * discipline, cf. ADVICE r4).
+    */
+  def aucExact(df: DataFrame, scoreCol: Column, labelCol: Column,
+               roundTo: Int = 6): DataFrame = {
+    val base = df.select(scoreCol.as("__score"), labelCol.as("__label"))
+      .where(col("__score").isNotNull && col("__label").isNotNull)
+    val perScore = base.groupBy(col("__score"))
+      .agg(sum(when(col("__label"), 1L).otherwise(0L)).as("__np"),
+        sum(when(col("__label"), 0L).otherwise(1L)).as("__nn"))
+    // inclusive prefix sum of negatives in score order, distributed
+    val cum = Windows.globalRunningSum(perScore, "__score", "__nn", "__cum_nn")
+    cum.agg(
+        sum(col("__np")).as("n_pos"),
+        sum(col("__nn")).as("n_neg"),
+        sum(col("__np") * (lit(2L) * (col("__cum_nn") - col("__nn")) + col("__nn")))
+          .as("auc_num2"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+        graft.ops.Numeric.roundAway(
+          col("auc_num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), roundTo).as("auc"))
+  }
+}

@@ -74,8 +74,9 @@ object Similarity {
     * centroid matrix rides to executors inside the plan (broadcast
     * semantics). See graft.expressions.NearestCentroidsExpr.
     */
-  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
-    graft.expressions.VectorExprs.nearestCentroids(vec, centroids, k)
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], k: Int,
+                       l2: Boolean = false): Column =
+    graft.expressions.VectorExprs.nearestCentroids(vec, centroids, k, l2)
 
   /** Lloyd (spherical k-means) refinement of an initial centroid set.
     * Per iteration: assignment is the map-side nearest-centroid
@@ -88,7 +89,9 @@ object Similarity {
     * previous centroid.
     */
   def trainCentroids(corpus: DataFrame, vecCol: String,
-                     init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+                     init: Array[Array[Double]], iters: Int,
+                     normalize: Boolean = true,
+                     l2Assign: Boolean = false): Array[Array[Double]] = {
     if (init.isEmpty || iters <= 0) return init
     val dim = init.head.length
     var cents = init
@@ -98,7 +101,7 @@ object Similarity {
         // NULL vectors assign to a NULL cell; dropping them here keeps the
         // driver-side fold from NPE-ing on row.getInt of a null-cell group
         .where(col(vecCol).isNotNull)
-        .select(nearestCentroids(col(vecCol), cents, 1).getItem(0).as("__cell"),
+        .select(nearestCentroids(col(vecCol), cents, 1, l2Assign).getItem(0).as("__cell"),
           col(vecCol))
         .groupBy(col("__cell"))
         .agg(count(lit(1)).as("__n"),
@@ -109,8 +112,15 @@ object Similarity {
         val cell = row.getInt(0)
         val cnt = row.getLong(1).toDouble
         val mean = Array.tabulate(dim)(d => row.getDouble(2 + d) / cnt)
-        val norm = math.sqrt(mean.map(x => x * x).sum)
-        if (norm > 0) next(cell) = mean.map(_ / norm)
+        if (normalize) {
+          // spherical k-means (IVF / SemDedup): unit-normalized means
+          val norm = math.sqrt(mean.map(x => x * x).sum)
+          if (norm > 0) next(cell) = mean.map(_ / norm)
+        } else {
+          // plain Lloyd (PQ codebooks): subvector norms carry signal,
+          // normalizing them would distort the ADC dot products
+          next(cell) = mean
+        }
       }
       cents = next
       it += 1
@@ -172,6 +182,100 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), cosine(col("__qv"), col("__cv")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Product-quantization ANN (Jégou, Douze, Schmid: "Product
+    * Quantization for Nearest Neighbor Search", IEEE PAMI 2011 — the
+    * faiss fine-quantizer). Split each dim-d vector into `m` subvectors;
+    * per subspace, train `ksub` centroids with plain (non-spherical)
+    * Lloyd under L2 — subvector magnitudes carry signal for the dot
+    * product — seeded from the deterministic id-hash sample like
+    * ivfTopK. Each corpus vector compresses to `m` small codes
+    * (m bytes-ish vs 4·d for floats — the memory path that makes
+    * billion-vector search fit a cluster).
+    *
+    * ADC (asymmetric distance computation) search: per query, the
+    * m×ksub table of partial dot products ⟨q_s, c_sk⟩ is built once
+    * driver-side (tiny) and shipped as literal arrays; each corpus row
+    * is scored by m array lookups + adds over its codes — no float
+    * vector math per row, pure codegen projection, no joins, no
+    * explode. Queries must be a small batch (they are collected); the
+    * corpus side only ever streams its (id, codes) pairs.
+    *
+    * Returns (query_id, rank, neighbor_id, sim): approximate cosine
+    * (exact iff inputs are unit-norm, as embedding tables
+    * conventionally are). Raw ADC quantizes away fine distinctions, so
+    * `rerank > k` enables the standard refinement step (faiss
+    * IndexRefineFlat): the top-`rerank` ADC shortlist per query — a
+    * tiny frame — is broadcast back against the corpus for EXACT cosine
+    * on just those candidates, and the final top-k ranks on that. The
+    * corpus still never shuffles and is never scored exactly outside
+    * the shortlist; recall comes back to near-exact at ~rerank/k × the
+    * ADC cost, which is how production PQ deployments run.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, m: Int, ksub: Int, k: Int,
+             kmeansIters: Int = 3, rerank: Int = 0): DataFrame = {
+    val c = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
+      .where(col("__v").isNotNull)
+    val dim = c.select(size(col("__v"))).limit(1).collect()(0).getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // slice once, keep for: per-subspace training (m aggs) + encoding
+    val sliced = c.select(
+      col(idCol) +: (0 until m).map(s =>
+        slice(col("__v"), s * sub + 1, sub).as(s"__s$s")): _*)
+      .localCheckpoint(false)
+    val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { s =>
+      val init = sliced
+        .withColumn("__h", xxhash64(col(idCol), lit(s)))
+        .orderBy(col("__h")).limit(ksub)
+        .select(col(s"__s$s")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      trainCentroids(sliced, s"__s$s", init, kmeansIters,
+        normalize = false, l2Assign = true)
+    }
+    val encoded = sliced.select(col(idCol).as("neighbor_id"),
+      array((0 until m).map(s =>
+        nearestCentroids(col(s"__s$s"), books(s), 1, l2 = true).getItem(0)): _*)
+        .as("__codes"))
+      .localCheckpoint(false) // scanned once per query below
+    // small-batch contract: queries fit the driver (same as ANN practice)
+    val qRows = queries.select(col(idCol), toDoubleVec(col(vecCol)).as("__qv"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    val scored = qRows.map { case (qid, qv) =>
+      // LUT(s)(j) = ⟨q_s, books(s)(j)⟩ — m·ksub doubles per query
+      val luts: Array[Array[Double]] = Array.tabulate(m) { s =>
+        val qs = qv.slice(s * sub, (s + 1) * sub)
+        books(s).map(cent => qs.zip(cent).map { case (a, b) => a * b }.sum)
+      }
+      val adc = (0 until m).map(s =>
+        element_at(lit(luts(s)), col("__codes").getItem(s) + 1))
+        .reduce(_ + _)
+      encoded.select(lit(qid).as("query_id"), col("neighbor_id"),
+        adc.as("sim"))
+    }.reduce(_.unionAll(_))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val adcRanked = scored.where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+    if (rerank <= k) adcRanked.where(col("rank") <= k)
+    else {
+      // refinement: exact cosine on the tiny ADC shortlist only — the
+      // shortlist broadcasts, the corpus side stays a pruned scan
+      val short = adcRanked.where(col("rank") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = queries.select(col(idCol).as("query_id"),
+        toDoubleVec(col(vecCol)).as("__qv"))
+      val exact = broadcast(short)
+        .join(c.select(col(idCol).as("neighbor_id"), col("__v").as("__cv")),
+          Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("__qv"), col("__cv")).as("sim"))
+      exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    }
   }
 
   /** SemDedup-style semantic dedup decision (Abbas et al. 2023,

@@ -106,4 +106,36 @@ object Windows {
       .withColumn(out, col("__offset") + sum(col(valueCol)).over(w))
       .drop("__pid", "__offset")
   }
+
+  /** Distributed global row number over an arbitrary total order — the
+    * scalable form of `row_number() OVER (ORDER BY ...)`, which Spark
+    * plans as a SINGLE-partition window. Same two-phase shape as
+    * [[globalRunningSum]]: range-partition on the order key, count rows
+    * per partition (one tiny row each), prefix-sum the counts on the
+    * driver-sized frame, broadcast the offsets back, and number each
+    * partition in parallel.
+    *
+    * The (orderCols) tuple must be globally unique so range partitioning
+    * never splits ties across partitions; append a unique id as the last
+    * order column to guarantee it.
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column], out: String,
+                      partitions: Int = 0): DataFrame = {
+    val parts =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pcount"))
+      .withColumn("__offset",
+        coalesce(sum(col("__pcount")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__offset") + row_number().over(w).cast("long"))
+      .drop("__pid", "__offset")
+  }
 }

@@ -59,6 +59,36 @@ object ModelQueries {
           .select(col("event_type"), col("PREDICT_TIME"),
             col("PREDICTION").as("VOLUMN_PREDICTION"))
       },
-      None)
+      None),
+
+    // ---- distributed exact ROC AUC (Mann-Whitney with midrank ties):
+    //      group-by-score + two-phase prefix sum — no global window.
+    //      Integer numerator end-to-end, so the oracle matches exactly;
+    //      the ranked score here is doc length against the lang='en'
+    //      weak label (same label family the LogReg classifier trains on) ----
+    Q("q106_auc",
+      (s, dir) => {
+        graft.model.Eval.aucExact(Tables.load(s, dir, "documents"),
+          col("n_chars"), col("lang") === "en")
+      },
+      Some("""WITH b AS (
+                SELECT n_chars AS score, (lang = 'en') AS lab
+                FROM documents
+                WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+              g AS (
+                SELECT score,
+                       CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                       CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS nn
+                FROM b GROUP BY 1),
+              c AS (
+                SELECT score, np, nn,
+                       CAST(sum(nn) OVER (ORDER BY score) AS BIGINT) AS cum_nn
+                FROM g)
+              SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                     CAST(sum(nn) AS BIGINT) AS n_neg,
+                     CAST(sum(np * (2 * (cum_nn - nn) + nn)) AS BIGINT) AS auc_num2,
+                     round(CAST(sum(np * (2 * (cum_nn - nn) + nn)) AS DOUBLE)
+                           / (2.0 * sum(np) * sum(nn)), 6) AS auc
+              FROM c"""))
   )
 }

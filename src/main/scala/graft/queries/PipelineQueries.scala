@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Graph, Profiling, Windows}
+
+/** Pipeline-support operators a 100 TB curation stack runs around the
+  * transforms themselves: dataset profiling (the pre/post-flight
+  * check), deterministic global training-order shuffle, and link-graph
+  * centrality (the Common-Crawl-style quality prior). All three carry
+  * full DuckDB oracles — the profile is exact counts, the shuffle and
+  * PageRank are integer/md5 arithmetic, so every engine agrees bit-for-bit.
+  */
+object PipelineQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- one-scan multi-column profile: rows/nulls/distincts/min/max
+    //      per column in a single agg pass (Expand plan), unpivoted to
+    //      one row per column ----
+    Q("q102_profile",
+      (s, dir) => {
+        Profiling.profile(Tables.load(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate"))
+      },
+      Some("""SELECT 'l_orderkey' AS column_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+                     CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+                     CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+                     CAST(max(l_orderkey) AS VARCHAR) AS max_value
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_suppkey',
+                     CAST(count(*) AS BIGINT),
+                     CAST(count(*) - count(l_suppkey) AS BIGINT),
+                     CAST(count(DISTINCT l_suppkey) AS BIGINT),
+                     CAST(min(l_suppkey) AS VARCHAR),
+                     CAST(max(l_suppkey) AS VARCHAR)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_returnflag',
+                     CAST(count(*) AS BIGINT),
+                     CAST(count(*) - count(l_returnflag) AS BIGINT),
+                     CAST(count(DISTINCT l_returnflag) AS BIGINT),
+                     CAST(min(l_returnflag) AS VARCHAR),
+                     CAST(max(l_returnflag) AS VARCHAR)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_shipdate',
+                     CAST(count(*) AS BIGINT),
+                     CAST(count(*) - count(l_shipdate) AS BIGINT),
+                     CAST(count(DISTINCT l_shipdate) AS BIGINT),
+                     CAST(min(l_shipdate) AS VARCHAR),
+                     CAST(max(l_shipdate) AS VARCHAR)
+              FROM lineitem""")),
+
+    // ---- deterministic global training-order shuffle: position =
+    //      distributed row number over md5(seed ‖ id) — the "shuffle
+    //      once, stream forever" ordering every trainer wants, without
+    //      the single-task global window (Windows.globalRowNumber is
+    //      the two-phase range-partitioned form) ----
+    Q("q103_shuffle_order",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(concat(lit("shuf42:"), col("doc_id").cast("string")))
+              .as("shuffle_key"))
+        Windows.globalRowNumber(d, Seq(col("shuffle_key"), col("doc_id")), "pos")
+          .select(col("pos"), col("doc_id"), col("shuffle_key"))
+      },
+      Some("""SELECT row_number() OVER (
+                       ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)), doc_id)
+                       AS pos,
+                     doc_id,
+                     md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+              FROM documents""")),
+
+    // ---- link-graph centrality: integer-arithmetic PageRank over the
+    //      customer↔supplier trade graph (both directions, so no node
+    //      dangles; supplier ids offset into their own namespace).
+    //      3 power iterations; rank mass in units of 1e-12 — BIGINT the
+    //      whole way, so partitioning/order can't perturb a single bit ----
+    Q("q104_pagerank",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + lit(10000000L)).as("supp"))
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        Graph.pageRank(edges, "src", "dst", iterations = 3)
+          .select(col("node"), col("rank_scaled"))
+      },
+      Some("""WITH pairs AS (
+                SELECT DISTINCT o_custkey AS cust, l_suppkey + 10000000 AS supp
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              e AS (
+                SELECT cust AS src, supp AS dst FROM pairs
+                UNION
+                SELECT supp AS src, cust AS dst FROM pairs),
+              nodes AS (SELECT DISTINCT src AS node FROM e
+                        UNION SELECT DISTINCT dst FROM e),
+              outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+                         FROM e GROUP BY 1),
+              r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+              c1 AS (SELECT e.dst, CAST(sum((r0.r // od.od)) AS BIGINT) AS s
+                     FROM r0 JOIN outdeg od ON r0.node = od.src
+                             JOIN e ON r0.node = e.src
+                     GROUP BY 1),
+              r1 AS (SELECT n.node,
+                            (15 * 1000000000000 + 85 * COALESCE(c1.s, 0)) // 100 AS r
+                     FROM nodes n LEFT JOIN c1 ON n.node = c1.dst),
+              c2 AS (SELECT e.dst, CAST(sum((r1.r // od.od)) AS BIGINT) AS s
+                     FROM r1 JOIN outdeg od ON r1.node = od.src
+                             JOIN e ON r1.node = e.src
+                     GROUP BY 1),
+              r2 AS (SELECT n.node,
+                            (15 * 1000000000000 + 85 * COALESCE(c2.s, 0)) // 100 AS r
+                     FROM nodes n LEFT JOIN c2 ON n.node = c2.dst),
+              c3 AS (SELECT e.dst, CAST(sum((r2.r // od.od)) AS BIGINT) AS s
+                     FROM r2 JOIN outdeg od ON r2.node = od.src
+                             JOIN e ON r2.node = e.src
+                     GROUP BY 1),
+              r3 AS (SELECT n.node,
+                            (15 * 1000000000000 + 85 * COALESCE(c3.s, 0)) // 100 AS r
+                     FROM nodes n LEFT JOIN c3 ON n.node = c3.dst)
+              SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3"""))
+  )
+}

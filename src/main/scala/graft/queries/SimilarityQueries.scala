@@ -151,6 +151,20 @@ object SimilarityQueries {
                      round(sqrt(CAST(CAST(sum(s.s * s.s) AS BIGINT) AS DOUBLE))
                            / (1e4 * c.n), 6) AS centroid_norm
               FROM sums s JOIN cnt c ON s.label = c.label
-              GROUP BY s.label, c.n"""))
+              GROUP BY s.label, c.n""")),
+
+    // ---- product-quantization ANN (faiss-style ADC): 8 subspaces ×
+    //      16 codes, codes-only scoring via per-query lookup tables.
+    //      Rows-only: codebooks are engine-specific float k-means;
+    //      recall vs brute force is pinned in SimilaritySpec ----
+    Q("q105_pq_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.pqTopK(e, e.where(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", m = 8, ksub = 16, k = 5, rerank = 50)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+      },
+      None)
   )
 }

@@ -1,0 +1,47 @@
+package graft.model
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def auc(scores: Seq[(Int, Boolean)]): (Long, Long, Long, Double) = {
+    val df = scores.toDF("score", "label")
+    val r = Eval.aucExact(df, col("score"), col("label")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+  }
+
+  test("perfect separation gives AUC 1, inverted gives 0") {
+    val (p, n, _, a) = auc(Seq((1, false), (2, false), (3, true), (4, true)))
+    assert((p, n, a) == ((2L, 2L, 1.0)))
+    val (_, _, num2, inv) = auc(Seq((4, false), (3, false), (2, true), (1, true)))
+    assert(num2 == 0L && inv == 0.0)
+  }
+
+  test("ties get midrank credit") {
+    // pos scores {2, 1}, neg scores {2, 1}: AUC = 0.5 exactly
+    val (_, _, num2, a) = auc(Seq((2, true), (2, false), (1, true), (1, false)))
+    // num2 = Σ np·(2·negBelow + nn): score 1 → 1·(0+1)=1; score 2 → 1·(2+1)=3
+    assert(num2 == 4L && a == 0.5)
+  }
+
+  test("null labels and scores are excluded") {
+    val df = Seq[(java.lang.Integer, java.lang.Boolean)](
+      (1, false), (2, true), (null, true), (3, null))
+      .toDF("score", "label")
+    val r = Eval.aucExact(df, col("score"), col("label")).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(3)) == ((1L, 1L, 1.0)))
+  }
+
+  test("matches the O(P·N) pairwise definition on a mixed sample") {
+    val scores = (1 to 40).map(i => ((i * 7) % 13, (i * 3) % 4 != 0))
+    val pos = scores.filter(_._2).map(_._1)
+    val neg = scores.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = wins / (pos.size * neg.size)
+    val (_, _, _, a) = auc(scores)
+    assert(math.abs(a - expected) < 1e-6) // aucExact rounds to 6 decimals
+  }
+}
