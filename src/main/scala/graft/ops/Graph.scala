@@ -39,25 +39,27 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, scale: Long = 1000000000000L): DataFrame = {
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct()
+    val outdeg = e0.groupBy(col("__src")).agg(count(lit(1)).as("__outdeg"))
+    // big side, built ONCE: edges with their source's outdegree attached,
+    // co-partitioned on src so every round's rank join meets a fixed
+    // layout (only the narrow rank rows move per round)
+    val e = e0.join(outdeg, Seq("__src"))
       .repartition(col("__src"))
-      .localCheckpoint(false) // big side: partition once, reuse every round
+      .localCheckpoint(false)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node")))
       .distinct()
-      .localCheckpoint(false)
-    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__outdeg"))
       .localCheckpoint(false)
     var ranks = nodes.select(col("node"), lit(scale).as("rank_scaled"))
       .localCheckpoint(false)
     var it = 0
     while (it < iterations) {
       val contribs = ranks
-        .join(outdeg, ranks("node") === outdeg("__src"))
-        .select(col("node"), expr("rank_scaled div __outdeg").as("__contrib"))
-        .join(e, col("node") === e("__src"))
+        .join(e, ranks("node") === e("__src"))
+        .select(col("__dst"), expr("rank_scaled div __outdeg").as("__contrib"))
         .groupBy(col("__dst"))
         .agg(sum(col("__contrib")).as("__in"))
       ranks = nodes

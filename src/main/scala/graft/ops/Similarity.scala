@@ -221,41 +221,76 @@ object Similarity {
     val dim = c.select(size(col("__v"))).limit(1).collect()(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    // slice once, keep for: per-subspace training (m aggs) + encoding
+    // slice once, keep for: codebook training + encoding
     val sliced = c.select(
       col(idCol) +: (0 until m).map(s =>
         slice(col("__v"), s * sub + 1, sub).as(s"__s$s")): _*)
       .localCheckpoint(false)
-    val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { s =>
-      val init = sliced
-        .withColumn("__h", xxhash64(col(idCol), lit(s)))
-        .orderBy(col("__h")).limit(ksub)
-        .select(col(s"__s$s")).collect()
-        .map(_.getSeq[Double](0).toArray)
-      trainCentroids(sliced, s"__s$s", init, kmeansIters,
-        normalize = false, l2Assign = true)
+    // init: ONE deterministic hash-sample job seeds every subspace (the
+    // same ksub corpus rows contribute their s-th subvector to book s)
+    val initRows = sliced
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h")).limit(ksub)
+      .select((0 until m).map(s => col(s"__s$s")): _*)
+      .collect()
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => initRows.map(_.getSeq[Double](s).toArray))
+    // Lloyd: all m subspaces per iteration in ONE job — assignment is
+    // the map-side L2 nearest-centroid expression per subspace, the
+    // (subspace, cell) explode shuffles only partial sums (m·ksub
+    // buffer rows per partition), never the corpus
+    var it = 0
+    while (it < kmeansIters) {
+      val pairs = sliced.select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          nearestCentroids(col(s"__s$s"), books(s), 1, l2 = true)
+            .getItem(0).as("cell"),
+          col(s"__s$s").as("v"))): _*)).as("p"))
+        .select(col("p.s"), col("p.cell"), col("p.v"))
+      val sums = pairs.groupBy(col("s"), col("cell"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until sub).map(d => sum(element_at(col("v"), d + 1)).as(s"__d$d")): _*)
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { row =>
+        val (s, cell) = (row.getInt(0), row.getInt(1))
+        val cnt = row.getLong(2).toDouble
+        next(s)(cell) = Array.tabulate(sub)(d => row.getDouble(3 + d) / cnt)
+      }
+      books = next
+      it += 1
     }
     val encoded = sliced.select(col(idCol).as("neighbor_id"),
       array((0 until m).map(s =>
         nearestCentroids(col(s"__s$s"), books(s), 1, l2 = true).getItem(0)): _*)
         .as("__codes"))
-      .localCheckpoint(false) // scanned once per query below
+      .localCheckpoint(false) // scanned once by the ADC pass below
     // small-batch contract: queries fit the driver (same as ANN practice)
     val qRows = queries.select(col(idCol), toDoubleVec(col(vecCol)).as("__qv"))
       .collect()
       .map(r => (r.get(0), r.getSeq[Double](1).toArray))
-    val scored = qRows.map { case (qid, qv) =>
-      // LUT(s)(j) = ⟨q_s, books(s)(j)⟩ — m·ksub doubles per query
-      val luts: Array[Array[Double]] = Array.tabulate(m) { s =>
+    // per-query LUTs ride as ONE broadcast side — not one plan branch
+    // per query (a q-way unionAll recompiles the corpus scan q times):
+    // LUT(s)(j) = ⟨q_s, books(s)(j)⟩, m·ksub doubles per query
+    val lutRows = qRows.map { case (qid, qv) =>
+      val luts = Array.tabulate(m) { s =>
         val qs = qv.slice(s * sub, (s + 1) * sub)
         books(s).map(cent => qs.zip(cent).map { case (a, b) => a * b }.sum)
       }
-      val adc = (0 until m).map(s =>
-        element_at(lit(luts(s)), col("__codes").getItem(s) + 1))
-        .reduce(_ + _)
-      encoded.select(lit(qid).as("query_id"), col("neighbor_id"),
-        adc.as("sim"))
-    }.reduce(_.unionAll(_))
+      (qid, luts)
+    }
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val qlut = lutRows.toSeq
+      .map { case (qid, luts) => (qid.toString, luts.map(_.toSeq).toSeq) }
+      .toDF("__qid_str", "__luts")
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("__luts"), s + 1), col("__codes").getItem(s) + 1))
+      .reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(qlut))
+      .join(broadcast(queries.select(col(idCol).as("query_id"))
+        .withColumn("__qid_str", col("query_id").cast("string"))), Seq("__qid_str"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     val adcRanked = scored.where(col("query_id") =!= col("neighbor_id"))

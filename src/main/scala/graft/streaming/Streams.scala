@@ -140,6 +140,47 @@ object Streams {
       }
   }
 
+  /** Built-in session-window aggregation — the declarative counterpart
+    * to [[sessionize]]: `session_window(ts, gap)` lets the engine own
+    * the session state (merge-on-overlap, watermark eviction), where
+    * flatMapGroupsWithState owns it by hand. Prefer this form when the
+    * output is per-SESSION aggregates (count/min/max below); keep the
+    * stateful form when each EVENT must be tagged with its session id.
+    * Watermark bounds state: sessions whose close precedes
+    * (max event time − lateness) finalize and emit exactly once.
+    */
+  def sessionWindowAgg(df: DataFrame, tsCol: String, keyCols: Seq[String],
+                       gap: String, lateness: String): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+      .select(keyCols.map(col) :+
+        col("session_window.start").as("session_start") :+
+        col("session_window.end").as("session_end") :+
+        col("n_events") :+ col("first_ts") :+ col("last_ts"): _*)
+
+  /** Stream-stream interval join: match right-stream rows to left rows
+    * within `[left.ts, left.ts + boundSec]`. Both sides are watermarked
+    * — that is what lets the engine drop buffered rows once they can no
+    * longer match (unbounded join state is the classic stream-join
+    * leak). Keys equi-join (shuffle on key, the only scalable layout
+    * for two unbounded sides); the time bound is the join residual.
+    * Columns from both sides survive with their original names —
+    * callers alias beforehand on collision.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, lateness: String,
+                   boundSec: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $boundSec SECONDS"))
+      .drop(r(key))
+  }
+
   /** Streaming incremental-aggregate maintenance: fold each micro-batch
     * into a stored per-key rollup with the SAME merge the nightly path
     * uses (`Aggs.aggState`/`mergeAggState` — q93) — one code path for

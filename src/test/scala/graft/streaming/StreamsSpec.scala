@@ -155,4 +155,54 @@ class StreamsSpec extends SparkSpec {
     assert(rows(merged.select("k", "cnt", "sum_v", "min_v", "max_v"))
       == rows(direct.select("k", "cnt", "sum_v", "min_v", "max_v")))
   }
+
+  test("sessionWindowAgg: engine-owned sessions merge within gap, finalize past watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = Streams.sessionWindowAgg(
+      input.toDS().toDF("user", "ts"), "ts", Seq("user"),
+      gap = "2 minutes", lateness = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    // user a: two bursts 10 min apart (→ 2 sessions); user b: one event
+    input.addData(
+      ("a", ts("2020-01-01 00:00:00")), ("a", ts("2020-01-01 00:01:00")),
+      ("b", ts("2020-01-01 00:00:30")),
+      ("a", ts("2020-01-01 00:11:00")))
+    q.processAllAvailable()
+    // far-future event advances the watermark → all sessions finalize
+    input.addData(("z", ts("2020-01-01 01:00:00")))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT user, session_start, n_events FROM sess_out")
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    q.stop()
+    assert(out.contains(("a", ts("2020-01-01 00:00:00"), 2L))) // merged burst
+    assert(out.contains(("a", ts("2020-01-01 00:11:00"), 1L))) // gap > 2 min
+    assert(out.contains(("b", ts("2020-01-01 00:00:30"), 1L)))
+  }
+
+  test("intervalJoin: stream-stream matches only within the time bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+    val buys = MemoryStream[(String, java.sql.Timestamp)]
+    val joined = Streams.intervalJoin(
+      clicks.toDS().toDF("user", "click_ts"),
+      buys.toDS().toDF("user", "buy_ts"),
+      "user", "click_ts", "buy_ts", lateness = "1 minute", boundSec = 600)
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData(("u1", ts("2020-01-01 00:00:00")),
+      ("u2", ts("2020-01-01 00:00:00")))
+    // u1 buys within 10 min (match), u2 buys 20 min later (no match),
+    // u3 buys with no click at all (no match)
+    buys.addData(("u1", ts("2020-01-01 00:05:00")),
+      ("u2", ts("2020-01-01 00:20:00")),
+      ("u3", ts("2020-01-01 00:05:00")))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT user FROM ij_out").as[String].collect().toSeq
+    q.stop()
+    assert(out == Seq("u1"))
+  }
 }
