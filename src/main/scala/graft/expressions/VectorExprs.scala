@@ -54,6 +54,18 @@ object VectorExprs {
   def sparseDot(indices: Column, values: Column, weights: Array[Double]): Column =
     ExpressionUtils.column(SparseDotExpr(
       ExpressionUtils.expression(indices), ExpressionUtils.expression(values), weights))
+
+  /** Hashed bag-of-words features of a token array as one compiled
+    * pass: struct<b: array<int>, x: array<double>> with buckets
+    * ascending, x L1-normalized token shares, plus the bias slot
+    * (bucket = dim, x = 1.0) last. Bucket = pmod(xxhash64(token), dim)
+    * — identical to the composable explode → groupBy(bucket) → join
+    * norms → sort_array pivot it replaces, but with ZERO shuffles: at
+    * corpus scale feature extraction becomes a pure scan instead of
+    * shuffling docs × tokens rows three times.
+    */
+  def hashedBow(tokens: Column, dim: Int): Column =
+    ExpressionUtils.column(HashedBowExpr(ExpressionUtils.expression(tokens), dim))
 }
 
 case class CosineSimExpr(left: Expression, right: Expression)
@@ -302,5 +314,71 @@ object LshSignBitsExpr {
       b += 1
     }
     sig
+  }
+}
+
+case class HashedBowExpr(child: Expression, dim: Int)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hashed_bow needs array<string>, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("b", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("x", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def prettyName: String = "hashed_bow"
+
+  override def nullSafeEval(input: Any): Any =
+    HashedBowExpr.compute(input.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashedBowExpr.compute($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedBowExpr =
+    copy(child = newChild)
+}
+
+object HashedBowExpr {
+  /** Dense count pass over `dim` buckets (dim is a model hyperparam,
+    * 64–1024 — a few KB on the stack), then the sorted sparse pivot:
+    * bucket = pmod(XXH64(token bytes, seed 42), dim) — exactly Spark's
+    * `pmod(xxhash64(tok), dim)` — x = count/totalTokens, buckets emitted
+    * ascending with the bias slot (dim, 1.0) appended last, matching the
+    * sort_array(struct(bucket, x)) order of the shuffle formulation.
+    */
+  def compute(toks: ArrayData, dim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val cnt = new Array[Long](dim)
+    var total = 0L
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      if (s != null) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        cnt((((h % dim) + dim) % dim).toInt) += 1L
+        total += 1L
+      }
+      i += 1
+    }
+    var nz = 0
+    i = 0
+    while (i < dim) { if (cnt(i) > 0L) nz += 1; i += 1 }
+    val bs = new Array[Any](nz + 1)
+    val xs = new Array[Any](nz + 1)
+    var j = 0
+    i = 0
+    while (i < dim) {
+      if (cnt(i) > 0L) {
+        bs(j) = i
+        xs(j) = cnt(i).toDouble / total.toDouble
+        j += 1
+      }
+      i += 1
+    }
+    bs(nz) = dim
+    xs(nz) = 1.0
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(bs), new GenericArrayData(xs)))
   }
 }

@@ -158,16 +158,29 @@ object LogReg {
       (lit(1.0) / (lit(1.0) + exp(-marginCol(model.weights)))).as("score"))
 
   /** End-to-end convenience: train on weak labels (NULL labels excluded
-    * from training), score every doc. Pivots once; the checkpointed
-    * doc-array frame feeds all `iters` gradient jobs and the final
-    * scoring pass.
+    * from training), score every doc. Feature extraction is the native
+    * `hashed_bow` expression — tokenize, hash, count, normalize, sort
+    * in ONE compiled pass per doc, so building the doc-array training
+    * frame is a pure scan: zero shuffles and no label join (the label
+    * is computed in the same projection). The checkpointed frame then
+    * feeds all `iters` gradient jobs and the final scoring pass.
+    * Produces bucket/x arrays identical to
+    * `docFeatures(hashedFeatures(...))` — same hash (xxhash64 pmod
+    * dim), same L1 shares, same ascending-bucket order, bias last.
     */
   def trainScore(df: DataFrame, textCol: String, idCol: String,
                  label: Column, dim: Int = 128, iters: Int = 12,
                  lr: Double = 5.0): DataFrame = {
-    val labels = df.select(col(idCol), label.cast("int").cast("double").as("__y"))
-    val f = docFeatures(hashedFeatures(df, textCol, idCol, dim), idCol)
-      .join(labels, Seq(idCol), "left")
+    // coalesce: NULL text must still yield the bias-only feature row
+    // (the union in hashedFeatures gives every doc its bias slot)
+    val toks = coalesce(
+      graft.ops.TextAnalysis.tokens(lower(col(textCol))),
+      lit(Array.empty[String]))
+    val f = df.select(col(idCol),
+        graft.expressions.VectorExprs.hashedBow(toks, dim).as("__bx"),
+        label.cast("int").cast("double").as("__y"))
+      .select(col(idCol), col("__bx.b").as("__b"), col("__bx.x").as("__x"),
+        col("__y"))
       .localCheckpoint(false) // feeds every GD iteration + final scoring
     val train = f.where(col("__y").isNotNull)
     val nDocs = math.max(train.count(), 1L).toDouble

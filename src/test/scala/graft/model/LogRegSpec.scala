@@ -42,6 +42,29 @@ class LogRegSpec extends SparkSpec {
       s"class means ${avg(true)} / ${avg(false)}")
   }
 
+  test("hashed_bow expression matches the shuffle formulation exactly") {
+    val df = corpus.unionByName(
+      Seq((9001L, "", false), (9002L, "   ", true)).toDF("doc_id", "text", "is_en"))
+    val dim = 64
+    val old = {
+      val f = LogReg.hashedFeatures(df, "text", "doc_id", dim)
+      f.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("bucket"), col("x")))).as("bx"))
+        .select(col("doc_id"), col("bx.bucket").as("b"), col("bx.x").as("x"))
+    }
+    val toks = coalesce(
+      graft.ops.TextAnalysis.tokens(lower(col("text"))), lit(Array.empty[String]))
+    val fused = df.select(col("doc_id"),
+        graft.expressions.VectorExprs.hashedBow(toks, dim).as("bx"))
+      .select(col("doc_id"), col("bx.b").as("b"), col("bx.x").as("x"))
+    val a = old.collect().map(r => r.getLong(0) ->
+      (r.getSeq[Int](1), r.getSeq[Double](2))).toMap
+    val c = fused.collect().map(r => r.getLong(0) ->
+      (r.getSeq[Int](1), r.getSeq[Double](2))).toMap
+    assert(a.keySet == c.keySet)
+    a.keySet.foreach { k => assert(a(k) == c(k), s"doc $k: ${a(k)} vs ${c(k)}") }
+  }
+
   test("hashedFeatures: bias row present, L1-normalized tokens") {
     val df = Seq((1L, "a b a")).toDF("doc_id", "text")
     val f = LogReg.hashedFeatures(df, "text", "doc_id", dim = 16)
