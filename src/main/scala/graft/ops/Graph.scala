@@ -38,10 +38,15 @@ object Graph {
     * of iteration count (same lineage discipline as Dedup/Scd2.replay).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int, scale: Long = 1000000000000L): DataFrame = {
-    val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+               iterations: Int, scale: Long = 1000000000000L,
+               assumeDistinct: Boolean = false): DataFrame = {
+    // `assumeDistinct` skips the edge-collapse shuffle when the caller
+    // already guarantees uniqueness (e.g. a pre-distincted pair list
+    // unioned into disjoint direction keyspaces) — at corpus scale the
+    // edge list is the one table you never want to shuffle twice
+    val named = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
-      .distinct()
+    val e0 = if (assumeDistinct) named else named.distinct()
     val outdeg = e0.groupBy(col("__src")).agg(count(lit(1)).as("__outdeg"))
     // big side, built ONCE: edges with their source's outdegree attached,
     // co-partitioned on src so every round's rank join meets a fixed

@@ -67,4 +67,41 @@ object Profiling {
       .select(col("column_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_value"), col("max_value"))
   }
+
+  /** Distribution drift between two slices of a dataset (old vs new
+    * snapshot, control vs treatment, yesterday vs today): per-bucket
+    * counts and shares for each slice, the absolute share gap, and the
+    * per-bucket PSI term (p−q)·ln(p/q) — the population-stability index
+    * summand monitoring stacks alarm on.
+    *
+    * Shares are exact integer ppm so the drift columns are
+    * engine-reproducible; the PSI term is the one IEEE double (both
+    * engines call the same libm log; NULL when either share is zero —
+    * the standard "new/vanished bucket" case a monitor flags anyway).
+    *
+    * Scale shape: one partial-agg shuffle of (bucket, slice) pairs —
+    * the grouped frame is bounded by #buckets × 2, tiny by
+    * construction, and everything downstream is driver-scale.
+    */
+  def drift(df: DataFrame, sliceCol: Column, bucketCol: Column): DataFrame = {
+    val counts = df
+      .select(sliceCol.cast("boolean").as("__new"), bucketCol.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(!col("__new"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("n_new"))
+    val totals = counts.agg(sum(col("n_old")).as("__to"),
+      sum(col("n_new")).as("__tn"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        expr("n_old * 1000000 div __to").as("share_old_ppm"),
+        expr("n_new * 1000000 div __tn").as("share_new_ppm"),
+        abs(expr("n_old * 1000000 div __to") - expr("n_new * 1000000 div __tn"))
+          .as("gap_ppm"),
+        when(col("n_old") > 0 && col("n_new") > 0,
+          (col("n_new").cast("double") / col("__tn") -
+            col("n_old").cast("double") / col("__to")) *
+            log((col("n_new").cast("double") / col("__tn")) /
+              (col("n_old").cast("double") / col("__to"))))
+          .as("psi_term"))
+  }
 }

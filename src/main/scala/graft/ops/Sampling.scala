@@ -55,4 +55,65 @@ object Sampling {
       .where(col("rank") <= k)
       .drop("__key")
   }
+
+  /** Fill a token budget by source priority — the "assemble a training
+    * mix under a budget" operator: rank sources by a caller-supplied
+    * aggregate `priority` (desc, source asc tiebreak), admit whole
+    * sources while the running weight total fits `budgetPermille`‰ of
+    * the corpus total, take a deterministic partial prefix (md5-ordered
+    * docs) from the single boundary source, exclude the rest.
+    *
+    * All arithmetic is BIGINT (budget = total × permille div 1000), so
+    * every engine agrees on the exact cut line.
+    *
+    * Scale shape: the per-source rollup is one partial-agg shuffle; the
+    * priority ranking and cumulative sum run over one row per source
+    * (a single-task window over a frame that is tiny by construction —
+    * sources are low-cardinality); the tier verdict broadcasts back;
+    * and the only per-doc window is over the ONE boundary source,
+    * bounded by the largest source (shard it two-phase like
+    * [[weightedSample]] if a single source dominates the corpus).
+    *
+    * Returns the id/source/weight columns plus `tier`
+    * ('full'|'partial'|'excluded') and `selected`.
+    */
+  def tokenBudgetFill(df: DataFrame, sourceCol: Column, weightCol: Column,
+                      idCol: Column, budgetPermille: Int, priority: Column,
+                      salt: String = ""): DataFrame = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000,
+      s"budgetPermille must be in [0, 1000], got $budgetPermille")
+    val src = df.groupBy(sourceCol.as("__s"))
+      .agg(sum(weightCol.cast("long")).as("__w"), priority.as("__prio"))
+    val total = src.agg(sum(col("__w")).as("__tot"))
+    // one row per source: the single-partition window is deliberate
+    val ord = Window.orderBy(col("__prio").desc, col("__s").asc)
+    val tiers = src.crossJoin(broadcast(total))
+      .withColumn("__budget", expr(s"__tot * ${budgetPermille}L div 1000"))
+      .withColumn("__cum", sum(col("__w")).over(ord))
+      .withColumn("__prev", col("__cum") - col("__w"))
+      .withColumn("tier",
+        when(col("__cum") <= col("__budget"), "full")
+          .when(col("__prev") < col("__budget"), "partial")
+          .otherwise("excluded"))
+      .withColumn("__rem",
+        when(col("tier") === "partial", col("__budget") - col("__prev"))
+          .otherwise(lit(0L)))
+      .select(col("__s"), col("tier"), col("__rem"))
+    val docs = df.select(idCol.as("__id"), sourceCol.as("__s"),
+        weightCol.cast("long").as("__wt"))
+      .join(broadcast(tiers), Seq("__s"))
+    val prefixOrd = Window.partitionBy(col("__s"))
+      .orderBy(md5(concat(col("__id").cast("string"), lit(salt))).asc,
+        col("__id").asc)
+    // the window runs ONLY over the boundary source's docs
+    val partial = docs.where(col("tier") === "partial")
+      .withColumn("__dcum", sum(col("__wt")).over(prefixOrd))
+      .withColumn("selected", col("__dcum") <= col("__rem"))
+      .drop("__dcum")
+    val rest = docs.where(col("tier") =!= "partial")
+      .withColumn("selected", col("tier") === "full")
+    partial.unionByName(rest)
+      .select(col("__id").as("id"), col("__s").as("source"),
+        col("__wt").as("weight"), col("tier"), col("selected"))
+  }
 }

@@ -44,6 +44,32 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * query vector, the top-k most-similar corpus vectors with a
+    * DIFFERENT label (high-cosine impostors — the negatives that teach
+    * a bi-encoder the most). Exact brute-force form, same plan shape as
+    * [[bruteForceTopK]]: queries broadcast, corpus scans once, native
+    * codegen cosine, per-query top-k window over the broadcast-join
+    * output. Swap the corpus side to the LSH/IVF/PQ candidate
+    * generators for the approximate scale path.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__qlabel"), toDoubleVec(col(vecCol)).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__clabel"), toDoubleVec(col(vecCol)).as("__cv"))
+    val scored = q.join(c,
+        col("query_id") =!= col("neighbor_id") &&
+          !(col("__qlabel") <=> col("__clabel")))
+      .select(col("query_id"), col("neighbor_id"), col("__clabel").as("neg_label"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits of projections
     * against deterministic XXH64-derived planes, packed into one long.
     * Vectors in the same bucket are ANN candidates. Native expression —

@@ -297,4 +297,40 @@ object TextAnalysis {
         coalesce(col("n_terms"), lit(0L)).as("n_terms"),
         coalesce(col("score"), lit(0.0)).as("score"))
   }
+
+  /** Vocabulary coverage curve: for each k in `ks`, the share of all
+    * token OCCURRENCES covered by the k most frequent tokens — the
+    * "how big a vocab do I need" / tokenizer-sizing diagnostic.
+    *
+    * Scale shape: one explode→groupBy shuffle builds the frequency
+    * table (the only corpus-sized stage); the top-max(k) cut is a
+    * TakeOrdered (per-partition partial top-k, never a global sort of
+    * the vocabulary); everything after runs over ≤ max(k) rows. Shares
+    * are exact integer ppm (covered × 1e6 div total), so engines agree
+    * bit-for-bit.
+    */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                    ks: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive: $ks")
+    val kmax = ks.max
+    val freq = docs
+      .select(explode(tokens(lower(col(textCol)))).as("__t"))
+      .where(length(col("__t")) > 0)
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // feeds the top-k cut AND the total
+    val total = freq.agg(sum(col("__c")).as("__tot"))
+    // TakeOrderedAndProject: partial top-k per partition, k rows out
+    val top = freq.orderBy(col("__c").desc, col("__t").asc).limit(kmax)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__c").desc, col("__t").asc))) // ≤ kmax rows: single task fine
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kdf = ks.toDF("k")
+    kdf.join(broadcast(top), col("__rn") <= col("k"))
+      .groupBy(col("k")).agg(sum(col("__c")).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered"), col("__tot").as("total_tokens"),
+        expr("covered * 1000000 div __tot").as("coverage_ppm"))
+  }
 }

@@ -85,12 +85,16 @@ object PipelineQueries {
       (s, dir) => {
         val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         val l = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        // distinct the 1-direction pairs BEFORE doubling directions:
+        // half the dedup shuffle volume, and the direction union stays
+        // distinct for free (cust and supp+10M are disjoint keyspaces)
         val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("cust"),
             (col("l_suppkey") + lit(10000000L)).as("supp"))
+          .distinct()
         val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
           .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-        Graph.pageRank(edges, "src", "dst", iterations = 3)
+        Graph.pageRank(edges, "src", "dst", iterations = 3, assumeDistinct = true)
           .select(col("node"), col("rank_scaled"))
       },
       Some("""WITH pairs AS (
@@ -126,6 +130,119 @@ object PipelineQueries {
               r3 AS (SELECT n.node,
                             (15 * 1000000000000 + 85 * COALESCE(c3.s, 0)) // 100 AS r
                      FROM nodes n LEFT JOIN c3 ON n.node = c3.dst)
-              SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3"""))
+              SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3""")),
+
+    // ---- token-budget corpus fill: whole sources admitted in priority
+    //      order (avg doc length desc — integer div, exact), a
+    //      deterministic md5-prefix from the one boundary source, the
+    //      rest excluded; 60% budget, BIGINT arithmetic throughout ----
+    Q("q107_token_budget",
+      (s, dir) => {
+        graft.ops.Sampling.tokenBudgetFill(
+          Tables.load(s, dir, "documents"),
+          col("source"), col("n_chars"), col("doc_id"),
+          budgetPermille = 600,
+          priority = expr("sum(n_chars) div count(1)"),
+          salt = "budget1")
+      },
+      Some("""WITH src AS (
+                SELECT source AS s, CAST(sum(n_chars) AS BIGINT) AS w,
+                       sum(n_chars) // count(*) AS prio
+                FROM documents GROUP BY 1),
+              tot AS (SELECT sum(w) AS tot FROM src),
+              tiers AS (
+                SELECT s, w,
+                       tot.tot * 600 // 1000 AS budget,
+                       sum(w) OVER (ORDER BY prio DESC, s ASC) AS cum
+                FROM src, tot),
+              t2 AS (
+                SELECT s,
+                       CASE WHEN cum <= budget THEN 'full'
+                            WHEN cum - w < budget THEN 'partial'
+                            ELSE 'excluded' END AS tier,
+                       CASE WHEN cum <= budget THEN 0
+                            WHEN cum - w < budget THEN budget - (cum - w)
+                            ELSE 0 END AS rem
+                FROM tiers),
+              docs AS (
+                SELECT d.doc_id AS id, d.source,
+                       CAST(d.n_chars AS BIGINT) AS weight, t2.tier, t2.rem,
+                       sum(CAST(d.n_chars AS BIGINT)) OVER (
+                         PARTITION BY d.source
+                         ORDER BY md5(CAST(d.doc_id AS VARCHAR) || 'budget1'),
+                                  d.doc_id) AS dcum
+                FROM documents d JOIN t2 ON d.source = t2.s)
+              SELECT id, source, weight, tier,
+                     CASE WHEN tier = 'full' THEN TRUE
+                          WHEN tier = 'partial' THEN dcum <= rem
+                          ELSE FALSE END AS selected
+              FROM docs""")),
+
+    // ---- vocabulary coverage curve: share of token occurrences
+    //      covered by the top-k tokens, k ∈ {10,100,1000} — the
+    //      tokenizer-sizing diagnostic; top-k via TakeOrdered (partial
+    //      per-partition top-k), shares in exact integer ppm ----
+    Q("q108_vocab_coverage",
+      (s, dir) => {
+        graft.ops.TextAnalysis.vocabCoverage(
+          Tables.load(s, dir, "documents"), "text", Seq(10, 100, 1000))
+      },
+      Some("""WITH f AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                        AS token
+                      FROM documents)
+                WHERE length(token) > 0
+                GROUP BY token),
+              tot AS (SELECT sum(c) AS tot FROM f),
+              top AS (SELECT c,
+                             row_number() OVER (ORDER BY c DESC, token ASC) AS rn
+                      FROM f),
+              ks AS (SELECT unnest([10, 100, 1000]) AS k)
+              SELECT ks.k,
+                     CAST(sum(top.c) AS BIGINT) AS covered,
+                     CAST(tot.tot AS BIGINT) AS total_tokens,
+                     CAST(sum(top.c) * 1000000 // tot.tot AS BIGINT) AS coverage_ppm
+              FROM ks JOIN top ON top.rn <= ks.k, tot
+              GROUP BY ks.k, tot.tot""")),
+
+    // ---- distribution drift between corpus snapshots (odd vs even
+    //      doc_id as new vs old): per-bucket counts, exact-ppm shares
+    //      and gap, plus the PSI summand (the one IEEE double, NULL on
+    //      new/vanished buckets) over doc-length centile buckets ----
+    Q("q109_drift",
+      (s, dir) => {
+        graft.ops.Profiling.drift(
+            Tables.load(s, dir, "documents"),
+            sliceCol = col("doc_id") % 2 === 1,
+            bucketCol = least(expr("n_chars div 100"), lit(19L)))
+          .select(col("bucket"), col("n_old"), col("n_new"),
+            col("share_old_ppm"), col("share_new_ppm"), col("gap_ppm"),
+            graft.ops.Numeric.roundAway(col("psi_term"), 6).as("psi_term"))
+      },
+      Some("""WITH b AS (
+                SELECT least(n_chars // 100, 19) AS bucket,
+                       (doc_id % 2 = 1) AS isnew
+                FROM documents),
+              c AS (
+                SELECT bucket,
+                       CAST(sum(CASE WHEN NOT isnew THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_old,
+                       CAST(sum(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_new
+                FROM b GROUP BY 1),
+              t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM c)
+              SELECT bucket, n_old, n_new,
+                     CAST(n_old * 1000000 // t.t_old AS BIGINT) AS share_old_ppm,
+                     CAST(n_new * 1000000 // t.t_new AS BIGINT) AS share_new_ppm,
+                     CAST(abs(n_old * 1000000 // t.t_old
+                              - n_new * 1000000 // t.t_new) AS BIGINT) AS gap_ppm,
+                     CASE WHEN n_old > 0 AND n_new > 0 THEN
+                       round((CAST(n_new AS DOUBLE) / t.t_new
+                              - CAST(n_old AS DOUBLE) / t.t_old)
+                             * ln((CAST(n_new AS DOUBLE) / t.t_new)
+                                  / (CAST(n_old AS DOUBLE) / t.t_old)), 6)
+                     END AS psi_term
+              FROM c, t"""))
   )
 }

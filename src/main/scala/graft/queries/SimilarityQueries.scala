@@ -49,6 +49,37 @@ object SimilarityQueries {
                      round(sim, 6) AS sim
               FROM ranked WHERE rank <= 5""")),
 
+    // ---- hard-negative mining (contrastive training): per query, the
+    //      top-3 most-similar vectors with a DIFFERENT label — exact
+    //      brute-force form, fully oracled; the LSH/IVF/PQ candidate
+    //      generators are the approximate scale path ----
+    Q("q110_hard_negatives",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.hardNegatives(e, e.where(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", "label", k = 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("neg_label"), round(col("sim"), 6).as("sim"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                                embedding::DOUBLE[] AS qv
+                         FROM embeddings WHERE vec_id % 50 = 0),
+                   scored AS (
+                     SELECT q.query_id, e.vec_id AS neighbor_id,
+                       e.label AS neg_label,
+                       list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+                     FROM q JOIN embeddings e
+                       ON e.vec_id <> q.query_id
+                      AND e.label IS DISTINCT FROM q.qlabel),
+                   ranked AS (
+                     SELECT query_id, neighbor_id, neg_label, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rank
+                     FROM scored)
+              SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+                     neg_label, round(sim, 6) AS sim
+              FROM ranked WHERE rank <= 3""")),
+
     // ---- LSH-bucketed ANN, the scale path (rows-only: bucket hash
     //      family is engine-specific) ----
     Q("q41_lsh_ann",

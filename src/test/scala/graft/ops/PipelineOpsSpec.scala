@@ -54,4 +54,76 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(cyc == Set(scale))
   }
+
+  test("tokenBudgetFill: whole-source tiers, deterministic boundary prefix") {
+    // srcA: 2 docs × 100 (prio 100), srcB: 4 docs × 50 (prio 50),
+    // srcC: 2 docs × 100 (prio 100; tie broken A before B? no — by
+    // priority desc then source asc: A(100), C(100), B(50)).
+    // total = 600, budget 70% = 420 → A(200) full, C(200) full (cum 400),
+    // B partial with rem 20 → exactly 0 docs of weight 50 fit.
+    val df = Seq(
+      (1L, "srcA", 100L), (2L, "srcA", 100L),
+      (3L, "srcB", 50L), (4L, "srcB", 50L), (5L, "srcB", 50L), (6L, "srcB", 50L),
+      (7L, "srcC", 100L), (8L, "srcC", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Sampling.tokenBudgetFill(df, $"source", $"n_chars", $"doc_id",
+      budgetPermille = 700, priority = expr("sum(n_chars) div count(1)"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == (("full", true)) && got(2L) == (("full", true)))
+    assert(got(7L) == (("full", true)) && got(8L) == (("full", true)))
+    assert(Seq(3L, 4L, 5L, 6L).forall(got(_)._1 == "partial"))
+    assert(Seq(3L, 4L, 5L, 6L).forall(!got(_)._2)) // rem 20 < any doc
+    // larger budget: 80% = 480 → rem 80 admits exactly one 50-char doc
+    val got2 = Sampling.tokenBudgetFill(df, $"source", $"n_chars", $"doc_id",
+      budgetPermille = 800, priority = expr("sum(n_chars) div count(1)"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(Seq(3L, 4L, 5L, 6L).count(got2) == 1)
+  }
+
+  test("vocabCoverage: exact ppm over a known distribution") {
+    // 10 occurrences: "a"×5, "b"×3, "c"×2 → top-1 covers 500000 ppm,
+    // top-2 800000, top-3 1000000
+    val df = Seq((1L, "a a a b b"), (2L, "a a b c c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(df, "text", Seq(1, 2, 3))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1) == ((5L, 10L, 500000L)))
+    assert(got(2) == ((8L, 10L, 800000L)))
+    assert(got(3) == ((10L, 10L, 1000000L)))
+  }
+
+  test("drift: exact ppm shares, PSI NULL on new/vanished buckets") {
+    // old slice: 3×bucket0, 1×bucket1; new slice: 2×bucket0, 2×bucket2
+    val df = Seq(
+      (false, 0L), (false, 0L), (false, 0L), (false, 1L),
+      (true, 0L), (true, 0L), (true, 2L), (true, 2L))
+      .toDF("isnew", "bucket")
+    val got = Profiling.drift(df, $"isnew", $"bucket")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) null else r.getDouble(6)))).toMap
+    assert(got(0L)._1 == 3L && got(0L)._2 == 2L)
+    assert(got(0L)._3 == 750000L && got(0L)._4 == 500000L && got(0L)._5 == 250000L)
+    val psi0 = got(0L)._6.asInstanceOf[Double]
+    assert(math.abs(psi0 - (0.5 - 0.75) * math.log(0.5 / 0.75)) < 1e-12)
+    assert(got(1L)._6 == null) // vanished bucket
+    assert(got(2L)._6 == null) // brand-new bucket
+  }
+
+  test("hardNegatives excludes self and same-label, ranks by cosine desc") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0), 7),   // query, label 7
+      (2L, Array(1.0, 0.01), 7),  // same label: must never appear
+      (3L, Array(1.0, 0.1), 8),   // impostor, very close
+      (4L, Array(0.0, 1.0), 8),   // impostor, orthogonal
+      (5L, Array(1.0, 0.2), 9))   // impostor, close
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, df.where($"vec_id" === 1L),
+      "vec_id", "embedding", "label", k = 3)
+      .orderBy($"rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(4)))
+    assert(got.map(_._1).toSeq == Seq(3L, 5L, 4L)) // cosine desc
+    assert(!got.map(_._1).contains(2L))
+    assert(got.map(_._3).toSeq == Seq(1, 2, 3))
+  }
 }
