@@ -18,6 +18,7 @@ import graft.expressions._
   *   jaccard_sim(a, b)
   *   nearest_centroids(vec, array(array(...), ...), k)
   *   sparse_dot(indices, values, array(w0, w1, ...))
+  *   hashed_bow(tokens, dim)
   *
   * Activate with
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -99,6 +100,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => NearestCentroidsExpr(args(0), centroidMatrix(args(1)), lit(args(2))))
     g.registerFunction(classic, "sparse_dot",
       args => SparseDotExpr(args(0), args(1), weightVector(args(2))))
+    g.registerFunction(classic, "hashed_bow",
+      args => HashedBowExpr(args(0), lit(args(1))))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -139,5 +142,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sparse_dot"),
       new ExpressionInfo(classOf[SparseDotExpr].getName, "sparse_dot"),
       (args: Seq[Expression]) => SparseDotExpr(args(0), args(1), weightVector(args(2)))))
+    ext.injectFunction((
+      new FunctionIdentifier("hashed_bow"),
+      new ExpressionInfo(classOf[HashedBowExpr].getName, "hashed_bow"),
+      (args: Seq[Expression]) => HashedBowExpr(args(0), lit(args(1)))))
   }
 }

@@ -570,4 +570,51 @@ object Dedup {
       .select(col(idCol), coalesce(col("__hit"), lit(false)).as("exact_dup"))
       .join(best, Seq(idCol), "left")
   }
+
+  /** Dedup-threshold calibration sweep: exact pairwise Jaccard over a
+    * deterministic SAMPLE of the corpus, histogrammed by similarity
+    * decile, with a reverse-cumulative pair count per bucket — "if I
+    * set the near-dup threshold at t, how many pairs (per sampled
+    * pair) does it catch?" This is the sweep every dedup rollout runs
+    * before committing to a threshold; production dedup then runs the
+    * LSH path ([[minhashDedup]]) at the chosen t.
+    *
+    * All-pairs is QUADRATIC BY DESIGN and must stay on the sample:
+    * `sampleMod` keeps 1/sampleMod of docs (deterministic id filter, so
+    * every engine sees the same sample). Similarity is exact integer
+    * ppm (|A∩B|·1e6 div |A∪B|) — no float thresholds, engines agree on
+    * every bucket edge.
+    *
+    * Scale shape: the sampled shingle frame is checkpointed and
+    * broadcast as the build side of the pair join (bounded by the
+    * sample size); the histogram reduces behind a partial-agg pair and
+    * the reverse cumsum runs over ≤ 11 rows.
+    */
+  def thresholdCalibration(df: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int = 3, sampleMod: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val sh = df.where(pmod(col(idCol), lit(sampleMod)) === 0)
+      .select(col(idCol), TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .localCheckpoint(false) // both sides of the pair join: shingle once
+    val pairs = sh.select(col(idCol).as("__ia"), col("__sh").as("__sa"))
+      .join(broadcast(sh.select(col(idCol).as("__ib"), col("__sh").as("__sb"))),
+        col("__ia") < col("__ib"))
+      .select(
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("__i"),
+        size(array_union(col("__sa"), col("__sb"))).cast("long").as("__u"))
+      // `div`, not `/`: Column./ on BIGINT is double division; operands
+      // are non-negative so truncating div == DuckDB's flooring `//`
+      .select(expr("__i * 1000000 div __u").as("__jppm"))
+    val hist = pairs
+      .select(least(expr("__jppm div 100000"), lit(9L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    // reverse cumulative over <= 10 rows: deliberate single-task window
+    hist.withColumn("n_pairs_at_or_above",
+        sum(col("n_pairs")).over(
+          Window.orderBy(col("bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"), col("n_pairs"), col("n_pairs_at_or_above"))
+  }
 }

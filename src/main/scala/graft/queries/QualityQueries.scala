@@ -226,6 +226,40 @@ object QualityQueries {
               FROM pairs
               WHERE inter * 1000000 // least(la, lb) >= 700000""")),
 
+    // ---- dedup-threshold calibration: exact pairwise Jaccard over a
+    //      deterministic 1/20 sample, histogrammed by similarity decile
+    //      with a reverse-cumulative pair count — the sweep run before
+    //      committing a near-dup threshold (all-pairs stays on the
+    //      sample by design; production dedup is the LSH path) ----
+    Q("q111_threshold_calibration",
+      (s, dir) => Dedup.thresholdCalibration(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, sampleMod = 20L),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id % 20 = 0),
+              sh AS (
+                SELECT doc_id,
+                  list_distinct([substr(text, CAST(i AS INTEGER), 3)
+                    FOR i IN generate_series(1, greatest(length(text) - 2, 0))]) AS s
+                FROM d),
+              nz AS (SELECT * FROM sh WHERE len(s) > 0),
+              pairs AS (
+                SELECT CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                         AS BIGINT) AS i,
+                       CAST(len(a.s) + len(b.s)
+                         - len(list_filter(a.s, x -> list_contains(b.s, x)))
+                         AS BIGINT) AS u
+                FROM nz a JOIN nz b ON a.doc_id < b.doc_id),
+              hist AS (
+                SELECT least(i * 1000000 // u // 100000, 9) AS bucket,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM pairs GROUP BY 1)
+              SELECT bucket, n_pairs,
+                     CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n_pairs_at_or_above
+              FROM hist""")),
+
     // ---- incremental aggregate maintenance: fold a new batch's
     //      mergeable state (cnt/sum/min/max, DECIMAL-exact sums) into
     //      the stored rollup — merge(state(A), state(B)) ≡ state(A∪B),

@@ -53,6 +53,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Int](4) == Seq(1, 0)) // nearest first
   }
 
+  test("hashed_bow through the SQL surface") {
+    new GraftExtensions().registerOn(spark)
+    val r = spark.sql(
+      """SELECT hashed_bow(array('a', 'b', 'a'), 16) AS bx""").head()
+    val bx = r.getStruct(0)
+    val b = bx.getSeq[Int](0)
+    val x = bx.getSeq[Double](1)
+    assert(b.last == 16 && x.last == 1.0)          // bias slot appended
+    assert(b.init.forall(i => i >= 0 && i < 16))   // token buckets in range
+    assert(b == b.sorted)                          // ascending bucket order
+    assert(math.abs(x.init.sum - 1.0) < 1e-12)     // L1-normalized shares
+    assert(x.init.contains(2.0 / 3.0))             // 'a' appears twice
+  }
+
   test("builder-path extensions class wires the same builders (compile check)") {
     // The SparkSessionExtensions path can't be exercised in a shared-JVM
     // test (getOrCreate reuses the active session); assert the entry

@@ -284,4 +284,24 @@ class DedupTextSpec extends SparkSpec {
     val bounded = reps(2)
     assert(bounded.values.toSet != Set(1L))
   }
+
+  test("thresholdCalibration: exact-dup pair lands in bucket 9, " +
+    "reverse cumulative sums up") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (20L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (40L, "zzz completely different content qqq xyzzy"),
+      (7L, "sampled out (not ≡ 0 mod 20)"))
+      .toDF("doc_id", "text")
+    val got = Dedup.thresholdCalibration(df, "text", "doc_id",
+      shingleN = 3, sampleMod = 20L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 3 sampled docs -> 3 pairs: one identical (bucket 9), two dissimilar
+    assert(got(9L)._1 == 1L)
+    assert(got(9L)._2 == 1L) // reverse cumulative at the top bucket
+    assert(got.values.map(_._1).sum == 3L)
+    val bottom = got.keys.min
+    assert(got(bottom)._2 == 3L) // lowest bucket accumulates every pair
+  }
 }
