@@ -245,6 +245,54 @@ object TextAnalysis {
       .where(col("n_hits") >= minHits)
   }
 
+  /** Span-level benchmark decontamination — the transform counterpart
+    * of [[contamination]] (which only FLAGS docs): excise every word
+    * `n`-gram span that appears verbatim in the benchmark set and
+    * reassemble the survivors in document order. Flag-and-drop loses
+    * whole documents over one quoted test item; span excision keeps
+    * the clean remainder — what production pretraining pipelines
+    * actually ship.
+    *
+    * Scale shape: the benchmark gram set is broadcast (eval suites are
+    * small by definition); per-doc gram construction and the final
+    * rebuild are single HOF passes (map-side, no token explosion
+    * beyond the hit join); the one shuffle carries (doc, start) int
+    * pairs for HITS only — O(contaminated spans), not O(tokens).
+    *
+    * Returns (id, n_spans, n_tokens_kept, clean_md5) for every corpus
+    * doc; n_spans = 0 rows pass through with their text intact
+    * (whitespace-normalized by the shared tokenizer).
+    */
+  def decontaminate(docs: org.apache.spark.sql.DataFrame,
+                    benchmark: org.apache.spark.sql.DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"span n must be >= 1, got $n")
+    // word n-grams with 1-based start positions, one HOF pass per doc
+    def grams(t: Column): Column =
+      transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(0))),
+        i => struct(i.as("s"), array_join(slice(t, i, lit(n)), " ").as("gram")))
+    val docToks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val benchGrams = benchmark
+      .select(explode(grams(tokens(col(textCol)))).as("__g"))
+      .select(col("__g.gram").as("__gram")).distinct()
+    val hits = docToks
+      .select(col(idCol), explode(grams(col("__t"))).as("__g"))
+      .select(col(idCol), col("__g.s").as("__s"), col("__g.gram").as("__gram"))
+      .join(broadcast(benchGrams), Seq("__gram"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__s")).as("__ss"))
+    val ss = coalesce(col("__ss"), array().cast("array<int>"))
+    val kept = filter(
+      transform(col("__t"), (tok, i) => struct(tok.as("tok"), (i + 1).as("p"))),
+      x => !exists(ss, s => s <= x("p") && x("p") < s + n))
+    docToks.join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(size(col("__ss")), lit(0)).cast("long").as("n_spans"),
+        size(transform(kept, x => x("tok"))).cast("long").as("n_tokens_kept"),
+        md5(array_join(transform(kept, x => x("tok")), " ")).as("clean_md5"))
+  }
+
   /** BM25 relevance of every document to a fixed term set (Robertson &
     * Zaragoza 2009, "The Probabilistic Relevance Framework: BM25 and
     * Beyond") — the retrieval scorer behind quality-by-query curation

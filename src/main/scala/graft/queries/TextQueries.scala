@@ -255,6 +255,45 @@ object TextQueries {
               GROUP BY d.doc_id
               HAVING count(DISTINCT d.g) >= 30""")),
 
+    // ---- span-level decontamination (q48's transform counterpart):
+    //      excise word 8-grams appearing verbatim in the benchmark
+    //      slice (doc_id < 20), reassemble survivors in order; only
+    //      (doc, start) hit pairs ever shuffle ----
+    Q("q112_decontaminate",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        TA.decontaminate(d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20),
+          "text", "doc_id", n = 8)
+      },
+      Some("""WITH w AS (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS ws
+                   FROM documents),
+              g AS (SELECT doc_id, CAST(i.i AS INTEGER) AS s,
+                       array_to_string(
+                         ws[CAST(i.i AS INTEGER):CAST(i.i + 7 AS INTEGER)],
+                         ' ') AS gram
+                    FROM w, LATERAL (SELECT unnest(generate_series(1,
+                        greatest(len(ws) - 7, 0))) AS i) i),
+              bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+              hits AS (SELECT g.doc_id, g.s FROM g JOIN bench USING (gram)
+                       WHERE g.doc_id >= 20),
+              bad AS (SELECT doc_id, list(DISTINCT s) AS ss,
+                             CAST(count(DISTINCT s) AS BIGINT) AS n_spans
+                      FROM hits GROUP BY 1)
+              SELECT w.doc_id, COALESCE(b.n_spans, 0) AS n_spans,
+                     CAST(len([w.ws[CAST(p AS INTEGER)]
+                          FOR p IN generate_series(1, len(w.ws))
+                          IF len(list_filter(COALESCE(b.ss, []),
+                               s -> s <= p AND p < s + 8)) = 0]) AS BIGINT)
+                       AS n_tokens_kept,
+                     md5(COALESCE(array_to_string([w.ws[CAST(p AS INTEGER)]
+                          FOR p IN generate_series(1, len(w.ws))
+                          IF len(list_filter(COALESCE(b.ss, []),
+                               s -> s <= p AND p < s + 8)) = 0], ' '), ''))
+                       AS clean_md5
+              FROM w LEFT JOIN bad b USING (doc_id)
+              WHERE w.doc_id >= 20""")),
+
     // ---- overlapping chunk windows (training-sample prep) ----
     Q("q49_chunking",
       (s, dir) => {

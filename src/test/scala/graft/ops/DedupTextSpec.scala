@@ -285,6 +285,29 @@ class DedupTextSpec extends SparkSpec {
     assert(bounded.values.toSet != Set(1L))
   }
 
+  test("decontaminate excises exactly the benchmark span, keeps the rest") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // benchmark 8-gram embedded mid-document
+      (100L, "start alpha beta gamma delta epsilon zeta eta theta end tail"),
+      (101L, "no overlap with the benchmark suite here at all ok"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(docs, bench, "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 100: 11 tokens, one hit span at position 2 covering 2..9 →
+    // kept = start, end, tail
+    assert(got(100L)._1 == 1L && got(100L)._2 == 3L)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("start end tail".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(100L)._3 == md5)
+    // doc 101: untouched, whitespace-normalized passthrough
+    assert(got(101L)._1 == 0L && got(101L)._2 == 10L)
+  }
+
   test("thresholdCalibration: exact-dup pair lands in bucket 9, " +
     "reverse cumulative sums up") {
     import spark.implicits._
