@@ -66,4 +66,47 @@ object Layout {
       .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Compaction-aware partitioned write — the small-files killer. A
+    * naive `partitionBy` write emits one file per (task, partition-key)
+    * pair: a 32-task shuffle over 1,000 keys can scatter 32,000 tiny
+    * files, and at 100 TB the metadata + open-file cost dominates reads.
+    * This writer first computes a per-key file budget from row counts
+    * (⌈rows / targetRowsPerFile⌉), then salts each row into one of its
+    * key's budget slots (deterministic: xxhash64 of `idCol`) and
+    * repartitions by (key, slot) — so every partition directory gets AT
+    * MOST its budgeted file count (hash collisions between slots can
+    * only merge files, never split them), skewed keys get proportionally
+    * more files, and tiny keys collapse to one.
+    *
+    * Scale shape: the plan is one partial-agg shuffle bounded by key
+    * cardinality and rides back as a broadcast; the data moves in
+    * exactly one shuffle (the repartition), which the write needs
+    * anyway. Returns the plan (key cols, n_rows, n_files) for
+    * observability / assertion.
+    */
+  def writeCompacted(df: DataFrame, path: String, partCols: Seq[String],
+                     idCol: Column, targetRowsPerFile: Long): DataFrame = {
+    require(partCols.nonEmpty, "writeCompacted needs partition columns")
+    require(targetRowsPerFile > 0,
+      s"targetRowsPerFile must be positive, got $targetRowsPerFile")
+    val keys = partCols.map(col)
+    val plan = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__files", greatest(lit(1L),
+        expr(s"(__n + ${targetRowsPerFile - 1}) div ${targetRowsPerFile}L")))
+    // explicit width (the total file budget): a width-less expression
+    // repartition is fair game for AQE coalescing, which would collapse
+    // the salt slots back into one task — one fat file per key
+    val totalFiles = math.max(
+      plan.agg(sum(col("__files"))).head().getLong(0), 1L).toInt
+    val salted = df
+      .join(broadcast(plan.select((keys :+ col("__files")): _*)), partCols)
+      .withColumn("__slot", pmod(xxhash64(idCol), col("__files")))
+    salted.repartition(totalFiles, (keys :+ col("__slot")): _*)
+      .drop("__slot", "__files")
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+    plan.select((keys :+ col("__n").as("n_rows") :+
+      col("__files").as("n_files")): _*)
+  }
 }

@@ -47,4 +47,32 @@ class LayoutSpec extends SparkSpec {
     val worstY = boxes.map(_.getLong(2)).max
     assert(worstY < 63)
   }
+
+  test("writeCompacted: per-key file budgets bound the small-files blowup") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    // skewed: key 'big' 1000 rows, 'mid' 150, 'tiny' 7
+    val df = ((1 to 1000).map(i => (i.toLong, "big")) ++
+      (1001 to 1150).map(i => (i.toLong, "mid")) ++
+      (1151 to 1157).map(i => (i.toLong, "tiny")))
+      .toDF("id", "key")
+    val plan = Layout.writeCompacted(df, dir, Seq("key"), $"id",
+      targetRowsPerFile = 100L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(plan("big") == ((1000L, 10L)))
+    assert(plan("mid") == ((150L, 2L)))
+    assert(plan("tiny") == ((7L, 1L)))
+    def files(key: String): Int =
+      new java.io.File(s"$dir/key=$key").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    // at most the budget, never the task-count blowup; tiny is exactly 1
+    assert(files("big") <= 10 && files("big") > 1)
+    assert(files("mid") <= 2)
+    assert(files("tiny") == 1)
+    // data round-trips intact
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1157L)
+    assert(back.groupBy($"key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("big" -> 1000L, "mid" -> 150L, "tiny" -> 7L))
+  }
 }
