@@ -48,4 +48,37 @@ object Eval {
           col("auc_num2").cast("double") /
             (lit(2.0) * col("n_pos") * col("n_neg")), roundTo).as("auc"))
   }
+
+  /** Calibration / reliability table: bucket an integer-ppm score into
+    * `buckets` equal bins and report, per bin, the count, the mean
+    * score, and the observed positive rate — the reliability diagram
+    * behind "is this quality score a probability?" threshold choices.
+    * A perfectly calibrated scorer has mean_score_ppm ≈ pos_rate_ppm in
+    * every row.
+    *
+    * Takes the score in ppm (0..1e6) so binning and both means are
+    * EXACT integer arithmetic end to end (the same discipline as the
+    * metrics it usually consumes: q87's LM score, QualityRules ppm).
+    * NULL scores/labels are excluded. One partial-agg shuffle bounded
+    * by `buckets`.
+    */
+  def calibration(df: DataFrame, scorePpmCol: Column, labelCol: Column,
+                  buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val base = df.select(scorePpmCol.cast("long").as("__s"),
+        labelCol.as("__label"))
+      .where(col("__s").isNotNull && col("__label").isNotNull)
+    base
+      .select(
+        least(expr(s"__s * $buckets div 1000000"), lit(buckets - 1L))
+          .as("bucket"),
+        col("__s"), col("__label"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__label"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s")).as("__sum_s"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("__sum_s div n").as("mean_score_ppm"),
+        expr("n_pos * 1000000 div n").as("pos_rate_ppm"))
+  }
 }

@@ -111,4 +111,39 @@ object Joins {
       .select(left.columns.map(col) ++
         payload.map(p => col(s"__last.$p").as(s"$prefix$p")): _*)
   }
+
+  /** Band join: all (left, right) pairs with |leftCol − rightCol| ≤ eps.
+    * The naive plan is a BroadcastNestedLoopJoin (O(n·m) comparisons —
+    * the classic Spark range-join trap); this form buckets both sides
+    * at width eps, explodes the RIGHT side to its three adjacent
+    * buckets, hash-joins on the bucket key, and applies the exact band
+    * predicate as a post-filter. Any qualifying pair sits within one
+    * bucket of its partner (floor is monotone: |a−b| ≤ eps ⇒ bucket
+    * distance ≤ 1), and each pair meets in exactly ONE bucket (the
+    * left side keeps its single home bucket) — no dedup needed.
+    *
+    * Column names must be disjoint between the two inputs (rename
+    * before joining, as with any self-join). For float inputs the
+    * candidate bucketing inherits IEEE division semantics; pairs at an
+    * exact eps boundary are still decided by the exact post-filter, and
+    * integer-valued columns with integer eps are fully exact in every
+    * engine.
+    *
+    * Scale shape: one hash-join shuffle on the band key with 3× fan-out
+    * on the right side; skew follows dense value regions (salt the band
+    * key if one value dominates).
+    */
+  def bandJoin(left: DataFrame, right: DataFrame,
+               leftCol: String, rightCol: String, eps: Double): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val l = left.withColumn("__band", floor(col(leftCol) / eps).cast("long"))
+    val r = right
+      .withColumn("__rb", floor(col(rightCol) / eps).cast("long"))
+      .withColumn("__off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__band", col("__rb") + col("__off"))
+      .drop("__rb", "__off")
+    l.join(r, Seq("__band"))
+      .where(abs(col(leftCol) - col(rightCol)) <= eps)
+      .drop("__band")
+  }
 }

@@ -89,6 +89,55 @@ object ModelQueries {
                      CAST(sum(np * (2 * (cum_nn - nn) + nn)) AS BIGINT) AS auc_num2,
                      round(CAST(sum(np * (2 * (cum_nn - nn) + nn)) AS DOUBLE)
                            / (2.0 * sum(np) * sum(nn)), 6) AS auc
-              FROM c"""))
+              FROM c""")),
+
+    // ---- calibration / reliability table: the q87 bigram-LM fluency
+    //      score (integer ppm) binned into 10 bins against the lang='en'
+    //      weak label — count, mean score, observed positive rate per
+    //      bin, exact integer arithmetic end to end ----
+    Q("q113_calibration",
+      (s, dir) => {
+        val scored = graft.ops.NgramLm.bigramScore(
+          Tables.load(s, dir, "documents"), "text", "doc_id")
+          .join(Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("lang")), Seq("doc_id"))
+        graft.model.Eval.calibration(scored,
+          col("lm_ppm"), col("lang") === "en", buckets = 10)
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                FROM documents),
+              bg AS (
+                SELECT doc_id, ws[CAST(i.i AS INTEGER)] AS w1,
+                       ws[CAST(i.i AS INTEGER) + 1] AS w2
+                FROM t, LATERAL (
+                  SELECT unnest(generate_series(1, len(ws) - 1)) AS i) i
+                WHERE len(ws) >= 2),
+              c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                      FROM bg GROUP BY 1, 2),
+              c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                     FROM bg GROUP BY 1),
+              v AS (SELECT CAST(count(DISTINCT u.t) AS BIGINT) AS v
+                    FROM (SELECT unnest(ws) AS t FROM t) u),
+              s AS (
+                SELECT bg.doc_id,
+                       (c12.c12 + 1) * 1000000 // (c1.c1 + v.v) AS p_ppm
+                FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+              d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                           CAST(sum(p_ppm) AS BIGINT) AS sp
+                    FROM s GROUP BY 1),
+              sc AS (SELECT doc_id, sp // n_bigrams AS lm
+                     FROM d),
+              lab AS (
+                SELECT sc.lm, (dd.lang = 'en') AS lab
+                FROM sc JOIN documents dd USING (doc_id)
+                WHERE sc.lm IS NOT NULL AND dd.lang IS NOT NULL)
+              SELECT CAST(least(lm * 10 // 1000000, 9) AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                     CAST(sum(lm) // count(*) AS BIGINT) AS mean_score_ppm,
+                     CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) * 1000000
+                          // count(*) AS BIGINT) AS pos_rate_ppm
+              FROM lab GROUP BY 1"""))
   )
 }

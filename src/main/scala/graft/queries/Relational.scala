@@ -886,6 +886,30 @@ object Relational {
     // ---- §2.8 SCD-2 merge: cell-level changelog ----
     Q("q22_scd2_changelog",
       (s, dir) => Scd2Fixture.merged(s, dir).changelog,
-      Some(Scd2Fixture.changelogOracle))
+      Some(Scd2Fixture.changelogOracle)),
+
+    // ---- band join (|a − b| ≤ eps): bucketed equi-join + exact
+    //      post-filter instead of the BroadcastNestedLoopJoin the naive
+    //      range predicate plans; values quantized to integer centi
+    //      units so the band edges are engine-exact ----
+    Q("q114_band_join",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "events")
+          .where(col("event_type") === "click" && col("user_id") % 10 === 0)
+          .select(col("event_id"), floor(col("value") * 100).cast("long").as("vc"))
+        val a = c.select(col("event_id").as("id_a"), col("vc").as("vc_a"))
+        val b = c.select(col("event_id").as("id_b"), col("vc").as("vc_b"))
+        Joins.bandJoin(a, b, "vc_a", "vc_b", eps = 1.0)
+          .where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("vc_a"), col("vc_b"))
+      },
+      Some("""WITH c AS (
+                SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS vc
+                FROM events
+                WHERE event_type = 'click' AND user_id % 10 = 0)
+              SELECT a.event_id AS id_a, b.event_id AS id_b,
+                     a.vc AS vc_a, b.vc AS vc_b
+              FROM c a JOIN c b
+                ON a.event_id < b.event_id AND abs(a.vc - b.vc) <= 1"""))
   )
 }

@@ -44,4 +44,26 @@ class EvalSpec extends SparkSpec {
     val (_, _, _, a) = auc(scores)
     assert(math.abs(a - expected) < 1e-6) // aucExact rounds to 6 decimals
   }
+
+  test("calibration: exact integer bins, means, and positive rates") {
+    import org.apache.spark.sql.functions._
+    // bucket 0 (scores < 100k): 2 rows, 1 positive; bucket 9 clamps 1e6
+    val df = Seq(
+      (50000L, true), (90000L, false),          // bucket 0
+      (550000L, true), (550000L, true),         // bucket 5
+      (1000000L, true))                         // clamped into bucket 9
+      .toDF("s", "lab")
+    val got = Eval.calibration(df, col("s"), col("lab"), buckets = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((2L, 1L, 70000L, 500000L)))
+    assert(got(5L) == ((2L, 2L, 550000L, 1000000L)))
+    assert(got(9L) == ((1L, 1L, 1000000L, 1000000L)))
+    // NULL labels/scores are excluded
+    val withNulls = Seq[(java.lang.Long, java.lang.Boolean)](
+      (50000L, true), (null, true), (70000L, null))
+      .toDF("s", "lab")
+    assert(Eval.calibration(withNulls, col("s"), col("lab"), 10)
+      .agg(sum(col("n"))).head().getLong(0) == 1L)
+  }
 }

@@ -94,4 +94,21 @@ class JoinsSpec extends SparkSpec {
     assert(rows(Joins.semiFilter(newDf, oldDf.select("k"), Seq("k"))) ==
       Seq(Seq("a", 1)))
   }
+
+  test("bandJoin equals the naive |a-b| <= eps filter, incl. boundaries " +
+    "and negatives") {
+    val l = Seq((1L, -3.0), (2L, 0.0), (3L, 2.5), (4L, 10.0))
+      .toDF("id_l", "va")
+    val r = Seq((10L, -3.5), (11L, -0.49), (12L, 0.5), (13L, 3.0), (14L, 9.4))
+      .toDF("id_r", "vb")
+    val eps = 0.5
+    val got = rows(Joins.bandJoin(l, r, "va", "vb", eps)
+      .select($"id_l", $"id_r"))
+    val want = rows(l.crossJoin(r)
+      .where(abs($"va" - $"vb") <= eps)
+      .select($"id_l", $"id_r"))
+    assert(want.nonEmpty && got == want)
+    // boundary pairs ARE present: |-3.0 - -3.5| == eps, |2.5 - 3.0| == eps
+    assert(got.contains(Seq(1L, 10L)) && got.contains(Seq(3L, 13L)))
+  }
 }
