@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis: how many users performed step 1, then step
+  * 2 STRICTLY AFTER their first step 1, then step 3 after that, … —
+  * the conversion query behind every product/ads dashboard, and (for a
+  * training-data pipeline) the event-sequence integrity check on
+  * interaction logs.
+  *
+  * Semantics: per user, t₁ = min ts of step 1; tᵢ = min ts of step i
+  * with ts > tᵢ₋₁. A user converts through step i iff tᵢ exists.
+  * Same-instant events do NOT advance the funnel (strict >) — ties are
+  * decided the same way in every engine, no ordering ambiguity.
+  *
+  * Scale shape: one filtered groupBy per step, every shuffle keyed on
+  * the user column (the step-i join and its aggregation co-partition);
+  * the per-step frames are narrow (user, ts). No windows over the raw
+  * event stream, no per-user event arrays. The summary is
+  * `steps.length` one-row aggregates unioned, with conversion ratios
+  * computed over that ≤ steps-row frame.
+  */
+object Funnel {
+
+  /** Returns one row per step: (step 1-based, step_name, n_users,
+    * conv_from_first_ppm, conv_from_prev_ppm) with exact integer-ppm
+    * ratios (step 1 reports 1e6 for both).
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val evs = events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+      col(tsCol).as("__ts"))
+      .where(col("__u").isNotNull && col("__ts").isNotNull)
+    // fold: per-user first-reach time of each step, gated on the prior step
+    val stageTimes: Seq[DataFrame] = steps.zipWithIndex
+      .foldLeft(Seq.empty[DataFrame]) { case (acc, (step, i)) =>
+        val mine = evs.where(col("__ty") === step)
+        val gated =
+          if (i == 0) mine
+          else mine.join(acc.last.select(col("__u"), col("__t").as("__tprev")),
+              Seq("__u"))
+            .where(col("__ts") > col("__tprev"))
+        acc :+ gated.groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+          .localCheckpoint(false) // each stage feeds the next AND its count
+      }
+    val counts = stageTimes.zip(steps).zipWithIndex.map {
+      case ((st, name), i) =>
+        st.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+            col("n_users"))
+    }.reduce(_ unionByName _)
+    // <= steps rows: single-task windows are fine by construction
+    val w = Window.orderBy(col("step"))
+    counts
+      .withColumn("__first", first(col("n_users")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__prev", lag(col("n_users"), 1).over(w))
+      .select(col("step"), col("step_name"), col("n_users"),
+        when(col("__first") === 0L, lit(0L))
+          .otherwise(expr("n_users * 1000000 div __first"))
+          .as("conv_from_first_ppm"),
+        when(coalesce(col("__prev"), col("n_users")) === 0L, lit(0L))
+          .otherwise(expr("n_users * 1000000 div coalesce(__prev, n_users)"))
+          .as("conv_from_prev_ppm"))
+  }
+}

@@ -910,6 +910,47 @@ object Relational {
               SELECT a.event_id AS id_a, b.event_id AS id_b,
                      a.vc AS vc_a, b.vc AS vc_b
               FROM c a JOIN c b
-                ON a.event_id < b.event_id AND abs(a.vc - b.vc) <= 1"""))
+                ON a.event_id < b.event_id AND abs(a.vc - b.vc) <= 1""")),
+
+    // ---- ordered funnel (view → click → purchase): per-user
+    //      first-reach times gated on the prior step (strict >), exact
+    //      integer-ppm conversion ratios; every shuffle keys on user ----
+    Q("q115_funnel",
+      (s, dir) => Funnel.funnel(Tables.load(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' AND user_id IS NOT NULL
+                  AND ts IS NOT NULL
+                GROUP BY 1),
+              s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY 1),
+              s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY 1),
+              c AS (
+                SELECT 1 AS step, 'view' AS step_name,
+                       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+                UNION ALL
+                SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+                UNION ALL
+                SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3))
+              SELECT CAST(step AS INTEGER) AS step, step_name, n_users,
+                     CASE WHEN first_value(n_users) OVER w = 0 THEN 0
+                          ELSE n_users * 1000000
+                               // first_value(n_users) OVER w END
+                       AS conv_from_first_ppm,
+                     CASE WHEN COALESCE(lag(n_users) OVER w, n_users) = 0 THEN 0
+                          ELSE n_users * 1000000
+                               // COALESCE(lag(n_users) OVER w, n_users) END
+                       AS conv_from_prev_ppm
+              FROM c
+              WINDOW w AS (ORDER BY step
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
   )
 }

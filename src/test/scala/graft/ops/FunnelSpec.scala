@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(u: Long, ty: String, t: String) = (u, ty, ts(t))
+
+  test("funnel: strict ordering gates each step on the prior first-reach") {
+    val events = Seq(
+      // user 1: full ordered funnel
+      ev(1L, "view", "2024-01-01 10:00:00"),
+      ev(1L, "click", "2024-01-01 10:05:00"),
+      ev(1L, "purchase", "2024-01-01 10:10:00"),
+      // user 2: clicked BEFORE first view — click must not count
+      ev(2L, "click", "2024-01-01 09:00:00"),
+      ev(2L, "view", "2024-01-01 10:00:00"),
+      // user 3: view + click, no purchase
+      ev(3L, "view", "2024-01-01 08:00:00"),
+      ev(3L, "click", "2024-01-01 08:30:00"),
+      // user 4: same-instant view and click — strict > excludes the click
+      ev(4L, "view", "2024-01-01 12:00:00"),
+      ev(4L, "click", "2024-01-01 12:00:00"),
+      // user 5: purchase only — never enters the funnel
+      ev(5L, "purchase", "2024-01-01 13:00:00"))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1) == (("view", 4L, 1000000L, 1000000L)))     // users 1-4
+    assert(got(2) == (("click", 2L, 500000L, 500000L)))      // users 1, 3
+    assert(got(3) == (("purchase", 1L, 250000L, 500000L)))   // user 1
+  }
+
+  test("funnel: later re-occurrence of an earlier step does not reset") {
+    val events = Seq(
+      ev(1L, "view", "2024-01-01 10:00:00"),
+      ev(1L, "view", "2024-01-01 11:00:00"), // second view irrelevant
+      ev(1L, "click", "2024-01-01 10:30:00"))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // click at 10:30 is after the FIRST view (10:00) → converts
+    assert(got(1) == 1L && got(2) == 1L)
+  }
+}
