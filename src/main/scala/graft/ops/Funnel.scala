@@ -66,4 +66,43 @@ object Funnel {
           .otherwise(expr("n_users * 1000000 div coalesce(__prev, n_users)"))
           .as("conv_from_prev_ppm"))
   }
+
+  /** Cohort retention matrix: users are cohorted by the week of their
+    * FIRST `cohortEvent`; a cohort member counts as retained in week k
+    * if they have ANY event in the k-th week at or after their cohort
+    * week. Returns (cohort_week, week_k, n_active, n_cohort,
+    * retention_ppm) — the standard retention triangle, in exact
+    * date/integer arithmetic (week = Monday-start `date_trunc`, the
+    * same rule in Spark and the C-family engines).
+    *
+    * Scale shape: cohort assignment is one user-keyed aggregation; the
+    * activity join is user-keyed and co-partitions with it; the
+    * (user, k) distinct and the (cohort, k) rollup reduce behind
+    * partial aggregations. Nothing ever shuffles wider than
+    * (user, week) pairs.
+    */
+  def retention(events: DataFrame, userCol: String, typeCol: String,
+                tsCol: String, cohortEvent: String): DataFrame = {
+    val evs = events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        col(tsCol).as("__ts"))
+      .where(col("__u").isNotNull && col("__ts").isNotNull)
+    val cohorts = evs.where(col("__ty") === cohortEvent)
+      .groupBy(col("__u"))
+      .agg(date_trunc("week", min(col("__ts"))).cast("date").as("__cw"))
+      .localCheckpoint(false) // feeds the activity join AND cohort sizes
+    val act = evs
+      .select(col("__u"), date_trunc("week", col("__ts")).cast("date").as("__aw"))
+      .join(cohorts, Seq("__u"))
+      .where(col("__aw") >= col("__cw"))
+      .select(col("__u"), col("__cw"),
+        expr("datediff(__aw, __cw) div 7").cast("int").as("week_k"))
+      .distinct()
+    val sizes = cohorts.groupBy(col("__cw")).agg(count(lit(1)).as("n_cohort"))
+    act.groupBy(col("__cw"), col("week_k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("__cw"))
+      .select(col("__cw").as("cohort_week"), col("week_k"),
+        col("n_active"), col("n_cohort"),
+        expr("n_active * 1000000 div n_cohort").as("retention_ppm"))
+  }
 }

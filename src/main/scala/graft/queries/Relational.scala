@@ -951,6 +951,35 @@ object Relational {
                        AS conv_from_prev_ppm
               FROM c
               WINDOW w AS (ORDER BY step
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
+
+    // ---- cohort retention triangle: signup-week cohorts, retained in
+    //      week k iff ANY event in that week; Monday-start date_trunc
+    //      weeks + integer ppm — exact in every engine ----
+    Q("q116_retention",
+      (s, dir) => Funnel.retention(Tables.load(s, dir, "events"),
+        "user_id", "event_type", "ts", cohortEvent = "signup"),
+      Some("""WITH c AS (
+                SELECT user_id,
+                       CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+                FROM events
+                WHERE event_type = 'signup' AND user_id IS NOT NULL
+                  AND ts IS NOT NULL
+                GROUP BY 1),
+              a AS (
+                SELECT DISTINCT e.user_id, c.cw,
+                       datediff('day', c.cw,
+                         CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS k
+                FROM events e JOIN c USING (user_id)
+                WHERE e.ts IS NOT NULL
+                  AND CAST(date_trunc('week', e.ts) AS DATE) >= c.cw),
+              s AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort
+                    FROM c GROUP BY 1)
+              SELECT a.cw AS cohort_week, CAST(a.k AS INTEGER) AS week_k,
+                     CAST(count(*) AS BIGINT) AS n_active, s.n_cohort,
+                     CAST(count(*) * 1000000 // s.n_cohort AS BIGINT)
+                       AS retention_ppm
+              FROM a JOIN s USING (cw)
+              GROUP BY a.cw, a.k, s.n_cohort"""))
   )
 }

@@ -35,6 +35,26 @@ class FunnelSpec extends SparkSpec {
     assert(got(3) == (("purchase", 1L, 250000L, 500000L)))   // user 1
   }
 
+  test("retention: week cohorts, any-event activity, exact ppm") {
+    val events = Seq(
+      // cohort week of 2024-01-01 (Monday): users 1, 2
+      ev(1L, "signup", "2024-01-02 10:00:00"),
+      ev(2L, "signup", "2024-01-03 10:00:00"),
+      // user 1 active week 0 (signup itself) and week 1
+      ev(1L, "click", "2024-01-09 10:00:00"),
+      // user 2 active only week 0; a PRE-signup event must not count
+      ev(2L, "view", "2023-12-25 10:00:00"),
+      // user 3 never signs up: excluded entirely
+      ev(3L, "click", "2024-01-02 12:00:00"))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.retention(events, "user_id", "event_type", "ts", "signup")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("2024-01-01", 0)) == ((2L, 2L, 1000000L)))
+    assert(got(("2024-01-01", 1)) == ((1L, 2L, 500000L)))
+    assert(got.size == 2)
+  }
+
   test("funnel: later re-occurrence of an earlier step does not reset") {
     val events = Seq(
       ev(1L, "view", "2024-01-01 10:00:00"),
