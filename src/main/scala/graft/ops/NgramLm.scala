@@ -208,4 +208,54 @@ object NgramLm {
         Window.orderBy(col("cnt").desc, col("pair").asc)))
       .where(col("rank") <= topK)
   }
+
+  /** Collocation / phrase mining (word2phrase, Mikolov et al. 2013):
+    * adjacent token pairs scored by LIFT — how much more often the pair
+    * occurs than its parts predict:
+    *
+    *   lift_ppm(w1,w2) = c(w1,w2) · N_bigrams · 1e6  div  (c(w1,·) · c(·,w2))
+    *
+    * — the log-free PMI monotone (exact BIGINT end to end; log's last
+    * ulp differs across engines, the RANKING it induces does not).
+    * Pairs below `minCount` are dropped first (rare-pair lift explodes,
+    * the standard word2phrase guard), then the top `k` by
+    * (lift desc, pair asc) are kept — the phrase-vocabulary induction
+    * step before a tokenizer merge or an n-gram feature build.
+    *
+    * Scale shape: one explode→count shuffle for pair counts; left/right
+    * marginals aggregate FROM the pair-count table (already tiny:
+    * vocab², post-minCount), never from the corpus again; the final cut
+    * is a TakeOrdered partial top-k, no global sort.
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(TextAnalysis.tokens(lower(col(textCol))).as("__w"))
+    val pairs = toks.select(
+        explode(zip_with(
+          slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))),
+          slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_n"))
+      .localCheckpoint(false) // feeds marginals, total, and the scored cut
+    val left = c12.groupBy(col("w1")).agg(sum(col("pair_n")).as("__c1"))
+    val right = c12.groupBy(col("w2")).agg(sum(col("pair_n")).as("__c2"))
+    val total = c12.agg(sum(col("pair_n")).as("__n"))
+    c12.where(col("pair_n") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      // DECIMAL(38,0): pair_n·N·1e6 exceeds 2^63 once the corpus has
+      // ~3e9 bigrams — 128-bit integer arithmetic (DuckDB: HUGEINT)
+      // keeps the lift exact at any scale; IntegralDivide on decimals
+      // returns BIGINT
+      .select(col("w1"), col("w2"), col("pair_n"),
+        expr("""CAST(pair_n AS DECIMAL(38,0)) * __n * 1000000
+                div (CAST(__c1 AS DECIMAL(38,0)) * __c2)""").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
 }

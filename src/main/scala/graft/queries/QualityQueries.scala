@@ -260,6 +260,37 @@ object QualityQueries {
                        AS BIGINT) AS n_pairs_at_or_above
               FROM hist""")),
 
+    // ---- collocation / phrase mining (word2phrase): adjacent-pair
+    //      lift in exact 128-bit integer ppm (the log-free PMI
+    //      monotone), minCount guard, deterministic top-k ----
+    Q("q117_collocations",
+      (s, dir) => NgramLm.collocations(
+        Tables.load(s, dir, "documents"), "text", minCount = 20L, k = 25),
+      Some("""WITH t AS (
+                SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                FROM documents),
+              bg AS (
+                SELECT ws[CAST(i.i AS INTEGER)] AS w1,
+                       ws[CAST(i.i AS INTEGER) + 1] AS w2
+                FROM t, LATERAL (
+                  SELECT unnest(generate_series(1, len(ws) - 1)) AS i) i
+                WHERE len(ws) >= 2),
+              c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+                      FROM bg GROUP BY 1, 2),
+              l AS (SELECT w1, CAST(sum(pair_n) AS BIGINT) AS c1
+                    FROM c12 GROUP BY 1),
+              r AS (SELECT w2, CAST(sum(pair_n) AS BIGINT) AS c2
+                    FROM c12 GROUP BY 1),
+              n AS (SELECT CAST(sum(pair_n) AS BIGINT) AS n FROM c12)
+              SELECT c12.w1, c12.w2, c12.pair_n,
+                     CAST(CAST(c12.pair_n AS HUGEINT) * n.n * 1000000
+                          // (CAST(l.c1 AS HUGEINT) * r.c2) AS BIGINT)
+                       AS lift_ppm
+              FROM c12 JOIN l USING (w1) JOIN r USING (w2), n
+              WHERE c12.pair_n >= 20
+              ORDER BY lift_ppm DESC, w1 ASC, w2 ASC
+              LIMIT 25""")),
+
     // ---- incremental aggregate maintenance: fold a new batch's
     //      mergeable state (cnt/sum/min/max, DECIMAL-exact sums) into
     //      the stored rollup — merge(state(A), state(B)) ≡ state(A∪B),

@@ -234,4 +234,20 @@ class QualityOpsSpec extends SparkSpec {
     assert(r(2).getString(0) == "bc" && r(2).getAs[Long]("cnt") == 1)
     assert(r.length == 3)
   }
+
+  test("collocations: hand-computed lift, minCount guard, top-k order") {
+    import spark.implicits._
+    // bigrams: (a b) ×3, (b a) ×2, (b c) ×1, (c a) ×1
+    // doc: "a b a b c a b" → pairs ab, ba, ab, bc, ca, ab
+    val df = Seq((1L, "a b a b c a b"), (2L, "b a")).toDF("doc_id", "text")
+    // N = 7 total pairs; marginals from the pair table:
+    // c1(a)=3, c1(b)=3(ba×2,bc×1), c1(c)=1; c2(b)=3, c2(a)=3, c2(c)=1
+    val got = NgramLm.collocations(df, "text", minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // lift(ab) = 3·7·1e6 div (3·3) = 2333333; lift(ba) = 2·7·1e6 div (3·3)
+    assert(got(("a", "b")) == ((3L, 2333333L)))
+    assert(got(("b", "a")) == ((2L, 1555555L)))
+    assert(got.size == 2) // bc, ca fall under minCount
+  }
 }
