@@ -603,10 +603,12 @@ object Dedup {
         col("__ia") < col("__ib"))
       .select(
         size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("__i"),
-        size(array_union(col("__sa"), col("__sb"))).cast("long").as("__u"))
-      // `div`, not `/`: Column./ on BIGINT is double division; operands
-      // are non-negative so truncating div == DuckDB's flooring `//`
-      .select(expr("__i * 1000000 div __u").as("__jppm"))
+        (size(col("__sa")) + size(col("__sb"))).cast("long").as("__ab"))
+      // |A∪B| = |A|+|B|−|A∩B| (shingle sets are distinct-element), so
+      // the union scan is free. `div`, not `/`: Column./ on BIGINT is
+      // double division; operands are non-negative so truncating div
+      // == DuckDB's flooring `//`
+      .select(expr("__i * 1000000 div (__ab - __i)").as("__jppm"))
     val hist = pairs
       .select(least(expr("__jppm div 100000"), lit(9L)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
