@@ -88,4 +88,34 @@ object Tidy {
     */
   def dateFromString(src: Column, pattern: String = "(\\d{8})"): Column =
     to_date(regexp_extract(src, pattern, 1), "yyyyMMdd")
+
+  /** P10's dynamic sibling — winsorization: clamp a value column to its
+    * per-group [pLo, pHi] exact percentiles instead of fixed physical
+    * bounds. The standard outlier treatment when the valid range is
+    * data-dependent (per-sensor, per-event-type) rather than physical.
+    *
+    * Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: h = (n−1)p linear interpolation), so the clamp
+    * bounds are engine-reproducible. NULL values stay NULL (guarded —
+    * `least`/`greatest` skip NULLs and would otherwise fabricate a
+    * bound for them).
+    *
+    * Scale shape: one partial-agg percentile pass bounded by group
+    * cardinality, broadcast back; the clamp is a map-side projection.
+    */
+  def winsorize(df: DataFrame, groupCol: Column, valueCol: Column,
+                pLo: Double, pHi: Double,
+                outCol: String = "winsorized"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi,
+      s"need 0 <= pLo <= pHi <= 1, got ($pLo, $pHi)")
+    val q = df.where(valueCol.isNotNull)
+      .groupBy(groupCol.as("__g"))
+      .agg(percentile(valueCol, lit(pLo)).as("__plo"),
+        percentile(valueCol, lit(pHi)).as("__phi"))
+    df.join(broadcast(q), groupCol === col("__g"), "left")
+      .withColumn(outCol,
+        when(valueCol.isNull, lit(null))
+          .otherwise(greatest(least(valueCol, col("__phi")), col("__plo"))))
+      .drop("__g", "__plo", "__phi")
+  }
 }

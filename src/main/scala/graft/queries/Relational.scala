@@ -980,6 +980,30 @@ object Relational {
                      CAST(count(*) * 1000000 // s.n_cohort AS BIGINT)
                        AS retention_ppm
               FROM a JOIN s USING (cw)
-              GROUP BY a.cw, a.k, s.n_cohort"""))
+              GROUP BY a.cw, a.k, s.n_cohort""")),
+
+    // ---- dynamic winsorization (P10's data-dependent sibling): clamp
+    //      value to per-type exact [p05, p95]; Spark `percentile` ≡
+    //      DuckDB `quantile_cont`, so the bounds agree bit-for-bit ----
+    Q("q118_winsorize",
+      (s, dir) => {
+        Tidy.winsorize(
+            Tables.load(s, dir, "events").where(col("value").isNotNull),
+            col("event_type"), col("value"), pLo = 0.05, pHi = 0.95)
+          .select(col("event_id"), col("event_type"),
+            round(col("value"), 6).as("value"),
+            round(col("winsorized"), 6).as("winsorized"))
+      },
+      Some("""WITH q AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.05) AS p05,
+                       quantile_cont(value, 0.95) AS p95
+                FROM events WHERE value IS NOT NULL GROUP BY 1)
+              SELECT e.event_id, e.event_type,
+                     round(e.value, 6) AS value,
+                     round(greatest(least(e.value, q.p95), q.p05), 6)
+                       AS winsorized
+              FROM events e JOIN q USING (event_type)
+              WHERE e.value IS NOT NULL"""))
   )
 }

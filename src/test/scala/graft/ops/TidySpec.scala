@@ -70,4 +70,20 @@ class TidySpec extends SparkSpec {
     val out = df.select(Tidy.dateFromString($"url").as("d"))
     assert(out.head().getDate(0) == d("2023-01-15"))
   }
+
+  test("winsorize clamps to per-group exact percentiles, NULLs pass through") {
+    // group a: 1..11 → p10 = 2.0, p90 = 10.0 (h = (n-1)p interpolation)
+    val df = ((1 to 11).map(v => ("a", java.lang.Double.valueOf(v.toDouble))) ++
+      Seq(("a", null.asInstanceOf[java.lang.Double]), ("b", java.lang.Double.valueOf(100.0))))
+      .toDF("g", "v")
+    val out = Tidy.winsorize(df, $"g", $"v", 0.10, 0.90)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(out.contains(("a", 1.0, 2.0)))    // clamped up
+    assert(out.contains(("a", 11.0, 10.0)))  // clamped down
+    assert(out.contains(("a", 5.0, 5.0)))    // interior untouched
+    assert(out.contains(("a", null, null)))  // NULL stays NULL
+    assert(out.contains(("b", 100.0, 100.0))) // singleton group: self bounds
+  }
 }
