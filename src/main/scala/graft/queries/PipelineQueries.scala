@@ -243,6 +243,36 @@ object PipelineQueries {
                              * ln((CAST(n_new AS DOUBLE) / t.t_new)
                                   / (CAST(n_old AS DOUBLE) / t.t_old)), 6)
                      END AS psi_term
-              FROM c, t"""))
+              FROM c, t""")),
+
+    // ---- connected components (min-label with pointer doubling,
+    //      convergence-detected): consecutive-user chain graph keeps
+    //      the oracle's recursive closure sparse; the operator itself
+    //      is the general entity-resolution / cluster-split primitive ----
+    Q("q119_connected_components",
+      (s, dir) => {
+        val u = Tables.load(s, dir, "events")
+          .select(col("user_id")).where(col("user_id").isNotNull).distinct()
+        val edges = u.select(col("user_id").as("a"),
+            (col("user_id") + 1L).as("b"))
+          .where(col("a") % 5 =!= 4)
+          .join(u.select(col("user_id").as("b")), Seq("b"), "leftsemi")
+        Graph.connectedComponents(edges, "a", "b")
+      },
+      Some("""WITH RECURSIVE u AS (
+                SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+              d AS (
+                SELECT a.user_id AS a, a.user_id + 1 AS b
+                FROM u a JOIN u b2 ON b2.user_id = a.user_id + 1
+                WHERE a.user_id % 5 <> 4),
+              eu AS (SELECT a, b FROM d UNION SELECT b, a FROM d),
+              n AS (SELECT DISTINCT a AS node FROM eu),
+              reach(node, lbl) AS (
+                SELECT node, node FROM n
+                UNION
+                SELECT eu.b, reach.lbl
+                FROM reach JOIN eu ON reach.node = eu.a)
+              SELECT node, CAST(min(lbl) AS BIGINT) AS comp
+              FROM reach GROUP BY 1"""))
   )
 }

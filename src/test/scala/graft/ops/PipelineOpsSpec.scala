@@ -55,6 +55,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cyc == Set(scale))
   }
 
+  test("connectedComponents matches a union-find reference (chains, " +
+    "cliques, long path)") {
+    // deterministic mixed graph: a 3-clique, scattered mod-edges, and a
+    // LONG path (forces the pointer-doubling acceleration to matter)
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L)) ++          // clique
+      (10L to 45L).map(i => (i, i + 1L)) ++                 // 36-node path
+      Seq((100L, 107L), (107L, 114L), (200L, 300L))         // sparse pairs
+    val got = Graph.connectedComponents(es.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.map { n =>
+      val root = find(n)
+      // canonical label: min node id in the component
+      n -> nodes.filter(m => find(m) == root).min
+    }.toMap
+    assert(got == want)
+    // the 36-node path must fully collapse within the doubling bound
+    assert((10L to 46L).forall(got(_) == 10L))
+  }
+
   test("tokenBudgetFill: whole-source tiers, deterministic boundary prefix") {
     // srcA: 2 docs × 100 (prio 100), srcB: 4 docs × 50 (prio 50),
     // srcC: 2 docs × 100 (prio 100; tie broken A before B? no — by
