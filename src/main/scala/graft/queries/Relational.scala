@@ -1004,6 +1004,33 @@ object Relational {
                      round(greatest(least(e.value, q.p95), q.p05), 6)
                        AS winsorized
               FROM events e JOIN q USING (event_type)
-              WHERE e.value IS NOT NULL"""))
+              WHERE e.value IS NOT NULL""")),
+
+    // ---- salted skew join under the oracle gate: the event_type key
+    //      space is 5 values over 10k rows (pathological skew by
+    //      construction); the salted join must be RESULT-identical to
+    //      the plain join the oracle runs — replication completeness is
+    //      exactly what this checks. Integer centi-values keep it exact ----
+    Q("q120_salted_join",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .where(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("vc"))
+        val dim = e.groupBy(col("event_type")).agg(max(col("vc")).as("mx"))
+        Skew.saltedJoin(e, dim, Seq("event_type"), salts = 8)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("vc") === col("mx"), 1L).otherwise(0L)).as("n_at_max"))
+      },
+      Some("""WITH e AS (
+                SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc
+                FROM events WHERE value IS NOT NULL),
+              dim AS (SELECT event_type, max(vc) AS mx FROM e GROUP BY 1)
+              SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN e.vc = dim.mx THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_at_max
+              FROM e JOIN dim USING (event_type)
+              GROUP BY 1"""))
   )
 }

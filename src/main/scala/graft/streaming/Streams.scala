@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -211,6 +211,40 @@ object Streams {
         // materialize before overwriting the input path
         val rows = merged.localCheckpoint(true)
         rows.write.mode("overwrite").parquet(storeDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming drift monitor: per micro-batch, compare the batch's
+    * bucket distribution against a STATIC baseline profile with the
+    * batch-side drift op (`Profiling.drift` — q109) and append the
+    * per-bucket report (tagged with the batch id) to a parquet monitor
+    * sink. The "is today's feed shaped like yesterday's" alarm as a
+    * stream — one tiny report per batch, never a second scan of
+    * history.
+    *
+    * `bucketExpr` is evaluated against both sides (baseline rows count
+    * as the "old" slice, batch rows as "new"), so the monitor inherits
+    * the drift op's exact-ppm discipline.
+    */
+  def driftMonitor(stream: DataFrame, baseline: DataFrame, bucketExpr: Column,
+                   monitorDir: String, checkpointDir: String): Unit = {
+    import graft.ops.Profiling
+    val base = baseline.select(bucketExpr.as("__bucket"))
+      .withColumn("__new", lit(false))
+      .localCheckpoint(false) // static side: evaluate the baseline once
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.select(bucketExpr.as("__bucket"))
+          .withColumn("__new", lit(true))
+        val report = Profiling.drift(base.unionByName(b),
+          col("__new"), col("__bucket"))
+        report.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(monitorDir)
       }
       .start()
     q.awaitTermination()

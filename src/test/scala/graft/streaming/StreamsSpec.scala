@@ -134,6 +134,32 @@ class StreamsSpec extends SparkSpec {
     assert(out.head.gapStart == ts("2020-01-01 00:00:30"))
   }
 
+  test("driftMonitor: per-batch drift report against a static baseline") {
+    val srcDir = Files.createTempDirectory("dm_src").toString
+    val ckDir = Files.createTempDirectory("dm_ck").toString
+    val monDir = Files.createTempDirectory("dm_mon").toString + "/monitor"
+    // baseline: buckets 0 and 1, equal shares
+    val baseline = Seq(5L, 5L, 15L, 15L).toDF("v")
+    // batch: all mass in bucket 0 → drift
+    Seq(1L, 2L, 3L, 4L).toDF("v").write.mode("overwrite").parquet(srcDir + "/b1")
+    Streams.driftMonitor(
+      spark.readStream.schema("v long").parquet(srcDir + "/*"),
+      baseline, expr("v div 10"), monDir, ckDir)
+    val rep = spark.read.parquet(monDir)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_old"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("share_new_ppm")))).toMap
+    assert(rep(0L) == ((2L, 4L, 1000000L))) // batch fully in bucket 0
+    assert(rep(1L)._2 == 0L)                // vanished bucket in the batch
+    // second batch appends its own report tagged with a new batch id
+    Seq(11L, 12L).toDF("v").write.mode("overwrite").parquet(srcDir + "/b2")
+    Streams.driftMonitor(
+      spark.readStream.schema("v long").parquet(srcDir + "/*"),
+      baseline, expr("v div 10"), monDir, ckDir)
+    val ids = spark.read.parquet(monDir).select("batch_id").distinct().count()
+    assert(ids == 2L)
+  }
+
   test("mergeAggStream: two drains fold into the same state as one batch recompute") {
     val srcDir = Files.createTempDirectory("mas_src").toString
     val ckDir = Files.createTempDirectory("mas_ck").toString
