@@ -123,4 +123,64 @@ class PropertySpec extends SparkSpec {
     assert(out.forall { case (_, r, _) => rep(r) == r })       // idempotent at fixpoint
     assert(out.forall { case (id, r, dup) => dup || r == id }) // non-dups keep themselves
   }
+
+  test("bandJoin equals the quadratic definition on random data " +
+    "(boundaries, negatives, duplicates)") {
+    val rnd = new scala.util.Random(1107)
+    // values on a 0.25 grid so |a-b| == eps boundaries occur OFTEN
+    val l = (0 until 80).map(i => (i.toLong, (rnd.nextInt(41) - 20) * 0.25))
+      .toDF("lid", "lv")
+    val r = (0 until 90).map(i => (i.toLong, (rnd.nextInt(41) - 20) * 0.25))
+      .toDF("rid", "rv")
+    for (eps <- Seq(0.25, 0.5, 1.0)) {
+      val got = rows(Joins.bandJoin(l, r, "lv", "rv", eps).select($"lid", $"rid"))
+      val want = rows(l.crossJoin(r).where(abs($"lv" - $"rv") <= eps)
+        .select($"lid", $"rid"))
+      assert(got == want, s"eps=$eps: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("winsorize invariants on random groups: bounds respected, " +
+    "interior untouched, count preserved") {
+    val rnd = new scala.util.Random(2211)
+    val df = (0 until 300).map(i =>
+      (s"g${i % 4}", rnd.nextDouble() * 100 - 50)).toDF("g", "v")
+    val out = Tidy.winsorize(df, $"g", $"v", 0.10, 0.90)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 300)
+    out.groupBy(_._1).foreach { case (_, grp) =>
+      val clamped = grp.map(_._3)
+      val lo = clamped.min; val hi = clamped.max
+      grp.foreach { case (_, v, w) =>
+        assert(w >= lo && w <= hi)
+        if (v >= lo && v <= hi) assert(w == v) // interior values untouched
+      }
+      // clamp bounds are attained (something actually clamps at p10/p90)
+      assert(grp.count(t => t._3 == lo) >= grp.count(t => t._2 < lo))
+    }
+  }
+
+  test("connectedComponents on a random graph equals union-find") {
+    val rnd = new scala.util.Random(3313)
+    val es = (0 until 120).map(_ =>
+      (rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Graph.connectedComponents(es.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r0 = find(p); parent(x) = r0; r0 }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.map { n =>
+      val root = find(n)
+      n -> nodes.filter(m => find(m) == root).min
+    }.toMap
+    assert(got == want)
+  }
 }
