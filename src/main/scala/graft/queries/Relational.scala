@@ -1031,6 +1031,42 @@ object Relational {
                      CAST(sum(CASE WHEN e.vc = dim.mx THEN 1 ELSE 0 END)
                        AS BIGINT) AS n_at_max
               FROM e JOIN dim USING (event_type)
-              GROUP BY 1"""))
+              GROUP BY 1""")),
+
+    // ---- robust anomaly days: per-type daily counts flagged when the
+    //      absolute deviation from the median exceeds 3×MAD — the
+    //      median/MAD pair is outlier-proof where mean/stddev is not;
+    //      exact interpolated percentiles keep both engines identical ----
+    Q("q122_anomaly_days",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .where(col("ts").isNotNull)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val med = daily.groupBy(col("event_type"))
+          .agg(percentile(col("cnt"), lit(0.5)).as("med"))
+        val dev = daily.join(broadcast(med), Seq("event_type"))
+          .withColumn("adev", abs(col("cnt") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .select(col("event_type"), col("day"), col("cnt"),
+            (col("adev") > col("mad") * 3.0).as("is_anomaly"))
+      },
+      Some("""WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+              med AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med
+                      FROM daily GROUP BY 1),
+              dev AS (
+                SELECT d.event_type, d.day, d.cnt,
+                       abs(d.cnt - m.med) AS adev
+                FROM daily d JOIN med m USING (event_type)),
+              mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                      FROM dev GROUP BY 1)
+              SELECT d.event_type, d.day, d.cnt,
+                     (d.adev > mad.mad * 3.0) AS is_anomaly
+              FROM dev d JOIN mad USING (event_type)"""))
   )
 }

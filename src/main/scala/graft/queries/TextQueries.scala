@@ -353,6 +353,64 @@ object TextQueries {
     //      integer arithmetic until one final IEEE division — log()'s
     //      last-ulp behavior differs between libm builds and would
     //      poison a cross-engine hash ----
+    // ---- per-GROUP characteristic terms (c-TF-IDF, the BERTopic
+    //      cluster-labeling step): q56's per-doc scorer lifted to
+    //      groups — term share within the group × rational
+    //      inverse-group-frequency, DECIMAL(38,0) exact, top-5 per
+    //      group. The per-group window shuffles only the (group, term)
+    //      count table, never tokens ----
+    Q("q121_group_terms",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val toks = d.select(col("lang"),
+          explode(TA.tokens(lower(col("text")))).as("term"))
+          .where(length(col("term")) > 0)
+        val tf = toks.groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint(false) // feeds totals, group-df, AND the score
+        val tot = tf.groupBy(col("lang")).agg(sum(col("tf")).as("tot"))
+        val gdf = tf.groupBy(col("term")).agg(count(lit(1)).as("gdf"))
+        val ng = tf.select(col("lang")).distinct()
+          .agg(count(lit(1)).as("ng"))
+        val scored = tf.join(tot, Seq("lang")).join(gdf, Seq("term"))
+          .crossJoin(broadcast(ng))
+          .select(col("lang"), col("term"), col("tf"),
+            expr("""CAST(tf AS DECIMAL(38,0)) * (ng + 1) * 1000000
+                    div (CAST(tot AS DECIMAL(38,0)) * (gdf + 1))""")
+              .as("score_ppm"))
+        scored.withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+              .orderBy(col("score_ppm").desc, col("term").asc)))
+          .where(col("rank") <= 5)
+          .select(col("lang"), col("rank"), col("term"), col("tf"),
+            col("score_ppm"))
+      },
+      Some("""WITH toks AS (
+                SELECT lang, unnest(regexp_split_to_array(trim(lower(text)),
+                         '\s+')) AS term
+                FROM documents),
+              tf AS (
+                SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+              tot AS (SELECT lang, CAST(sum(tf) AS BIGINT) AS tot
+                      FROM tf GROUP BY 1),
+              gdf AS (SELECT term, CAST(count(*) AS BIGINT) AS gdf
+                      FROM tf GROUP BY 1),
+              ng AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS ng FROM tf),
+              scored AS (
+                SELECT tf.lang, tf.term, tf.tf,
+                       CAST(CAST(tf.tf AS HUGEINT) * (ng.ng + 1) * 1000000
+                            // (CAST(tot.tot AS HUGEINT) * (gdf.gdf + 1))
+                         AS BIGINT) AS score_ppm
+                FROM tf JOIN tot USING (lang) JOIN gdf USING (term), ng),
+              ranked AS (
+                SELECT lang, term, tf, score_ppm,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY score_ppm DESC, term ASC) AS rank
+                FROM scored)
+              SELECT lang, CAST(rank AS INTEGER) AS rank, term, tf, score_ppm
+              FROM ranked WHERE rank <= 5""")),
+
     Q("q56_tfidf_topterms",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
