@@ -81,4 +81,38 @@ object Eval {
         expr("__sum_s div n").as("mean_score_ppm"),
         expr("n_pos * 1000000 div n").as("pos_rate_ppm"))
   }
+
+  /** Precision/recall curve points at fixed ppm thresholds — the
+    * threshold-picking table that follows AUC (ranking quality) and
+    * calibration (probability quality): at each threshold t, predict
+    * positive iff score ≥ t, report the exact confusion counts and
+    * integer-ppm precision/recall. One pass: counts are conditional
+    * sums per threshold over a broadcast threshold list (thresholds ×
+    * rows is a projection, not a join explosion — the aggregation
+    * reduces it behind a partial-agg pair bounded by #thresholds).
+    */
+  def prCurve(df: DataFrame, scorePpmCol: Column, labelCol: Column,
+              thresholdsPpm: Seq[Long]): DataFrame = {
+    require(thresholdsPpm.nonEmpty, "prCurve needs thresholds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(scorePpmCol.cast("long").as("__s"),
+        labelCol.as("__label"))
+      .where(col("__s").isNotNull && col("__label").isNotNull)
+    val th = broadcast(thresholdsPpm.toDF("threshold_ppm"))
+    base.crossJoin(th)
+      .groupBy(col("threshold_ppm"))
+      .agg(
+        sum(when(col("__s") >= col("threshold_ppm") && col("__label"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__s") >= col("threshold_ppm") && !col("__label"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__s") < col("threshold_ppm") && col("__label"), 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("threshold_ppm"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0L, lit(null))
+          .otherwise(expr("tp * 1000000 div (tp + fp)")).as("precision_ppm"),
+        when(col("tp") + col("fn") === 0L, lit(null))
+          .otherwise(expr("tp * 1000000 div (tp + fn)")).as("recall_ppm"))
+  }
 }

@@ -138,6 +138,37 @@ object ModelQueries {
                      CAST(sum(lm) // count(*) AS BIGINT) AS mean_score_ppm,
                      CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) * 1000000
                           // count(*) AS BIGINT) AS pos_rate_ppm
-              FROM lab GROUP BY 1"""))
+              FROM lab GROUP BY 1""")),
+
+    // ---- precision/recall at fixed thresholds on a deterministic
+    //      integer score (n_chars as the ranking signal, lang='en' as
+    //      the label): exact confusion counts, integer-ppm P/R ----
+    Q("q123_pr_curve",
+      (s, dir) => {
+        graft.model.Eval.prCurve(Tables.load(s, dir, "documents"),
+          col("n_chars"), col("lang") === "en",
+          thresholdsPpm = Seq(100L, 200L, 400L, 800L, 1600L))
+      },
+      Some("""WITH b AS (
+                SELECT n_chars AS s, (lang = 'en') AS lab
+                FROM documents
+                WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+              th AS (SELECT unnest([100, 200, 400, 800, 1600]) AS t)
+              SELECT CAST(th.t AS BIGINT) AS threshold_ppm,
+                     CAST(sum(CASE WHEN b.s >= th.t AND b.lab
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN b.s >= th.t AND NOT b.lab
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN b.s < th.t AND b.lab
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                     CAST(sum(CASE WHEN b.s >= th.t AND b.lab THEN 1 ELSE 0 END)
+                          * 1000000
+                          // NULLIF(sum(CASE WHEN b.s >= th.t THEN 1 ELSE 0 END),
+                                   0) AS BIGINT) AS precision_ppm,
+                     CAST(sum(CASE WHEN b.s >= th.t AND b.lab THEN 1 ELSE 0 END)
+                          * 1000000
+                          // NULLIF(sum(CASE WHEN b.lab THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS recall_ppm
+              FROM b, th GROUP BY 1"""))
   )
 }

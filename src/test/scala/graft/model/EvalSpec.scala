@@ -45,6 +45,21 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(a - expected) < 1e-6) // aucExact rounds to 6 decimals
   }
 
+  test("prCurve: exact confusion counts, NULL precision when nothing predicted") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((100L, true), (200L, true), (300L, false), (400L, true))
+      .toDF("s", "lab")
+    val got = Eval.prCurve(df, col("s"), col("lab"), Seq(250L, 1000L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5)))).toMap
+    // t=250: predicted {300,400} → tp=1 fp=1 fn=2; P=500000, R=333333
+    assert(got(250L) == ((1L, 1L, 2L, 500000L, 333333L)))
+    // t=1000: nothing predicted → precision NULL, recall 0
+    assert(got(1000L) == ((0L, 0L, 3L, null, 0L)))
+  }
+
   test("calibration: exact integer bins, means, and positive rates") {
     import org.apache.spark.sql.functions._
     // bucket 0 (scores < 100k): 2 rows, 1 positive; bucket 9 clamps 1e6

@@ -65,6 +65,19 @@ class LogRegSpec extends SparkSpec {
     a.keySet.foreach { k => assert(a(k) == c(k), s"doc $k: ${a(k)} vs ${c(k)}") }
   }
 
+  test("fused feature prep plans with ZERO exchanges (pure scan)") {
+    val df = corpus
+    val toks = coalesce(
+      graft.ops.TextAnalysis.tokens(lower(col("text"))), lit(Array.empty[String]))
+    val prep = df.select(col("doc_id"),
+        graft.expressions.VectorExprs.hashedBow(toks, 64).as("__bx"),
+        col("is_en").cast("int").cast("double").as("__y"))
+      .select(col("doc_id"), col("__bx.b").as("__b"), col("__bx.x").as("__x"),
+        col("__y"))
+    val plan = prep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"feature prep should be map-only:\n$plan")
+  }
+
   test("hashedFeatures: bias row present, L1-normalized tokens") {
     val df = Seq((1L, "a b a")).toDF("doc_id", "text")
     val f = LogReg.hashedFeatures(df, "text", "doc_id", dim = 16)
