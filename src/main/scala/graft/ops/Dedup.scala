@@ -137,16 +137,34 @@ object Dedup {
       // t*len can land epsilon above an integer in doubles (e.g. 0.7*10);
       // ceil would then over-shoot and shorten the prefix, dropping exact pairs
       .where(col("__r") <= col("__len") - ceil(lit(threshold) * col("__len") - lit(1e-9)) + 1)
-      .select(col("__tok"), col(idCol), col("__len"))
+      .select(col("__tok"), col(idCol), col("__len"), col("__r"))
       .localCheckpoint(false) // self-joined below: run freq+window once
-    val candidates = prefix.select(col("__tok"), col(idCol).as("id_a"), col("__len").as("__la"))
-      .join(prefix.select(col("__tok"), col(idCol).as("id_b"), col("__len").as("__lb")),
+    // PPJoin positional filter (Xiao et al. 2008): the aggregation picks
+    // each pair's FIRST common prefix token (min rank — sound because
+    // both docs order tokens by one global (freq, tok) order, so an
+    // earlier common token would itself be a prefix-prefix match with a
+    // smaller rank). At that token the total overlap is bounded by
+    // 1 + min(la − ra, lb − rb); pairs that cannot reach the Jaccard
+    // equi-overlap bar α = ⌈t·(la+lb)/(1+t)⌉ are pruned BEFORE the
+    // shingle-array verification join — same shuffle as the plain
+    // distinct (groupBy on the pair key), strictly fewer survivors.
+    val candidates = prefix.select(col("__tok"), col(idCol).as("id_a"),
+        col("__len").as("__la"), col("__r").as("__ra"))
+      .join(prefix.select(col("__tok"), col(idCol).as("id_b"),
+        col("__len").as("__lb"), col("__r").as("__rb")),
         Seq("__tok"))
       .where(col("id_a") < col("id_b") &&
         col("__lb") >= lit(threshold) * col("__la") - lit(1e-9) &&
         col("__la") >= lit(threshold) * col("__lb") - lit(1e-9))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(struct(col("__ra"), col("__rb"),
+        col("__la"), col("__lb"))).as("__m"))
+      .where(lit(1) +
+        least(col("__m.__la") - col("__m.__ra"),
+          col("__m.__lb") - col("__m.__rb")) >=
+        ceil(lit(threshold / (1.0 + threshold)) *
+          (col("__m.__la") + col("__m.__lb")) - lit(1e-9)))
       .select(col("id_a"), col("id_b"))
-      .distinct()
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
