@@ -71,4 +71,52 @@ final class Warehouse(spark: SparkSession, root: String) {
     * not a raw parquet path read).
     */
   def readBucketed(table: String): DataFrame = spark.table(table)
+
+  /** Right-to-be-forgotten: delete every row of `table` whose `keyCol`
+    * appears in `keys`, returning the number of rows removed. The
+    * delete is a broadcast anti-join rewrite — at warehouse scale pair
+    * this with date partitioning so only partitions actually holding
+    * the keys rewrite; here the single-dir test shape rewrites the
+    * table. The rewrite materializes (localCheckpoint) before
+    * overwriting its own input path — the same read-then-overwrite
+    * hazard mergeAggStream handles.
+    */
+  def forget(table: String, keyCol: String, keys: DataFrame): Int = {
+    val current = read(table)
+    val k = keys.select(col(keyCol)).distinct()
+    val kept = current.join(broadcast(k), Seq(keyCol), "left_anti")
+      .localCheckpoint(true)
+    val removed = (current.count() - kept.count()).toInt
+    kept.write.mode("overwrite").parquet(path(table))
+    removed
+  }
+
+  /** Retention expiry: drop date partitions older than `keepFrom` from
+    * a date-partitioned table (written via [[overwriteDatePartitions]]).
+    * Deletes partition DIRECTORIES — no data rewrite, no scan; the
+    * operation 100 TB retention jobs must be (a rewrite-based expiry
+    * would read the whole table to delete a day). Returns the dropped
+    * partition names.
+    */
+  def expirePartitions(table: String, dateCol: String,
+                       keepFrom: java.sql.Date): Seq[String] = {
+    val dir = new java.io.File(path(table))
+    if (!dir.exists()) return Seq.empty
+    val prefix = s"$dateCol="
+    val dropped = dir.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .filter { f =>
+        val v = java.net.URLDecoder.decode(
+          f.getName.stripPrefix(prefix), "UTF-8")
+        java.sql.Date.valueOf(v).before(keepFrom)
+      }
+    dropped.foreach { f =>
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(): Unit
+      }
+      rm(f)
+    }
+    dropped.map(_.getName)
+  }
 }

@@ -39,7 +39,8 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, scale: Long = 1000000000000L,
-               assumeDistinct: Boolean = false): DataFrame = {
+               assumeDistinct: Boolean = false,
+               allNodesReceive: Boolean = false): DataFrame = {
     // `assumeDistinct` skips the edge-collapse shuffle when the caller
     // already guarantees uniqueness (e.g. a pre-distincted pair list
     // unioned into disjoint direction keyspaces) — at corpus scale the
@@ -67,14 +68,22 @@ object Graph {
         .select(col("__dst"), expr("rank_scaled div __outdeg").as("__contrib"))
         .groupBy(col("__dst"))
         .agg(sum(col("__contrib")).as("__in"))
-      ranks = nodes
-        .join(contribs, nodes("node") === contribs("__dst"), "left")
-        // `div`, not `/`: Column./ on BIGINT is double division. All
-        // operands are non-negative, so truncating div == DuckDB's
-        // flooring `//` (the q81 parity invariant).
-        .select(nodes("node"),
-          expr(s"(15 * ${scale}L + 85 * coalesce(__in, 0L)) div 100")
-            .as("rank_scaled"))
+      // `div`, not `/`: Column./ on BIGINT is double division. All
+      // operands are non-negative, so truncating div == DuckDB's
+      // flooring `//` (the q81 parity invariant).
+      // `allNodesReceive` (every node has an in-edge — true for any
+      // symmetrized graph) drops the per-round nodes join: contribs
+      // already covers the node universe, so one join+exchange per
+      // round disappears.
+      ranks =
+        (if (allNodesReceive)
+          contribs.select(col("__dst").as("node"),
+            expr(s"(15 * ${scale}L + 85 * __in) div 100").as("rank_scaled"))
+        else nodes
+          .join(contribs, nodes("node") === contribs("__dst"), "left")
+          .select(nodes("node"),
+            expr(s"(15 * ${scale}L + 85 * coalesce(__in, 0L)) div 100")
+              .as("rank_scaled")))
         .localCheckpoint(false) // truncate lineage: O(1) plan depth per round
       it += 1
     }

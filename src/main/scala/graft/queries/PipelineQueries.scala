@@ -94,7 +94,10 @@ object PipelineQueries {
           .distinct()
         val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
           .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-        Graph.pageRank(edges, "src", "dst", iterations = 3, assumeDistinct = true)
+        // the symmetrized trade graph gives every node an in-edge, so
+        // the per-round nodes join is provably redundant
+        Graph.pageRank(edges, "src", "dst", iterations = 3,
+          assumeDistinct = true, allNodesReceive = true)
           .select(col("node"), col("rank_scaled"))
       },
       Some("""WITH pairs AS (
