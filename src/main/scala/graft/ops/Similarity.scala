@@ -70,6 +70,29 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** k-NN label assignment (semi-supervised label bootstrapping): each
+    * query vector takes the MAJORITY label of its k nearest labeled
+    * neighbors by cosine (ties: smaller label wins; neighbor-rank ties:
+    * smaller id). The label-spreading step data pipelines run to grow a
+    * seed label set before training a classifier. Exact form — swap the
+    * corpus side to LSH/IVF/PQ candidates at scale, as with
+    * [[bruteForceTopK]].
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val labeled = corpus.where(col(labelCol).isNotNull)
+    val topk = bruteForceTopK(labeled, queries, idCol, vecCol, k)
+      .join(labeled.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl")), Seq("neighbor_id"))
+    topk.groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("__best"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("__nl").asc)))
+      .where(col("__r") === 1)
+      .select(col("query_id"), col("__nl").as("pred_label"), col("votes"))
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits of projections
     * against deterministic XXH64-derived planes, packed into one long.
     * Vectors in the same bucket are ANN candidates. Native expression —

@@ -80,6 +80,37 @@ object SimilarityQueries {
                      neg_label, round(sim, 6) AS sim
               FROM ranked WHERE rank <= 3""")),
 
+    // ---- k-NN label assignment (label bootstrapping): majority label
+    //      of the 5 nearest labeled neighbors, exact and fully oracled ----
+    Q("q124_knn_label",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.knnClassify(e, e.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "label", k = 5)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                         FROM embeddings WHERE vec_id % 50 = 0),
+                   scored AS (
+                     SELECT q.query_id, e.vec_id AS nid, e.label AS nl,
+                       list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+                     FROM q JOIN embeddings e
+                       ON e.vec_id <> q.query_id AND e.label IS NOT NULL),
+                   ranked AS (
+                     SELECT query_id, nid, nl,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, nid) AS rank
+                     FROM scored),
+                   votes AS (
+                     SELECT query_id, nl, CAST(count(*) AS BIGINT) AS votes
+                     FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+                   best AS (
+                     SELECT query_id, nl, votes,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY votes DESC, nl ASC) AS r
+                     FROM votes)
+              SELECT query_id, nl AS pred_label, votes
+              FROM best WHERE r = 1""")),
+
     // ---- LSH-bucketed ANN, the scale path (rows-only: bucket hash
     //      family is engine-specific) ----
     Q("q41_lsh_ann",

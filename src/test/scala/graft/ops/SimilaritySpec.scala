@@ -209,4 +209,21 @@ class SimilaritySpec extends SparkSpec {
           s"ADC $adc vs exact $exact for $id"))
     }
   }
+  test("knnClassify: majority of k nearest labeled neighbors, ties to " +
+    "smaller label, unlabeled corpus rows ignored") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0, 0.0), null.asInstanceOf[java.lang.Integer]), // query
+      (2L, Array(0.99, 0.1), Integer.valueOf(7)),
+      (3L, Array(0.98, 0.2), Integer.valueOf(7)),
+      (4L, Array(0.97, 0.3), Integer.valueOf(8)),
+      (5L, Array(0.0, 1.0), Integer.valueOf(9)),   // far away
+      (6L, Array(1.0, 0.01), null.asInstanceOf[java.lang.Integer])) // unlabeled: excluded
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(df, df.where($"vec_id" === 1L),
+      "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 7, 2L))) // neighbors 2,3 (7) beat 4 (8)
+  }
 }
+
