@@ -56,6 +56,41 @@ object Sampling {
       .drop("__key")
   }
 
+  /** Deterministic mixture-interleave schedule (stride scheduling): give
+    * every doc a global training position such that each source appears
+    * in any prefix roughly proportionally to its weight — the "mix
+    * sources at ratio without a shuffle-and-pray" ordering trainers
+    * want. Source s's r-th doc (docs ordered by a deterministic md5
+    * draw) gets key = (2r−1)·SCALE div (2·w_s) — the classic stride /
+    * lottery-scheduling midpoint rule, in exact integer arithmetic
+    * (DECIMAL(38,0) intermediate: r·SCALE overflows BIGINT at corpus
+    * scale) — and the global order is (key, source, r).
+    *
+    * Scale shape: the per-source rank is a window partitioned by source
+    * (shard it two-phase for a dominating source, as in
+    * [[weightedSample]]); weights are a tiny rollup broadcast back; the
+    * final global position is the two-phase range-partitioned row
+    * number ([[Windows.globalRowNumber]]) — no single-task global sort.
+    */
+  def mixtureSchedule(df: DataFrame, sourceCol: Column, idCol: Column,
+                      salt: String = ""): DataFrame = {
+    val weights = df.groupBy(sourceCol.as("__s"))
+      .agg(count(lit(1)).as("__w"))
+    val ranked = df.select(idCol.as("__id"), sourceCol.as("__s"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__s"))
+          .orderBy(md5(concat(col("__id").cast("string"), lit(salt))).asc,
+            col("__id").asc)))
+      .join(broadcast(weights), Seq("__s"))
+      .withColumn("__key",
+        expr("""CAST((2 * CAST(__r AS DECIMAL(38,0)) - 1) * 1000000000000
+                div (2 * __w) AS BIGINT)"""))
+    graft.ops.Windows.globalRowNumber(ranked,
+        Seq(col("__key"), col("__s"), col("__r")), "pos")
+      .select(col("pos"), col("__s").as("source"), col("__id").as("id"),
+        col("__key").as("stride_key"))
+  }
+
   /** Fill a token budget by source priority — the "assemble a training
     * mix under a budget" operator: rank sources by a caller-supplied
     * aggregate `priority` (desc, source asc tiebreak), admit whole

@@ -248,6 +248,31 @@ object PipelineQueries {
                      END AS psi_term
               FROM c, t""")),
 
+    // ---- deterministic mixture-interleave (stride scheduling): every
+    //      source appears in any prefix ≈ proportionally to its size;
+    //      exact integer stride keys, two-phase global position ----
+    Q("q125_mixture_schedule",
+      (s, dir) => graft.ops.Sampling.mixtureSchedule(
+        Tables.load(s, dir, "documents"),
+        col("source"), col("doc_id"), salt = "mix1"),
+      Some("""WITH w AS (
+                SELECT source AS s, CAST(count(*) AS BIGINT) AS w
+                FROM documents GROUP BY 1),
+              r AS (
+                SELECT doc_id AS id, source AS s,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR) || 'mix1'),
+                                  doc_id) AS r
+                FROM documents),
+              k AS (
+                SELECT r.id, r.s, r.r,
+                       CAST((2 * CAST(r.r AS HUGEINT) - 1) * 1000000000000
+                            // (2 * w.w) AS BIGINT) AS stride_key
+                FROM r JOIN w USING (s))
+              SELECT row_number() OVER (ORDER BY stride_key, s, r) AS pos,
+                     s AS source, id, stride_key
+              FROM k""")),
+
     // ---- connected components (min-label with pointer doubling,
     //      convergence-detected): consecutive-user chain graph keeps
     //      the oracle's recursive closure sparse; the operator itself

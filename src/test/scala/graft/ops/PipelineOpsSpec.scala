@@ -85,6 +85,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert((10L to 46L).forall(got(_) == 10L))
   }
 
+  test("mixtureSchedule: prefix proportionality of the stride interleave") {
+    // srcA 60 docs, srcB 30, srcC 10 → any reasonable prefix holds
+    // roughly 60/30/10% of each source
+    val df = ((1 to 60).map(i => (i.toLong, "srcA")) ++
+      (61 to 90).map(i => (i.toLong, "srcB")) ++
+      (91 to 100).map(i => (i.toLong, "srcC")))
+      .toDF("doc_id", "source")
+    val sched = Sampling.mixtureSchedule(df, $"source", $"doc_id")
+      .orderBy($"pos").collect().map(_.getString(1))
+    assert(sched.length == 100)
+    // positions are a permutation; check the half-way prefix mix
+    val half = sched.take(50)
+    assert(math.abs(half.count(_ == "srcA") - 30) <= 2,
+      s"srcA in prefix: ${half.count(_ == "srcA")}")
+    assert(math.abs(half.count(_ == "srcB") - 15) <= 2)
+    assert(math.abs(half.count(_ == "srcC") - 5) <= 2)
+    // deterministic: same input → same order
+    val again = Sampling.mixtureSchedule(df, $"source", $"doc_id")
+      .orderBy($"pos").collect().map(_.getString(1))
+    assert(sched.toSeq == again.toSeq)
+  }
+
   test("tokenBudgetFill: whole-source tiers, deterministic boundary prefix") {
     // srcA: 2 docs × 100 (prio 100), srcB: 4 docs × 50 (prio 50),
     // srcC: 2 docs × 100 (prio 100; tie broken A before B? no — by
