@@ -1067,6 +1067,61 @@ object Relational {
                       FROM dev GROUP BY 1)
               SELECT d.event_type, d.day, d.cnt,
                      (d.adev > mad.mad * 3.0) AS is_anomaly
-              FROM dev d JOIN mad USING (event_type)"""))
+              FROM dev d JOIN mad USING (event_type)""")),
+
+    // ---- temporal split with embargo (leakage-safe time-series
+    //      folds): train strictly before the cut, test strictly after
+    //      cut + embargo, the embargo gap DROPPED — the forward-chaining
+    //      split financial/forecasting ML requires (test rows adjacent
+    //      to train leak through autocorrelation) ----
+    Q("q126_temporal_split",
+      (s, dir) => {
+        val cut = lit("2021-07-01 00:00:00").cast("timestamp")
+        val embargoEnd = lit("2021-07-08 00:00:00").cast("timestamp")
+        Tables.load(s, dir, "events")
+          .where(col("ts").isNotNull)
+          .select(col("event_id"), col("ts"),
+            when(col("ts") < cut, "train")
+              .when(col("ts") >= embargoEnd, "test")
+              .otherwise("embargo").as("split"))
+      },
+      Some("""SELECT event_id, ts,
+                     CASE WHEN ts < TIMESTAMP '2021-07-01 00:00:00'
+                            THEN 'train'
+                          WHEN ts >= TIMESTAMP '2021-07-08 00:00:00'
+                            THEN 'test'
+                          ELSE 'embargo' END AS split
+              FROM events WHERE ts IS NOT NULL""")),
+
+    // ---- data-integrity manifest: per day, row count + an exact
+    //      order-independent checksum (sum of md5-derived 32-bit words
+    //      per row) — the "did the copy/export complete, bit-for-bit"
+    //      manifest every multi-system pipeline publishes next to its
+    //      data; portable arithmetic so ANY engine can re-derive it ----
+    Q("q127_integrity_manifest",
+      (s, dir) => {
+        // doubles stringify differently across engines (1e-7 vs 1.0E-7)
+        // — checksum over integer centi-values instead, NULL-guarded so
+        // both engines hash the same bytes row for row
+        val rowSig = conv(substring(md5(concat(
+            col("event_id").cast("string"), lit(":"),
+            coalesce(col("event_type"), lit("")), lit(":"),
+            coalesce(floor(col("value") * 100).cast("long"), lit(-1L))
+              .cast("string"))), 1, 8), 16, 10).cast("long")
+        Tables.load(s, dir, "events")
+          .where(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_rows"), sum(rowSig).as("checksum"))
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CAST(('0x' || substr(md5(
+                            CAST(event_id AS VARCHAR) || ':'
+                            || COALESCE(event_type, '') || ':'
+                            || CAST(COALESCE(CAST(floor(value * 100) AS BIGINT),
+                                             -1) AS VARCHAR)), 1, 8))
+                          AS UBIGINT)) AS BIGINT) AS checksum
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY 1"""))
   )
 }
