@@ -115,4 +115,40 @@ object Eval {
         when(col("tp") + col("fn") === 0L, lit(null))
           .otherwise(expr("tp * 1000000 div (tp + fn)")).as("recall_ppm"))
   }
+
+  /** Cohen's kappa between two boolean labelers — chance-corrected
+    * agreement, the standard QA gate on weak/crowd label pipelines
+    * (raw agreement flatters labelers that both say "yes" to
+    * everything):
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),  p_e = p_a⁺·p_b⁺ + p_a⁻·p_b⁻
+    *
+    * One aggregation produces the full 2×2 contingency; the float
+    * division happens once at the end over exact integer counts
+    * (rounded with the oracle-parity policy). Rows where either label
+    * is NULL are excluded. Returns one row:
+    * (n, n_both_pos, n_both_neg, n_only_a, n_only_b, po_ppm, kappa).
+    */
+  def cohenKappa(df: DataFrame, labelA: Column, labelB: Column,
+                 roundTo: Int = 6): DataFrame = {
+    val base = df.select(labelA.as("__a"), labelB.as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+    base.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n_both_pos"),
+        sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("n_both_neg"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("n_only_b"))
+      .select(col("n"), col("n_both_pos"), col("n_both_neg"),
+        col("n_only_a"), col("n_only_b"),
+        expr("(n_both_pos + n_both_neg) * 1000000 div n").as("po_ppm"),
+        graft.ops.Numeric.roundAway({
+          val n = col("n").cast("double")
+          val po = (col("n_both_pos") + col("n_both_neg")).cast("double") / n
+          val paPos = (col("n_both_pos") + col("n_only_a")).cast("double") / n
+          val pbPos = (col("n_both_pos") + col("n_only_b")).cast("double") / n
+          val pe = paPos * pbPos + (lit(1.0) - paPos) * (lit(1.0) - pbPos)
+          (po - pe) / (lit(1.0) - pe)
+        }, roundTo).as("kappa"))
+  }
 }

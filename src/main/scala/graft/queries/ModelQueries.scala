@@ -169,6 +169,46 @@ object ModelQueries {
                           * 1000000
                           // NULLIF(sum(CASE WHEN b.lab THEN 1 ELSE 0 END), 0)
                        AS BIGINT) AS recall_ppm
-              FROM b, th GROUP BY 1"""))
+              FROM b, th GROUP BY 1""")),
+
+    // ---- Cohen's kappa between two weak labelers (lang='en' vs
+    //      "long doc"): chance-corrected agreement from one exact 2×2
+    //      contingency aggregation ----
+    Q("q128_cohen_kappa",
+      (s, dir) => {
+        graft.model.Eval.cohenKappa(Tables.load(s, dir, "documents"),
+          col("lang") === "en", col("n_chars") >= 400L)
+      },
+      Some("""WITH b AS (
+                SELECT (lang = 'en') AS a, (n_chars >= 400) AS bl
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+              c AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN a AND bl THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_both_pos,
+                       CAST(sum(CASE WHEN NOT a AND NOT bl THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_both_neg,
+                       CAST(sum(CASE WHEN a AND NOT bl THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_only_a,
+                       CAST(sum(CASE WHEN NOT a AND bl THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_only_b
+                FROM b)
+              SELECT n, n_both_pos, n_both_neg, n_only_a, n_only_b,
+                     CAST((n_both_pos + n_both_neg) * 1000000 // n AS BIGINT)
+                       AS po_ppm,
+                     round((
+                       (CAST(n_both_pos + n_both_neg AS DOUBLE) / n
+                        - (CAST(n_both_pos + n_only_a AS DOUBLE) / n
+                           * (CAST(n_both_pos + n_only_b AS DOUBLE) / n)
+                           + (1.0 - CAST(n_both_pos + n_only_a AS DOUBLE) / n)
+                             * (1.0 - CAST(n_both_pos + n_only_b AS DOUBLE) / n)))
+                       / (1.0
+                          - (CAST(n_both_pos + n_only_a AS DOUBLE) / n
+                             * (CAST(n_both_pos + n_only_b AS DOUBLE) / n)
+                             + (1.0 - CAST(n_both_pos + n_only_a AS DOUBLE) / n)
+                               * (1.0 - CAST(n_both_pos + n_only_b AS DOUBLE) / n)))),
+                       6) AS kappa
+              FROM c"""))
   )
 }

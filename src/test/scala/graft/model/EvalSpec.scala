@@ -60,6 +60,21 @@ class EvalSpec extends SparkSpec {
     assert(got(1000L) == ((0L, 0L, 3L, null, 0L)))
   }
 
+  test("cohenKappa: hand-computed 2x2, perfect and chance agreement") {
+    import org.apache.spark.sql.functions._
+    // both_pos=2, both_neg=1, only_a=1, only_b=0 -> n=4, po=0.75
+    // paPos=3/4, pbPos=2/4 -> pe = .75*.5 + .25*.5 = 0.5 -> kappa = 0.5
+    val df = Seq((true, true), (true, true), (false, false), (true, false))
+      .toDF("a", "b")
+    val r = Eval.cohenKappa(df, col("a"), col("b")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getLong(5) == 750000L)
+    assert(r.getDouble(6) == 0.5)
+    // perfect agreement -> kappa 1
+    val perfect = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Eval.cohenKappa(perfect, col("a"), col("b")).head().getDouble(6) == 1.0)
+  }
+
   test("calibration: exact integer bins, means, and positive rates") {
     import org.apache.spark.sql.functions._
     // bucket 0 (scores < 100k): 2 rows, 1 positive; bucket 9 clamps 1e6
