@@ -67,6 +67,44 @@ object Funnel {
           .as("conv_from_prev_ppm"))
   }
 
+  /** Time-to-convert distribution: among users who completed the
+    * two-step funnel (first `fromEvent`, then first `toEvent` strictly
+    * after it — the [[funnel]] gating), the per-quantile latency in
+    * seconds. The "how long does view→purchase take" table behind
+    * attribution windows and abandonment alarms.
+    *
+    * Exact interpolated percentiles over exact integer second deltas —
+    * engine-reproducible end to end. Scale shape: two user-keyed
+    * aggregations (co-partitioned), one bounded percentile rollup.
+    */
+  def timeToConvert(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, fromEvent: String, toEvent: String,
+                    quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty, "timeToConvert needs quantiles")
+    val evs = events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        col(tsCol).as("__ts"))
+      .where(col("__u").isNotNull && col("__ts").isNotNull)
+    val entered = evs.where(col("__ty") === fromEvent)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__t0"))
+    val converted = evs.where(col("__ty") === toEvent)
+      .join(entered, Seq("__u"))
+      .where(col("__ts") > col("__t0"))
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__t1"),
+        first(col("__t0")).as("__t0"))
+      .select(col("__u"),
+        (unix_timestamp(col("__t1")) - unix_timestamp(col("__t0")))
+          .as("__delta_s"))
+    converted
+      .agg(count(lit(1)).as("n_converters"),
+        percentile(col("__delta_s"),
+          typedLit(quantiles.toArray)).as("__ls"))
+      .select(col("n_converters"),
+        posexplode(col("__ls")).as(Seq("__i", "latency_seconds")))
+      .select(element_at(typedLit(quantiles.toArray), col("__i") + 1)
+          .as("quantile"),
+        col("n_converters"), col("latency_seconds"))
+  }
+
   /** Cohort retention matrix: users are cohorted by the week of their
     * FIRST `cohortEvent`; a cohort member counts as retained in week k
     * if they have ANY event in the k-th week at or after their cohort

@@ -1122,6 +1122,36 @@ object Relational {
                                              -1) AS VARCHAR)), 1, 8))
                           AS UBIGINT)) AS BIGINT) AS checksum
               FROM events WHERE ts IS NOT NULL
-              GROUP BY 1"""))
+              GROUP BY 1""")),
+
+    // ---- time-to-convert distribution: latency quantiles (seconds)
+    //      for users completing view→purchase under the funnel gating;
+    //      exact interpolated percentiles over integer second deltas ----
+    Q("q129_time_to_convert",
+      (s, dir) => Funnel.timeToConvert(Tables.load(s, dir, "events"),
+        "user_id", "event_type", "ts", "view", "purchase",
+        quantiles = Seq(0.25, 0.5, 0.9)),
+      Some("""WITH f AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' AND user_id IS NOT NULL
+                  AND ts IS NOT NULL
+                GROUP BY 1),
+              c AS (
+                SELECT e.user_id,
+                       CAST(floor(epoch(min(e.ts))) - floor(epoch(f.t0))
+                         AS BIGINT) AS delta_s
+                FROM events e JOIN f USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > f.t0
+                GROUP BY e.user_id, f.t0),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS n_converters FROM c)
+              SELECT 0.25 AS quantile, n.n_converters,
+                     (SELECT quantile_cont(CAST(delta_s AS DOUBLE), 0.25) FROM c)
+                       AS latency_seconds FROM n
+              UNION ALL
+              SELECT 0.5, n.n_converters,
+                     (SELECT quantile_cont(CAST(delta_s AS DOUBLE), 0.5) FROM c) FROM n
+              UNION ALL
+              SELECT 0.9, n.n_converters,
+                     (SELECT quantile_cont(CAST(delta_s AS DOUBLE), 0.9) FROM c) FROM n"""))
   )
 }

@@ -55,6 +55,25 @@ class FunnelSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("timeToConvert: gated deltas, exact quantiles") {
+    val events = Seq(
+      ev(1L, "view", "2024-01-01 10:00:00"),
+      ev(1L, "purchase", "2024-01-01 10:01:40"),  // 100 s
+      ev(2L, "view", "2024-01-01 10:00:00"),
+      ev(2L, "purchase", "2024-01-01 10:03:20"),  // 200 s (first purchase counts)
+      ev(2L, "purchase", "2024-01-01 11:00:00"),
+      ev(3L, "purchase", "2024-01-01 09:00:00"),  // pre-view purchase: out
+      ev(3L, "view", "2024-01-01 10:00:00"))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.timeToConvert(events, "user_id", "event_type", "ts",
+        "view", "purchase", Seq(0.0, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(0.0) == ((2L, 100.0)))
+    assert(got(0.5) == ((2L, 150.0))) // interpolated between 100 and 200
+    assert(got(1.0) == ((2L, 200.0)))
+  }
+
   test("funnel: later re-occurrence of an earlier step does not reset") {
     val events = Seq(
       ev(1L, "view", "2024-01-01 10:00:00"),
