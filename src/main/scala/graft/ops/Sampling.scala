@@ -56,6 +56,29 @@ object Sampling {
       .drop("__key")
   }
 
+  /** Generic two-phase sharded top-k per group — the [[weightedSample]]
+    * selection pattern factored out: per-(group, shard) local windows
+    * bound any one task's state even when a single group holds the
+    * whole corpus (stopword-grade index terms, a dominating domain),
+    * then the global window ranks ≤ shards·k survivors per group.
+    * `ord` must totally order rows (include a unique tiebreaker) and
+    * `shardOn` must be non-null for the local prune to partition
+    * evenly; the result is bit-identical to the naive single window.
+    * Emits the surviving rows plus their 1-based `rank`.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: Column, ord: Seq[Column],
+                   shardOn: Column, k: Int, shards: Int = 32): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.withColumn("__shard", pmod(xxhash64(shardOn), lit(shards.toLong)))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(groupCol, col("__shard")).orderBy(ord: _*)))
+      .where(col("__r") <= k)
+      .drop("__shard", "__r")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(groupCol).orderBy(ord: _*)))
+      .where(col("rank") <= k)
+  }
+
   /** Deterministic mixture-interleave schedule (stride scheduling): give
     * every doc a global training position such that each source appears
     * in any prefix roughly proportionally to its weight — the "mix

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class IndexOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("champion index: df/cf exact, postings impact-ordered and capped") {
+    val docs = Seq(
+      (1L, "a a a b"),
+      (2L, "a a b b c"),
+      (3L, "a b"),
+      (4L, "c")).toDF("doc_id", "text")
+    val idx = InvertedIndex.champion(docs, col("text"), col("doc_id"),
+        k = 2, minDf = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // 'a': df 3, cf 6, top-2 by tf: doc1 (3), doc2 (2)
+    assert(idx("a") == ((3L, 6L, "1:3,2:2")))
+    // 'b': df 3, cf 4, top-2: doc2 (2), then tie tf=1 -> doc1 before doc3
+    assert(idx("b") == ((3L, 4L, "2:2,1:1")))
+    assert(idx("c") == ((2L, 2L, "2:1,4:1")))
+  }
+
+  test("champion index minDf drops rare terms") {
+    val docs = Seq((1L, "x y"), (2L, "x")).toDF("doc_id", "text")
+    val terms = InvertedIndex.champion(docs, col("text"), col("doc_id"),
+      k = 3, minDf = 2L).select("term").as[String].collect().toSet
+    assert(terms == Set("x"))
+  }
+
+  test("topKPerGroup is bit-identical to the naive single window") {
+    val rng = new scala.util.Random(7)
+    val df = (1 to 400).map { i =>
+      (s"g${rng.nextInt(5)}", i.toLong, rng.nextInt(50))
+    }.toDF("g", "id", "v")
+    val ord = Seq(col("v").desc, col("id").asc)
+    val fast = Sampling.topKPerGroup(df, col("g"), ord,
+      shardOn = col("id"), k = 7, shards = 8)
+    val naive = df.withColumn("rank",
+        row_number().over(Window.partitionBy(col("g")).orderBy(ord: _*)))
+      .where(col("rank") <= 7)
+    assert(rows(fast.select("g", "id", "v", "rank")) ==
+      rows(naive.select("g", "id", "v", "rank")))
+  }
+
+  test("bottomKOverlap: exact ppm and sketch counts on a known vocab") {
+    // corpus a: t0..t7; corpus b: t4..t11 -> union 12, both 4
+    val rows = (0 to 7).map(i => ("a", s"t$i")) ++
+      (4 to 11).map(i => ("b", s"t$i"))
+    val df = rows.toDF("corpus", "t")
+    val out = CorpusOverlap.bottomKOverlap(df, col("corpus"), col("t"),
+        ks = Seq(4, 100), shards = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // exact: 4 / 12 = 333333 ppm regardless of k
+    assert(out(4)._4 == 333333L)
+    assert(out(100)._4 == 333333L)
+    // k=100 saturates the vocab: the sketch IS the exact answer
+    assert(out(100)._1 == 12L && out(100)._2 == 4L &&
+      out(100)._3 == 333333L)
+    // k=4 samples exactly 4, and est = n_both/4 in ppm
+    assert(out(4)._1 == 4L)
+    assert(out(4)._3 == out(4)._2 * 1000000L / 4L)
+  }
+
+  test("bottomKOverlap sample is hash-deterministic, not insertion-ordered") {
+    val df = (0 to 19).map(i => ("a", s"w$i")).toDF("corpus", "t")
+    val a = CorpusOverlap.bottomKOverlap(df, col("corpus"), col("t"), Seq(8))
+    val b = CorpusOverlap.bottomKOverlap(df.repartition(7), col("corpus"),
+      col("t"), Seq(8))
+    assert(rows(a) == rows(b))
+  }
+}
