@@ -1,0 +1,247 @@
+package graft.sources.v2
+
+import java.util.OptionalLong
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.ConfigXml
+
+/** DataSource V2 connector for metro_config XML snapshots — the S1/S2
+  * source (reference /root/reference/R/_pull_data.R:5-136) surfaced as a
+  * first-class Spark table:
+  *
+  *   spark.read.format("graft-config-xml").load("/path/to/snapshots")
+  *
+  * What the connector contributes beyond [[ConfigXml.readSnapshots]]:
+  *
+  *  - **Snapshot pruning at planning time.** Each snapshot file carries
+  *    its date in the file name (P4), so every comparison/equality/IN
+  *    filter on LAST_CHANGE_DATE eliminates whole files before any
+  *    byte is read — the connector's analogue of parquet partition
+  *    pruning, and the difference between "scan 1,400 files" and "scan
+  *    7" for a one-week backfill. Filters are also left as residuals
+  *    (pushFilters returns them all), so Spark re-verifies rows and
+  *    semantics never depend on the pruning being right.
+  *  - **Column pruning into the parser output.** The reader materializes
+  *    only the requested fields per detector row — a
+  *    `SELECT count(*)` or a two-column projection carries 2 values per
+  *    row, not 20.
+  *  - **Size statistics** (sum of snapshot file lengths, post-pruning)
+  *    so the optimizer can pick broadcast joins over config dims
+  *    without hints.
+  *
+  * One InputPartition per snapshot file: executors parse in parallel,
+  * the same distribution as `readSnapshots`, with reads going through
+  * the Hadoop FileSystem API (captured driver fs.* conf re-applied on
+  * executors) so the same plan works on local disk, HDFS, or object
+  * stores.
+  */
+class ConfigXmlDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-config-xml"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ConfigXml.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-config-xml needs a path: spark.read.format(\"graft-config-xml\").load(dir)"))
+    new ConfigXmlTable(path)
+  }
+}
+
+private[v2] class ConfigXmlTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_config_xml(`$path`)"
+  override def schema(): StructType = ConfigXml.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ConfigXmlScanBuilder(path)
+}
+
+private[v2] class ConfigXmlScanBuilder(path: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = ConfigXml.schema
+  private var retained: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Retain LAST_CHANGE_DATE filters for file pruning; report everything
+    * as residual so Spark re-evaluates rows (pruning is an optimization,
+    * never a correctness dependency).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    retained = filters.filter(ConfigXmlScan.prunable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = retained
+
+  override def build(): Scan = new ConfigXmlScan(path, required, retained)
+}
+
+private[v2] object ConfigXmlScan {
+  private val DateCol = "LAST_CHANGE_DATE"
+
+  /** Filters this source can turn into snapshot-file pruning. */
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(DateCol, _) | GreaterThan(DateCol, _)
+         | GreaterThanOrEqual(DateCol, _) | LessThan(DateCol, _)
+         | LessThanOrEqual(DateCol, _) | In(DateCol, _)
+         | IsNotNull(DateCol) => true
+    case And(l, r) => prunable(l) && prunable(r)
+    case Or(l, r) => prunable(l) && prunable(r)
+    case _ => false
+  }
+
+  /** Date literals arrive as java.sql.Date or (java8 datetime API)
+    * LocalDate; compare in epoch days.
+    */
+  private def days(v: Any): Long = v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case s: String => java.time.LocalDate.parse(s).toEpochDay
+    case other => throw new IllegalArgumentException(
+      s"unexpected date literal ${other.getClass}: $other")
+  }
+
+  /** Evaluate a prunable filter against one snapshot's date. */
+  def keep(f: Filter, fileDays: Long): Boolean = f match {
+    case EqualTo(DateCol, v) => fileDays == days(v)
+    case GreaterThan(DateCol, v) => fileDays > days(v)
+    case GreaterThanOrEqual(DateCol, v) => fileDays >= days(v)
+    case LessThan(DateCol, v) => fileDays < days(v)
+    case LessThanOrEqual(DateCol, v) => fileDays <= days(v)
+    case In(DateCol, vs) => vs.exists(v => fileDays == days(v))
+    case IsNotNull(DateCol) => true
+    case And(l, r) => keep(l, fileDays) && keep(r, fileDays)
+    case Or(l, r) => keep(l, fileDays) || keep(r, fileDays)
+    case _ => true
+  }
+}
+
+private[v2] case class ConfigXmlPartition(path: String, dateDays: Int,
+                                          bytes: Long) extends InputPartition
+
+private[v2] class ConfigXmlScan(path: String, required: StructType,
+                                filters: Array[Filter])
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-config-xml $path, PrunedBy: [${filters.mkString(", ")}]"
+
+  /** Driver-side listing + date pruning. */
+  private lazy val partitions: Array[ConfigXmlPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val stats =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+          (s.getPath.getName.endsWith(".xml") ||
+            s.getPath.getName.endsWith(".xml.gz")))
+      else Array(fs.getFileStatus(p))
+    stats
+      .map { s =>
+        val d = ConfigXml.dateFromPath(s.getPath.toString)
+        ConfigXmlPartition(s.getPath.toString,
+          d.toLocalDate.toEpochDay.toInt, s.getLen)
+      }
+      .filter(part => filters.forall(f =>
+        ConfigXmlScan.keep(f, part.dateDays.toLong)))
+      .sortBy(_.path)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitions.toArray[InputPartition]
+
+  override def estimateStatistics(): Statistics = {
+    val total = partitions.map(_.bytes).sum
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(total)
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the filesystem-relevant driver conf so executors open files
+    // the same way (credentials, fs implementations)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fsConf = conf.asScala
+      .filter { e =>
+        val k = e.getKey
+        k.startsWith("fs.") || k.startsWith("dfs.") || k.startsWith("hadoop.")
+      }
+      .map(e => e.getKey -> e.getValue).toMap
+    new ConfigXmlReaderFactory(required, fsConf)
+  }
+}
+
+private[v2] class ConfigXmlReaderFactory(required: StructType,
+                                         fsConf: Map[String, String])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[ConfigXmlPartition]
+    new PartitionReader[InternalRow] {
+      private val rows: Iterator[InternalRow] = {
+        val conf = new Configuration()
+        fsConf.foreach { case (k, v) => conf.set(k, v) }
+        val p = new Path(part.path)
+        val raw = p.getFileSystem(conf).open(p)
+        val in =
+          if (part.path.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw)
+          else raw
+        val date = java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(part.dateDays.toLong))
+        val parsed = try ConfigXml.parse(in, date) finally in.close()
+        // project + convert once per row: only the pruned columns are
+        // materialized into the InternalRow
+        val fullIdx = required.fields.map(f =>
+          ConfigXml.schema.fieldIndex(f.name))
+        val convert: Array[Any => Any] = required.fields.map { f =>
+          f.dataType match {
+            case StringType => (v: Any) =>
+              if (v == null) null else UTF8String.fromString(v.asInstanceOf[String])
+            case DateType => (v: Any) =>
+              if (v == null) null
+              else Int.box(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+            case _ => identity[Any] _
+          }
+        }
+        parsed.iterator.map { r =>
+          val vals = new Array[Any](fullIdx.length)
+          var i = 0
+          while (i < fullIdx.length) {
+            vals(i) = convert(i)(r.get(fullIdx(i)))
+            i += 1
+          }
+          new GenericInternalRow(vals)
+        }
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
