@@ -10,8 +10,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    new GraftExtensions().registerOn(spark)
     // absorb JVM/codegen/scan warm-up so per-query timings are steady-state
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })

@@ -102,9 +102,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => SparseDotExpr(args(0), args(1), weightVector(args(2))))
     g.registerFunction(classic, "hashed_bow",
       args => HashedBowExpr(args(0), lit(args(1))))
+    // optimizer rules: post-hoc sessions get them via the experimental
+    // seam (idempotent — skip if already registered)
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.plans.BandJoinRule.type]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandJoinRule
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),

@@ -21,8 +21,12 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // builder-time extensions only apply at first construction; a warm
+    // JVM (tests, sbt) reuses the session, so register post-hoc too
+    new graft.GraftExtensions().registerOn(spark)
     spark
   }
 }

@@ -150,4 +150,56 @@ object Graph {
     }
     reps
   }
+
+  /** Exact triangle count by degree-ordered orientation — the
+    * compact-forward algorithm (Latapy 2008; MapReduce form in Suri &
+    * Vassilvitskii, WWW'11): orient each undirected edge from the
+    * endpoint with the smaller (degree, id) toward the larger, build
+    * wedges from each vertex's oriented out-neighbors, and close them
+    * against the undirected edge set. Every triangle is counted exactly
+    * once, at its minimum-(degree, id) vertex.
+    *
+    * Why orientation matters at 100 TB: the wedge self-join fans out
+    * quadratically in OUT-degree, and degree-ordering bounds every
+    * oriented out-degree by O(√m) — on a power-law graph, id-ordering
+    * would hand a hub its full degree and one task the whole skew.
+    * All joins are equi-joins (the closing edge is looked up in
+    * canonical (min, max) form — no OR-condition nested loop).
+    *
+    * Input edges may list either or both directions; self-loops and
+    * parallel edges are dropped. Returns one row:
+    * (n_nodes, n_edges, n_triangles).
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+    // canonical undirected form; reused by orientation AND wedge closing
+    val und = e0.select(least(col("__a"), col("__b")).as("u"),
+        greatest(col("__a"), col("__b")).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("deg").as("__du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("__dv")), Seq("v"))
+      // u < v canonically, so a degree tie keeps u -> v: (deg, id) order
+      .select(when(col("__du") <= col("__dv"), col("u")).otherwise(col("v")).as("s"),
+        when(col("__du") <= col("__dv"), col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(false)
+    // wedges: unordered pairs of out-neighbors of s (b < c by id, which
+    // matches the canonical closing-edge form directly)
+    val wedges = oriented.select(col("s"), col("t").as("__b")).alias("x")
+      .join(oriented.select(col("s"), col("t").as("__c")).alias("y"),
+        Seq("s"))
+      .where(col("__b") < col("__c"))
+    val tri = wedges.join(und,
+        col("__b") === col("u") && col("__c") === col("v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = und.agg(count(lit(1)).as("n_edges"))
+    nn.crossJoin(ne).crossJoin(tri)
+  }
 }

@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.ops.{CorpusOverlap, InvertedIndex, Sampling, TextAnalysis => TA}
+import graft.ops.{CorpusOverlap, Graph, InvertedIndex, Sampling, TextAnalysis => TA}
 
 /** Round-5 third-wave operators: retrieval-index construction and
   * corpus-audit rollups — champion-list inverted index (q130),
@@ -139,6 +140,33 @@ object IndexQueries {
               FROM ranked r JOIN ks ON r.rn <= ks.k CROSS JOIN exact e
               GROUP BY 1""")),
 
+    // ---- the q114 band-join workload written NAIVELY — a plain
+    //      abs(a − b) ≤ eps join with no equi key, the shape that
+    //      plans BroadcastNestedLoopJoin — relying on the
+    //      BandJoinRule optimizer rewrite (GraftExtensions) to plan
+    //      it as a bucketed equi-join. Same oracle as q114: the rule
+    //      must be invisible in results, visible only in the plan. ----
+    Q("q134_band_join_auto",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "events")
+          .where(col("event_type") === "click" && col("user_id") % 10 === 0)
+          .select(col("event_id"), floor(col("value") * 100).cast("long").as("vc"))
+        val a = c.select(col("event_id").as("id_a"), col("vc").as("vc_a"))
+        val b = c.select(col("event_id").as("id_b"), col("vc").as("vc_b"))
+        a.join(b,
+            abs(col("vc_a") - col("vc_b")) <= lit(1L) &&
+              col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("vc_a"), col("vc_b"))
+      },
+      Some("""WITH c AS (
+                SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS vc
+                FROM events
+                WHERE event_type = 'click' AND user_id % 10 = 0)
+              SELECT a.event_id AS id_a, b.event_id AS id_b,
+                     a.vc AS vc_a, b.vc AS vc_b
+              FROM c a JOIN c b
+                ON a.event_id < b.event_id AND abs(a.vc - b.vc) <= 1""")),
+
     // ---- length-bucket padding audit: assign each doc to its
     //      power-of-two token bucket and measure the padding a
     //      bucketed batcher would waste — the "choose your batch
@@ -183,5 +211,78 @@ object IndexQueries {
                      CAST(sum(bucket) AS BIGINT) AS sum_padded,
                      (CAST(sum(bucket) AS BIGINT) - CAST(sum(ntok) AS BIGINT))
                        * 1000000 // CAST(sum(bucket) AS BIGINT) AS waste_ppm
-              FROM b GROUP BY 1""")))
+              FROM b GROUP BY 1""")),
+
+    // ---- exact triangle count on the part co-occurrence graph
+    //      (parts sharing an order): degree-ordered orientation bounds
+    //      every wedge fan-out at O(sqrt(m)) — id-ordering would hand
+    //      a hub part its whole degree. Equi-joins only. ----
+    Q("q135_triangles",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = l.alias("a").join(l.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        Graph.triangles(pairs, "p1", "p2")
+      },
+      Some("""WITH e0 AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+              deg AS (
+                SELECT n, count(*) AS deg
+                FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+                GROUP BY 1),
+              o AS (
+                SELECT CASE WHEN du.deg <= dv.deg THEN e0.u ELSE e0.v END AS s,
+                       CASE WHEN du.deg <= dv.deg THEN e0.v ELSE e0.u END AS t
+                FROM e0
+                JOIN deg du ON du.n = e0.u
+                JOIN deg dv ON dv.n = e0.v),
+              w AS (
+                SELECT x.t AS b, y.t AS c
+                FROM o x JOIN o y ON x.s = y.s AND x.t < y.t),
+              tri AS (
+                SELECT count(*) AS n FROM w
+                JOIN e0 ON w.b = e0.u AND w.c = e0.v)
+              SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                     (SELECT count(*) FROM e0) AS n_edges,
+                     (SELECT n FROM tri) AS n_triangles""")),
+
+    // ---- first-order Markov transition matrix over per-user event
+    //      sequences: next-event counts + exact-ppm row-normalized
+    //      probabilities. One user-keyed window pass, then a 25-row
+    //      rollup — the "what do users do next" model input. ----
+    Q("q136_markov",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+        val nxt = e.select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts").asc, col("event_id").asc)).as("to_type"))
+        val c = nxt.where(col("to_type").isNotNull)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        c.select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 1000000 div sum(n) OVER (PARTITION BY from_type)")
+            .as("p_ppm"))
+      },
+      Some("""WITH s AS (
+                SELECT event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              c AS (
+                SELECT event_type AS from_type, nxt AS to_type,
+                       count(*) AS n
+                FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+              SELECT from_type, to_type, n,
+                     CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
+                          AS BIGINT) AS p_ppm
+              FROM c""")))
 }

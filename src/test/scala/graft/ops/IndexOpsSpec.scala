@@ -66,6 +66,22 @@ class IndexOpsSpec extends SparkSpec {
     assert(out(4)._3 == out(4)._2 * 1000000L / 4L)
   }
 
+  test("triangles: exact count, orientation-insensitive input") {
+    // K4 on {1,2,3,4} (4 triangles) + pendant 5 + disconnected 6-7
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (6L, 7L))).toDF("s", "d")
+    val out = Graph.triangles(edges, "s", "d").head()
+    assert(out.getLong(0) == 7L) // nodes
+    assert(out.getLong(1) == 8L) // edges
+    assert(out.getLong(2) == 4L) // triangles in K4
+    // reversed directions, duplicates, self-loops: same answer
+    val messy = edges.select(col("d").as("s"), col("s").as("d"))
+      .unionAll(edges).unionAll(Seq((3L, 3L)).toDF("s", "d"))
+    assert(Graph.triangles(messy, "s", "d").head().getLong(2) == 4L)
+  }
+
   test("bottomKOverlap sample is hash-deterministic, not insertion-ordered") {
     val df = (0 to 19).map(i => ("a", s"w$i")).toDF("corpus", "t")
     val a = CorpusOverlap.bottomKOverlap(df, col("corpus"), col("t"), Seq(8))
