@@ -24,31 +24,35 @@ object HeavyHitters {
 
   type Sketch = mutable.HashMap[String, Entry]
 
+  /** The SpaceSaving insertion step, shared by the batch Aggregator and
+    * the streaming keyed state ([[graft.streaming.Streams.heavyHitters]]).
+    */
+  def offer(b: Sketch, capacity: Int, item: String,
+            count: Long, error: Long): Unit =
+    b.get(item) match {
+      case Some(e) => b.update(item, Entry(e.count + count, e.error + error))
+      case None =>
+        if (b.size < capacity) b.update(item, Entry(count, error))
+        else {
+          // evict the current min; newcomer inherits its count as error
+          val (minK, minE) = b.minBy(_._2.count)
+          b.remove(minK)
+          b.update(item, Entry(minE.count + count, minE.count + error))
+        }
+    }
+
   final class SpaceSaving(capacity: Int)
     extends Aggregator[String, Sketch, Seq[(String, Long, Long)]] {
 
     override def zero: Sketch = mutable.HashMap.empty
 
-    private def offer(b: Sketch, item: String, count: Long, error: Long): Unit =
-      b.get(item) match {
-        case Some(e) => b.update(item, Entry(e.count + count, e.error + error))
-        case None =>
-          if (b.size < capacity) b.update(item, Entry(count, error))
-          else {
-            // evict the current min; newcomer inherits its count as error
-            val (minK, minE) = b.minBy(_._2.count)
-            b.remove(minK)
-            b.update(item, Entry(minE.count + count, minE.count + error))
-          }
-      }
-
     override def reduce(b: Sketch, item: String): Sketch = {
-      if (item != null) offer(b, item, 1, 0)
+      if (item != null) HeavyHitters.offer(b, capacity, item, 1, 0)
       b
     }
 
     override def merge(a: Sketch, b: Sketch): Sketch = {
-      b.foreach { case (k, e) => offer(a, k, e.count, e.error) }
+      b.foreach { case (k, e) => HeavyHitters.offer(a, capacity, k, e.count, e.error) }
       a
     }
 

@@ -284,5 +284,113 @@ object IndexQueries {
               SELECT from_type, to_type, n,
                      CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
                           AS BIGINT) AS p_ppm
-              FROM c""")))
+              FROM c""")),
+
+    // ---- per-group OLS trend (closed-form slope/intercept of value
+    //      over time): ONE aggregation pass accumulating exact integer
+    //      sums (day index × centi-quantized value), then a single
+    //      float division per group. The normal-equation products run
+    //      in 128-bit exact arithmetic (DECIMAL(38,0) / HUGEINT —
+    //      n·Σxy overflows BIGINT at corpus scale), so both engines
+    //      divide the same two exact integers: bitwise-identical
+    //      slopes. ----
+    Q("q137_groupwise_ols",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .where(col("ts").isNotNull && col("value").isNotNull)
+          .select(col("event_type"),
+            datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+              .cast("long").as("x"),
+            floor(col("value") * 100).cast("long").as("vc"))
+        e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("vc")).as("sy"),
+            sum(col("x") * col("vc")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            expr("""CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                         - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                    / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                           - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"""
+            ).as("__sc"))
+          .select(col("event_type"), col("n"),
+            graft.ops.Numeric.roundAway(col("__sc") / 100.0, 6).as("slope"))
+      },
+      Some("""WITH q AS (
+                SELECT event_type,
+                       CAST(datediff('day', DATE '2024-01-01',
+                                     CAST(ts AS DATE)) AS BIGINT) AS x,
+                       CAST(floor(value * 100) AS BIGINT) AS vc
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+              a AS (
+                SELECT event_type, count(*) AS n,
+                       sum(x) AS sx, sum(vc) AS sy,
+                       sum(x * vc) AS sxy, sum(x * x) AS sxx
+                FROM q GROUP BY 1)
+              SELECT event_type, n,
+                     round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0,
+                           6) AS slope
+              FROM a""")),
+
+    // ---- weight-of-evidence binning (credit-scoring feature prep):
+    //      quartile bins of n_chars from exact interpolated
+    //      percentiles (3 scalars, broadcast back — no global sort,
+    //      no ntile single-task window), per-bin WOE with 0.5 Laplace
+    //      smoothing and the information-value term. Counts are exact
+    //      ints; the one ln per bin runs on identical doubles in both
+    //      engines. ----
+    Q("q138_woe_binning",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val cuts = d.agg(
+          expr("percentile(n_chars, 0.25)").as("c1"),
+          expr("percentile(n_chars, 0.5)").as("c2"),
+          expr("percentile(n_chars, 0.75)").as("c3"))
+        val binned = d.crossJoin(broadcast(cuts))
+          .select(
+            (lit(1) + (col("n_chars") > col("c1")).cast("int")
+              + (col("n_chars") > col("c2")).cast("int")
+              + (col("n_chars") > col("c3")).cast("int")).as("bin"),
+            (col("lang") === "en").cast("long").as("is_en"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("is_en")).as("n_pos"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            (col("n") - col("n_pos")).as("n_neg"))
+        val w = binned.select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+          expr("sum(n_pos) OVER ()").as("__pt"),
+          expr("sum(n_neg) OVER ()").as("__nt"))
+        w.select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+            expr("""ln(((CAST(n_pos AS DOUBLE) + 0.5) / (CAST(__pt AS DOUBLE) + 2.0))
+                    / ((CAST(n_neg AS DOUBLE) + 0.5) / (CAST(__nt AS DOUBLE) + 2.0)))"""
+            ).as("__woe"))
+          .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+            graft.ops.Numeric.roundAway(col("__woe"), 6).as("woe"))
+      },
+      Some("""WITH cuts AS (
+                SELECT quantile_cont(n_chars, 0.25) AS c1,
+                       quantile_cont(n_chars, 0.5) AS c2,
+                       quantile_cont(n_chars, 0.75) AS c3
+                FROM documents),
+              b AS (
+                SELECT 1 + CAST(n_chars > c1 AS INTEGER)
+                         + CAST(n_chars > c2 AS INTEGER)
+                         + CAST(n_chars > c3 AS INTEGER) AS bin,
+                       CAST(lang = 'en' AS BIGINT) AS is_en
+                FROM documents, cuts),
+              g AS (
+                SELECT bin, count(*) AS n,
+                       CAST(sum(is_en) AS BIGINT) AS n_pos,
+                       count(*) - CAST(sum(is_en) AS BIGINT) AS n_neg
+                FROM b GROUP BY 1),
+              w AS (
+                SELECT bin, n, n_pos, n_neg,
+                       sum(n_pos) OVER () AS pt, sum(n_neg) OVER () AS nt
+                FROM g)
+              SELECT bin, n, n_pos, n_neg,
+                     round(ln(((CAST(n_pos AS DOUBLE) + 0.5)
+                               / (CAST(pt AS DOUBLE) + 2.0))
+                              / ((CAST(n_neg AS DOUBLE) + 0.5)
+                                 / (CAST(nt AS DOUBLE) + 2.0))), 6) AS woe
+              FROM w""")))
 }

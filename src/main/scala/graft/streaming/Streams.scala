@@ -250,6 +250,50 @@ object Streams {
     q.awaitTermination()
   }
 
+  final case class HeavyHit(shard: Int, token: String, count: Long,
+                            error: Long)
+
+  /** Streaming heavy hitters: the batch SpaceSaving sketch
+    * ([[graft.ops.HeavyHitters]], q47) carried as keyed streaming
+    * state. Tokens are sharded by hash; each shard holds ONE
+    * `capacity`-entry sketch that absorbs every micro-batch (the exact
+    * insertion step is shared with the batch Aggregator, so the two
+    * paths cannot drift), and each batch re-emits its current summary —
+    * OutputMode.Update, last-write-wins per (shard, token) downstream.
+    *
+    * State is bounded at shards × capacity entries FOREVER, regardless
+    * of stream cardinality — the property that makes top-k over an
+    * unbounded token stream feasible at all. Sharding multiplies
+    * sketch capacity (each shard sees a hash-disjoint token subset, so
+    * per-token counts stay single-sketch exact-or-overestimated with
+    * the same N/capacity-per-shard guarantee) and spreads the offer
+    * work across executors.
+    */
+  def heavyHitters(tokens: org.apache.spark.sql.Dataset[String],
+                   capacity: Int, shards: Int = 8):
+      org.apache.spark.sql.Dataset[HeavyHit] = {
+    import tokens.sparkSession.implicits._
+    import graft.ops.HeavyHitters.{offer, Entry}
+    tokens
+      .filter((t: String) => t != null)
+      .groupByKey(t => math.floorMod(t.hashCode, shards))
+      .flatMapGroupsWithState[Map[String, (Long, Long)], HeavyHit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (shard, rows, state: GroupState[Map[String, (Long, Long)]]) =>
+          val sketch = new scala.collection.mutable.HashMap[String, Entry]
+          state.getOption.getOrElse(Map.empty).foreach { case (k, (c, e)) =>
+            sketch.update(k, Entry(c, e))
+          }
+          rows.foreach(t => offer(sketch, capacity, t, 1, 0))
+          state.update(sketch.map { case (k, e) =>
+            k -> ((e.count, e.error))
+          }.toMap)
+          sketch.iterator.map { case (k, e) =>
+            HeavyHit(shard, k, e.count, e.error)
+          }
+      }
+  }
+
   /** Drain everything currently available (the nightly-batch equivalent)
     * into a date-partitioned parquet sink, then stop — idempotent via
     * the checkpoint.

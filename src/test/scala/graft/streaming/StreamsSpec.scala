@@ -65,6 +65,55 @@ class StreamsSpec extends SparkSpec {
     assert(docs == Seq("a", "b", "c")) // one "a" total across batches
   }
 
+
+  test("streaming heavy hitters: sketch state accumulates across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[String]
+    // capacity generous -> exact counts
+    val hits = Streams.heavyHitters(input.toDS(), capacity = 16, shards = 2)
+    val q = hits.writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Update).start()
+    input.addData("a", "a", "b", "c", "a")
+    q.processAllAvailable()
+    input.addData("a", "b", "b", "d")
+    q.processAllAvailable()
+    q.stop()
+    // Update mode: keep the LAST emission per (shard, token)
+    val last = spark.sql(
+      """SELECT token, max_by(count, rn) AS c FROM (
+         SELECT token, count, row_number() OVER (PARTITION BY shard, token
+           ORDER BY count ASC) AS rn FROM hh_out) GROUP BY token""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last == Map("a" -> 4L, "b" -> 3L, "c" -> 1L, "d" -> 1L))
+    // zero error recorded at this capacity
+    assert(spark.sql("SELECT max(error) FROM hh_out").head().getLong(0) == 0L)
+  }
+
+  test("streaming heavy hitters: bounded state under eviction keeps guarantees") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[String]
+    // ONE shard, capacity 2: force evictions; the true heavy hitter
+    // must survive with count >= truth (SpaceSaving overestimates)
+    val hits = Streams.heavyHitters(input.toDS(), capacity = 2, shards = 1)
+    val q = hits.writeStream.format("memory").queryName("hh_small")
+      .outputMode(OutputMode.Update).start()
+    input.addData(Seq.fill(10)("hot") ++ Seq("x", "y", "z", "w"): _*)
+    q.processAllAvailable()
+    input.addData(Seq.fill(5)("hot") ++ Seq("p", "q"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT token, count, error FROM hh_small").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hot = rows.filter(_._1 == "hot").map(_._2).max
+    assert(hot >= 15L)           // never undercounts
+    val lastBatchTokens = rows.map(_._1).toSet
+    assert(lastBatchTokens.contains("hot")) // the heavy hitter survives
+  }
+
+
   test("stream-static enrich: broadcast dim join, left rows preserved") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
