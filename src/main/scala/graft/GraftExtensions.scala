@@ -102,16 +102,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => SparseDotExpr(args(0), args(1), weightVector(args(2))))
     g.registerFunction(classic, "hashed_bow",
       args => HashedBowExpr(args(0), lit(args(1))))
-    // optimizer rules: post-hoc sessions get them via the experimental
-    // seam (idempotent — skip if already registered)
+    // optimizer rules + planner strategies: post-hoc sessions get them
+    // via the experimental seam (idempotent — skip if already there)
     if (!spark.experimental.extraOptimizations.exists(
         _.isInstanceOf[graft.plans.BandJoinRule.type]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BandJoinRule
+    if (!spark.experimental.extraStrategies.exists(
+        _.isInstanceOf[graft.plans.AsOfJoinStrategy.type]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),

@@ -112,6 +112,41 @@ object Joins {
         payload.map(p => col(s"__last.$p").as(s"$prefix$p")): _*)
   }
 
+  /** AS-OF join on the native physical operator
+    * ([[graft.plans.AsOfJoinExec]] via [[graft.plans.AsOfJoinStrategy]]
+    * — register `GraftExtensions` on the session): same semantics as
+    * [[asofJoin]] (latest right row with equal keys and rightTs ≤
+    * leftTs; NULL keys/times never match), but planned as a
+    * sort-merge-style one-pass partition merge holding one buffered
+    * right row, instead of the union-window form. Output is ALL left
+    * columns followed by ALL right columns (nullable) — rename the
+    * right side's columns first if they collide.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val g = org.apache.spark.sql.graftglue.Glue
+    val lp = g.analyzed(left)
+    // self-join safety: both sides often derive from ONE scan and then
+    // share attribute ids; a generic node can't tell the analyzer's
+    // dedup which side its key expressions meant. Re-alias the right
+    // output with fresh ids so the two sides never overlap.
+    val rp0 = g.analyzed(right)
+    val rAliases = rp0.output.map(a => Alias(a, a.name)())
+    val rp = Project(rAliases, rp0)
+    def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+             n: String) =
+      out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column $n not found in ${out.map(_.name).mkString(", ")}"))
+    val rOut = rAliases.map(_.toAttribute)
+    g.ofRows(
+      left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      graft.plans.AsOfJoinPlan(lp, rp,
+        keys.map(attr(lp.output, _)), keys.map(attr(rOut, _)),
+        attr(lp.output, leftTs), attr(rOut, rightTs)))
+  }
+
   /** Band join: all (left, right) pairs with |leftCol − rightCol| ≤ eps.
     * The naive plan is a BroadcastNestedLoopJoin (O(n·m) comparisons —
     * the classic Spark range-join trap); this form buckets both sides

@@ -392,5 +392,32 @@ object IndexQueries {
                                / (CAST(pt AS DOUBLE) + 2.0))
                               / ((CAST(n_neg AS DOUBLE) + 0.5)
                                  / (CAST(nt AS DOUBLE) + 2.0))), 6) AS woe
-              FROM w""")))
+              FROM w""")),
+
+    // ---- q57's as-of workload on the NATIVE physical operator
+    //      (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec): one
+    //      exchange + sort per side, then a one-pass partition merge
+    //      holding a single buffered right row. Same DuckDB ASOF
+    //      oracle as the compositional form — the custom operator
+    //      must be invisible in results. ----
+    Q("q139_asof_native",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = e.where(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("view_ts"))
+        graft.ops.Joins.asofJoinNative(purchases, views,
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "view_ts")
+          .toDF("event_id", "user_id", "ts", "view_id", "__ruser", "view_ts")
+          .drop("__ruser")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts,
+                     v.event_id AS view_id, v.ts AS view_ts
+              FROM (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                              WHERE event_type = 'view') v
+                ON p.user_id = v.user_id AND p.ts >= v.ts""")))
 }

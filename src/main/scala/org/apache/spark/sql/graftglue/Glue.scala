@@ -26,4 +26,20 @@ object Glue {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** DataFrame from a hand-built LogicalPlan (custom operators build
+    * their plan nodes directly; `Dataset.ofRows` is private[sql]).
+    */
+  def ofRows(spark: org.apache.spark.sql.classic.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+
+  /** The analyzed logical plan of a DataFrame (resolved attributes for
+    * custom-plan construction).
+    */
+  def analyzed(df: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+      .queryExecution.analyzed
 }
