@@ -427,5 +427,41 @@ object IndexQueries {
                     WHERE event_type = 'purchase') p
               ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
                               WHERE event_type = 'view') v
-                ON p.user_id = v.user_id AND p.ts >= v.ts""")))
+                ON p.user_id = v.user_id AND p.ts >= v.ts""")),
+
+    // ---- k-anonymity audit (privacy QA before release): group docs
+    //      by quasi-identifiers (lang, source, length band), count
+    //      groups below k=5, and the suppression cost of enforcing
+    //      k-anonymity by dropping them. Two-level rollup — the QI
+    //      grouping is the only corpus-wide shuffle; div/% operands
+    //      are non-negative so Spark div == DuckDB // (q81 invariant). ----
+    Q("q140_k_anonymity",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 500").as("len_band"))
+        val groups = d.groupBy(col("lang"), col("source"), col("len_band"))
+          .agg(count(lit(1)).as("n"))
+        groups.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_groups"),
+            count_if(col("n") < 5).as("n_small_groups"),
+            sum(col("n")).as("n_docs"),
+            sum(when(col("n") < 5, col("n")).otherwise(lit(0L)))
+              .as("n_suppressed"))
+          .select(col("lang"), col("n_groups"), col("n_small_groups"),
+            col("n_docs"), col("n_suppressed"),
+            expr("n_suppressed * 1000000 div n_docs").as("suppressed_ppm"))
+      },
+      Some("""WITH g AS (
+                SELECT lang, source, n_chars // 500 AS len_band,
+                       count(*) AS n
+                FROM documents GROUP BY 1, 2, 3)
+              SELECT lang, count(*) AS n_groups,
+                     count(*) FILTER (WHERE n < 5) AS n_small_groups,
+                     CAST(sum(n) AS BIGINT) AS n_docs,
+                     CAST(COALESCE(sum(n) FILTER (WHERE n < 5), 0)
+                          AS BIGINT) AS n_suppressed,
+                     CAST(COALESCE(sum(n) FILTER (WHERE n < 5), 0)
+                          * 1000000 // sum(n) AS BIGINT) AS suppressed_ppm
+              FROM g GROUP BY 1""")))
 }

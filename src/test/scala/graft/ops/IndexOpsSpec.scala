@@ -82,6 +82,49 @@ class IndexOpsSpec extends SparkSpec {
     assert(Graph.triangles(messy, "s", "d").head().getLong(2) == 4L)
   }
 
+  test("champion index equals the naive window top-k on random corpora") {
+    val rng = new scala.util.Random(23)
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij", "kl", "mn")
+    val docs = (1 to 60).map { i =>
+      (i.toLong, Seq.fill(1 + rng.nextInt(30))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = 3
+    val fast = InvertedIndex.champion(docs, col("text"), col("doc_id"),
+      k = k, minDf = 1L)
+    val tf = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("t"))
+      .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
+    val naive = tf
+      .withColumn("rn", row_number().over(Window.partitionBy(col("t"))
+        .orderBy(col("tf").desc, col("doc_id").asc)))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        array_join(transform(array_sort(collect_list(
+          when(col("rn") <= k, struct(col("rn"),
+            concat(col("doc_id"), lit(":"), col("tf")).as("p"))))),
+          e => e.getField("p")), ",").as("postings"))
+      .select(col("t").as("term"), col("df"), col("cf"), col("postings"))
+    assert(rows(fast) == rows(naive))
+  }
+
+  test("triangles equals the cubic definition on random graphs") {
+    val rng = new scala.util.Random(31)
+    val n = 25
+    val edgeSet = (for {
+      a <- 1 to n; b <- 1 to n
+      if a < b && rng.nextDouble() < 0.25
+    } yield (a.toLong, b.toLong)).toVector
+    val expected = (for {
+      Seq((a, b), (c, d), (e, f)) <- edgeSet.combinations(3)
+      nodes = Set(a, b, c, d, e, f)
+      if nodes.size == 3
+    } yield 1).size
+    val out = Graph.triangles(edgeSet.toDF("s", "d"), "s", "d").head()
+    assert(out.getLong(2) == expected.toLong)
+    assert(out.getLong(1) == edgeSet.size.toLong)
+  }
+
   test("bottomKOverlap sample is hash-deterministic, not insertion-ordered") {
     val df = (0 to 19).map(i => ("a", s"w$i")).toDF("corpus", "t")
     val a = CorpusOverlap.bottomKOverlap(df, col("corpus"), col("t"), Seq(8))
