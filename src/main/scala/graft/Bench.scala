@@ -14,9 +14,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new GraftExtensions().registerOn(spark)
-    // absorb JVM/codegen/scan warm-up so per-query timings are steady-state
-    SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+    // absorb JVM/codegen/scan warm-up so per-query timings are
+    // steady-state; q139 additionally loads the custom-operator path
+    // (AsOfJoinExec + its projections) whose first-use class loading
+    // would otherwise be billed to one query
+    Seq("q01_pricing_summary", "q139_asof_native").foreach(q =>
+      SparkEntry.queries.get(q)
+        .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => }))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {

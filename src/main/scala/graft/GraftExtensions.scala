@@ -108,6 +108,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         _.isInstanceOf[graft.plans.BandJoinRule.type]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BandJoinRule
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.plans.RangeJoinRule.type]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
     if (!spark.experimental.extraStrategies.exists(
         _.isInstanceOf[graft.plans.AsOfJoinStrategy.type]))
       spark.experimental.extraStrategies =
@@ -116,6 +120,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),

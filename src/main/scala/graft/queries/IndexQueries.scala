@@ -463,5 +463,36 @@ object IndexQueries {
                           AS BIGINT) AS n_suppressed,
                      CAST(COALESCE(sum(n) FILTER (WHERE n < 5), 0)
                           * 1000000 // sum(n) AS BIGINT) AS suppressed_ppm
-              FROM g GROUP BY 1""")))
+              FROM g GROUP BY 1""")),
+
+    // ---- temporal proximity join written NAIVELY (clicks within one
+    //      hour AFTER any error — no equi key, the BNLJ shape),
+    //      rewritten by RangeJoinRule into a banded equi-join: the
+    //      point side bins on floor-seconds, the interval side
+    //      explodes its covered bins, the exact predicate stays as
+    //      residual. binSize 3600 = the window length → ≤ 2 bins per
+    //      interval row. ----
+    Q("q141_range_join_auto",
+      (s, dir) => {
+        s.conf.set(graft.plans.RangeJoinRule.BinSizeKey, "3600")
+        val e = Tables.load(s, dir, "events")
+        val errors = e.where(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("ts").as("ets"))
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("ts").as("cts"))
+        clicks.join(errors,
+            col("cts") >= col("ets") &&
+              col("cts") <= col("ets") + expr("INTERVAL 1 HOUR"))
+          .select(col("click_id"), col("err_id"),
+            (unix_timestamp(col("cts")) - unix_timestamp(col("ets")))
+              .as("gap_s"))
+      },
+      Some("""SELECT c.event_id AS click_id, e.event_id AS err_id,
+                     CAST(floor(epoch(c.ts)) - floor(epoch(e.ts)) AS BIGINT)
+                       AS gap_s
+              FROM (SELECT event_id, ts FROM events
+                    WHERE event_type = 'click') c
+              JOIN (SELECT event_id, ts FROM events
+                    WHERE event_type = 'error') e
+                ON c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 1 HOUR""")))
 }
