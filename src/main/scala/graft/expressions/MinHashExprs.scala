@@ -48,6 +48,11 @@ object MinHashExprs {
   def jaccardSim(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Distinct-intersection cardinality |A ∩ B| of two string arrays. */
+  def intersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(IntersectCountExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 case class MinHashSigExpr(child: Expression, numHashes: Int)
@@ -285,5 +290,57 @@ object JaccardExpr {
     }
     val union = nsDistinct + seen.size - inter
     if (union > 0) inter.toDouble / union else 1.0
+  }
+}
+
+/** Distinct |A ∩ B| of two string arrays in one compiled pass — the
+  * count-only sibling of [[JaccardExpr]] for containment verification,
+  * where `size(array_intersect(a, b))` would materialize the whole
+  * intersected array per candidate pair just to take its length.
+  * Duplicates collapse (set semantics), matching DuckDB's
+  * `len(list_filter(list_distinct(a), x -> list_contains(b, x)))`.
+  */
+case class IntersectCountExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_count needs array<string>, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCountExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.IntersectCountExpr.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCountExpr {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val ns = small.numElements()
+    val nb = big.numElements()
+    if (ns == 0) return 0L
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    // remove on hit: duplicated big-side values count once, no second set
+    var inter = 0L
+    i = 0
+    while (i < nb && !set.isEmpty) {
+      if (set.remove(big.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    inter
   }
 }

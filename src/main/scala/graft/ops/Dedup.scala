@@ -228,7 +228,9 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long").as("__inter"),
+        // count-only native intersection: no per-pair array allocation
+        graft.expressions.MinHashExprs.intersectCount(
+          col("__sh_a"), col("__sh_b")).as("__inter"),
         size(col("__sh_a")).cast("long").as("__la"),
         size(col("__sh_b")).cast("long").as("__lb"))
       .select(col("id_a"), col("id_b"),
@@ -620,7 +622,9 @@ object Dedup {
       .join(broadcast(sh.select(col(idCol).as("__ib"), col("__sh").as("__sb"))),
         col("__ia") < col("__ib"))
       .select(
-        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("__i"),
+        // count-only native intersection: no per-pair array allocation
+        graft.expressions.MinHashExprs.intersectCount(
+          col("__sa"), col("__sb")).as("__i"),
         (size(col("__sa")) + size(col("__sb"))).cast("long").as("__ab"))
       // |A∪B| = |A|+|B|−|A∩B| (shingle sets are distinct-element), so
       // the union scan is free. `div`, not `/`: Column./ on BIGINT is

@@ -34,13 +34,17 @@ object Graph {
     * every iteration's rank⋈edges join reuses that layout while the
     * rank side (one narrow row per node) shuffles to meet it. The
     * per-iteration aggregation is a partial-agg groupBy on dst. Ranks
-    * are checkpointed per round so the plan stays O(1) deep regardless
-    * of iteration count (same lineage discipline as Dedup/Scd2.replay).
+    * are checkpointed every `checkpointEvery` rounds so the plan stays
+    * O(cadence) deep regardless of iteration count (same lineage
+    * discipline as Dedup/Scd2.replay) while short runs fuse into one
+    * job with no per-round materialization.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, scale: Long = 1000000000000L,
                assumeDistinct: Boolean = false,
-               allNodesReceive: Boolean = false): DataFrame = {
+               allNodesReceive: Boolean = false,
+               checkpointEvery: Int = 4): DataFrame = {
+    require(checkpointEvery > 0, s"checkpointEvery must be positive: $checkpointEvery")
     // `assumeDistinct` skips the edge-collapse shuffle when the caller
     // already guarantees uniqueness (e.g. a pre-distincted pair list
     // unioned into disjoint direction keyspaces) — at corpus scale the
@@ -48,24 +52,36 @@ object Graph {
     val named = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
     val e0 = if (assumeDistinct) named else named.distinct()
-    val outdeg = e0.groupBy(col("__src")).agg(count(lit(1)).as("__outdeg"))
-    // big side, built ONCE: edges with their source's outdegree attached,
-    // co-partitioned on src so every round's rank join meets a fixed
-    // layout (only the narrow rank rows move per round)
-    val e = e0.join(outdeg, Seq("__src"))
-      .repartition(col("__src"))
+    // big side, built ONCE: edges co-partitioned on src with their
+    // source's outdegree attached by a WINDOW over that same layout —
+    // one exchange total, where groupBy-outdeg + join would pay a
+    // second shuffle of the full edge list. Every round's rank join
+    // then meets this fixed layout (only narrow rank rows move).
+    val e = e0.repartition(col("__src"))
+      .withColumn("__outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__src"))))
       .localCheckpoint(false)
-    val nodes = e.select(col("__src").as("node"))
+    // node universe: needed per round for dangling-rank carry unless
+    // every node receives mass (symmetrized graph), where it would feed
+    // only the constant rank init — which round 1 folds away below
+    lazy val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node")))
       .distinct()
       .localCheckpoint(false)
-    var ranks = nodes.select(col("node"), lit(scale).as("rank_scaled"))
-      .localCheckpoint(false)
+    if (iterations <= 0)
+      return nodes.select(col("node"), lit(scale).as("rank_scaled"))
+    // null ⇒ the implicit constant-`scale` init: round 1 reads contribs
+    // straight off `e` (scale div outdeg), skipping the node-universe
+    // distinct and the init join entirely
+    var ranks: DataFrame = null
     var it = 0
     while (it < iterations) {
-      val contribs = ranks
-        .join(e, ranks("node") === e("__src"))
-        .select(col("__dst"), expr("rank_scaled div __outdeg").as("__contrib"))
+      val contribs =
+        (if (ranks == null)
+          e.select(col("__dst"), expr(s"${scale}L div __outdeg").as("__contrib"))
+        else ranks
+          .join(e, ranks("node") === e("__src"))
+          .select(col("__dst"), expr("rank_scaled div __outdeg").as("__contrib")))
         .groupBy(col("__dst"))
         .agg(sum(col("__contrib")).as("__in"))
       // `div`, not `/`: Column./ on BIGINT is double division. All
@@ -75,17 +91,24 @@ object Graph {
       // symmetrized graph) drops the per-round nodes join: contribs
       // already covers the node universe, so one join+exchange per
       // round disappears.
-      ranks =
-        (if (allNodesReceive)
+      val next =
+        if (allNodesReceive)
           contribs.select(col("__dst").as("node"),
             expr(s"(15 * ${scale}L + 85 * __in) div 100").as("rank_scaled"))
         else nodes
           .join(contribs, nodes("node") === contribs("__dst"), "left")
           .select(nodes("node"),
             expr(s"(15 * ${scale}L + 85 * coalesce(__in, 0L)) div 100")
-              .as("rank_scaled")))
-        .localCheckpoint(false) // truncate lineage: O(1) plan depth per round
+              .as("rank_scaled"))
       it += 1
+      // truncate lineage every `checkpointEvery` rounds: bounded plan
+      // depth for long runs WITHOUT paying a block-manager
+      // materialization per round — a short run (iterations ≤ cadence)
+      // fuses into one job, each intermediate rank table living only as
+      // shuffle output between its two stages
+      ranks =
+        if (it % checkpointEvery == 0 && it < iterations) next.localCheckpoint(false)
+        else next
     }
     ranks
   }
@@ -123,8 +146,9 @@ object Graph {
       .repartition(col("__a"))
       .localCheckpoint(false)
     val nodes = e.select(col("__a").as("node")).distinct().localCheckpoint(false)
+    // a pure projection of the checkpointed node table — both per-round
+    // references hit those blocks, so its own checkpoint would be waste
     var reps = nodes.select(col("node"), col("node").as("comp"))
-      .localCheckpoint(false)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -132,19 +156,20 @@ object Graph {
         .groupBy(col("__b")).agg(min(col("comp")).as("__nc"))
       val stepped = reps
         .join(nmin, reps("node") === nmin("__b"), "left")
-        .select(col("node"), least(col("comp"), coalesce(col("__nc"), col("comp")))
-          .as("comp"))
-      // pointer doubling: follow the label one hop (comp ids are nodes)
+        .select(col("node"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
+      // pointer doubling: follow the label one hop (comp ids are nodes).
+      // The previous label rides along as __old so convergence is a
+      // filter-count on this round's ALREADY-materialized checkpoint —
+      // no per-round join back to `reps`.
       val doubled = stepped.alias("s")
         .join(stepped.select(col("node").as("__cn"), col("comp").as("__cc"))
           .alias("c"), col("s.comp") === col("__cn"), "left")
-        .select(col("s.node").as("node"),
+        .select(col("s.node").as("node"), col("s.__old").as("__old"),
           least(col("s.comp"), coalesce(col("__cc"), col("s.comp"))).as("comp"))
         .localCheckpoint(false)
-      val changed = doubled.alias("n")
-        .join(reps.select(col("node"), col("comp").as("__old")), Seq("node"))
-        .where(col("comp") =!= col("__old")).count()
-      reps = doubled
+      val changed = doubled.where(col("comp") =!= col("__old")).count()
+      reps = doubled.select(col("node"), col("comp"))
       converged = changed == 0L
       round += 1
     }
