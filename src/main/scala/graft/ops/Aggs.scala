@@ -121,4 +121,46 @@ object Aggs {
       col("sum_v").cast("double").as("sum_v") :+
       (col("sum_v").cast("double") / col("cnt").cast("double")).as("avg_v") :+
       col("min_v") :+ col("max_v")): _*)
+
+  /** EXACT W-day rolling distinct count — "7-day active users" — with
+    * bounded fan-out instead of the quadratic day×activity range join.
+    *
+    * `count(DISTINCT key)` over a sliding date window is not
+    * decomposable (daily distinct counts don't sum), and the naive
+    * form joins every day of the grid against every activity row in
+    * its window: O(days × activity) shuffled rows, a scale-killer the
+    * moment the grid is long. The exact identity that fixes it: key k
+    * is active on day d iff k has an activity day in (d−W, d], i.e.
+    * iff d falls in [a, a+W−1] for some activity day a of k. Between
+    * consecutive distinct activity days a_i < a_{i+1} those intervals
+    * overlap exactly when a_{i+1} − a_i < W, so clipping each interval
+    * at the NEXT activity day — [a_i, min(a_i+W−1, a_{i+1}−1)] — makes
+    * the per-key cover disjoint while preserving its union. Each
+    * activity day then explodes into ≤ W contribution days, and a plain
+    * `count(*)` per day IS the distinct count: disjointness guarantees
+    * every key contributes at most one row per day.
+    *
+    * Scale shape: one shuffle to distinct (key, day), one key-partition
+    * window for `lead`, a ≤ W-row explode, and a partial-agg count by
+    * day. The day grid (min..max activity day, zero-active days kept)
+    * is a 1-row-agg broadcast — nothing corpus-sized crosses it.
+    */
+  def rollingDistinct(df: DataFrame, dateCol: Column, keyCol: Column,
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = df.select(dateCol.as("__d"), keyCol.as("__k"))
+      .where(col("__d").isNotNull && col("__k").isNotNull)
+      .distinct()
+    val nxt = lead(col("__d"), 1).over(
+      Window.partitionBy(col("__k")).orderBy(col("__d")))
+    val contrib = ud
+      .withColumn("__end", least(date_add(col("__d"), windowDays - 1),
+        coalesce(date_sub(nxt, 1), date_add(col("__d"), windowDays - 1))))
+      .select(explode(sequence(col("__d"), col("__end"))).as("day"))
+    val counts = contrib.groupBy(col("day")).agg(count(lit(1)).as("active"))
+    val grid = ud.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    grid.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("active"), lit(0L)).as("active"))
+  }
 }

@@ -301,6 +301,27 @@ object PipelineQueries {
                 SELECT eu.b, reach.lbl
                 FROM reach JOIN eu ON reach.node = eu.a)
               SELECT node, CAST(min(lbl) AS BIGINT) AS comp
-              FROM reach GROUP BY 1"""))
+              FROM reach GROUP BY 1""")),
+
+    // ---- exact 7-day rolling active users: the non-decomposable
+    //      count(DISTINCT) sliding window done with bounded ≤W fan-out
+    //      (clipped per-user contribution intervals) instead of the
+    //      quadratic day×activity range join the oracle runs ----
+    Q("q142_rolling_active",
+      (s, dir) => graft.ops.Aggs.rollingDistinct(
+        Tables.load(s, dir, "events"),
+        to_date(col("ts")), col("user_id"), windowDays = 7),
+      Some("""WITH ud AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS k
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+              bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+              grid AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+                         AS day
+                FROM bounds)
+              SELECT g.day, CAST(count(DISTINCT u.k) AS BIGINT) AS active
+              FROM grid g
+              LEFT JOIN ud u ON u.d BETWEEN g.day - 6 AND g.day
+              GROUP BY 1"""))
   )
 }

@@ -178,4 +178,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!got.map(_._1).contains(2L))
     assert(got.map(_._3).toSeq == Seq(1, 2, 3))
   }
+
+  test("rollingDistinct equals the naive window definition on random activity") {
+    val rnd = new scala.util.Random(7)
+    // sparse keys with gaps longer and shorter than the window
+    val rows7 = (1 to 400).map { _ =>
+      (java.sql.Date.valueOf(f"2024-02-${1 + rnd.nextInt(28)}%02d"),
+        (rnd.nextInt(25) + 1).toLong)
+    }
+    val df = rows7.toDF("d", "k")
+    val got = Aggs.rollingDistinct(df, $"d", $"k", windowDays = 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // naive: for each grid day count distinct keys active in (d-7, d]
+    val acts = rows7.distinct
+    val days = acts.map(_._1.toLocalDate)
+    val (lo, hi) = (days.min(Ordering.by((x: java.time.LocalDate) => x.toEpochDay)),
+      days.max(Ordering.by((x: java.time.LocalDate) => x.toEpochDay)))
+    var d = lo
+    while (!d.isAfter(hi)) {
+      val want = acts.filter { case (ad, _) =>
+        val a = ad.toLocalDate
+        !a.isAfter(d) && a.isAfter(d.minusDays(7))
+      }.map(_._2).distinct.size.toLong
+      assert(got(d.toString) == want, s"day $d")
+      d = d.plusDays(1)
+    }
+  }
+
+  test("rollingDistinct: zero-active grid days and exact window edges") {
+    val df = Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 1L),
+      (java.sql.Date.valueOf("2024-01-01"), 1L), // duplicate activity
+      (java.sql.Date.valueOf("2024-01-20"), 1L)) // gap >> window
+      .toDF("d", "k")
+    val got = Aggs.rollingDistinct(df, $"d", $"k", windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got("2024-01-01") == 1L)
+    assert(got("2024-01-03") == 1L) // last day inside the 3-day window
+    assert(got("2024-01-04") == 0L) // window passed, key inactive
+    assert(got("2024-01-19") == 0L)
+    assert(got("2024-01-20") == 1L)
+    assert(got.size == 20) // full grid, min..max activity day
+  }
 }
