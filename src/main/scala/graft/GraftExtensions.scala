@@ -96,6 +96,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => FingerprintExpr(args(0)))
     g.registerFunction(classic, "jaccard_sim",
       args => JaccardExpr(args(0), args(1)))
+    g.registerFunction(classic, "intersect_count",
+      args => IntersectCountExpr(args(0), args(1)))
+    g.registerFunction(classic, "winnow_fps",
+      args => WinnowFpsExpr(args(0), lit(args(1)), lit(args(2))))
     g.registerFunction(classic, "nearest_centroids",
       args => NearestCentroidsExpr(args(0), centroidMatrix(args(1)), lit(args(2))))
     g.registerFunction(classic, "sparse_dot",
@@ -150,6 +154,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardExpr].getName, "jaccard_sim"),
       (args: Seq[Expression]) => JaccardExpr(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("intersect_count"),
+      new ExpressionInfo(classOf[IntersectCountExpr].getName, "intersect_count"),
+      (args: Seq[Expression]) => IntersectCountExpr(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFpsExpr].getName, "winnow_fps"),
+      (args: Seq[Expression]) => WinnowFpsExpr(args(0), lit(args(1)), lit(args(2)))))
     ext.injectFunction((
       new FunctionIdentifier("nearest_centroids"),
       new ExpressionInfo(classOf[NearestCentroidsExpr].getName, "nearest_centroids"),

@@ -53,6 +53,10 @@ object MinHashExprs {
   def intersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(IntersectCountExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Distinct winnowing-selected fingerprints of a string: array<long>. */
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFpsExpr(ExpressionUtils.expression(text), k, w))
 }
 
 case class MinHashSigExpr(child: Expression, numHashes: Int)
@@ -342,5 +346,88 @@ object IntersectCountExpr {
       i += 1
     }
     inter
+  }
+}
+
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken) in one
+  * compiled pass per document: md5 every k-gram (first 8 hex chars →
+  * long, the engine-portable hash [[graft.ops.Winnow]] standardizes
+  * on), slide a w-window over the hash sequence, keep each full
+  * window's minimum, and emit the DISTINCT selected set. The
+  * composable form explodes every character position into a corpus-wide
+  * (doc, pos, hash) table and runs a partitioned window over it — at
+  * 100 TB that's shuffling ~|text| rows per document just to throw
+  * away all but ~1/w of them. Here selection happens before anything
+  * reaches an exchange: only (doc, fingerprint-array) rows exist.
+  *
+  * Exact-parity contract with the SQL/oracle form: hash =
+  * first-8-hex-chars of md5 of the k-char substring; full windows only
+  * (positions 1..P−w+1), except 0 < P < w degenerates to the single
+  * global min. Character positions are UTF-16 code units, matching
+  * [[CharNgramsExpr]]'s precedent (identical to code points on the
+  * ASCII corpora these gates run on).
+  */
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow_fps needs string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFpsExpr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.WinnowFpsExpr.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+    copy(child = newChild)
+}
+
+object WinnowFpsExpr {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+              k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val nPos = str.length - k + 1
+    if (nPos <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = digest.get()
+    val hs = new Array[Long](nPos)
+    var p = 0
+    while (p < nPos) {
+      md.reset()
+      val d = md.digest(
+        str.substring(p, p + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 hex chars of the digest = first 4 bytes, big-endian,
+      // read unsigned — exactly conv(substring(md5(g),1,8),16,10)
+      hs(p) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      p += 1
+    }
+    // full windows only; 0 < nPos < w degenerates to one global window
+    val lastStart = math.max(nPos - w, 0)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    p = 0
+    while (p <= lastStart) {
+      var m = hs(p)
+      var j = p + 1
+      val end = math.min(p + w, nPos)
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      seen.add(m)
+      p += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
   }
 }

@@ -29,32 +29,27 @@ object Winnow {
     * (selected fingerprints that are also selected by ≥ 1 OTHER doc —
     * the copy-detection signal). Docs shorter than k chars: 0/0/0.
     */
+  /** The selection core shared by [[fingerprints]] and [[copyClusters]]:
+    * distinct (idCol, __fp) rows of winnowing-selected k-gram hashes.
+    */
+  private def selectedFps(df: DataFrame, textCol: String, idCol: String,
+                          k: Int, w: Int): DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    // Selection runs INSIDE the scan via the native expression — hash,
+    // window-minimize and dedupe in one compiled pass per doc — so only
+    // (doc, fingerprint) survivors ever reach an exchange. The
+    // composable form (explode every position → md5 → partitioned
+    // window min → filter to full windows) shuffles ~|text| rows per
+    // doc to discard all but ~1/w of them; WinnowSelectSpec pins the
+    // two formulations equal on random inputs.
+    df.select(col(idCol),
+      explode(graft.expressions.MinHashExprs
+        .winnowFps(col(textCol), k, w)).as("__fp"))
+  }
+
   def fingerprints(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 8, w: Int = 4): DataFrame = {
-    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
-    import org.apache.spark.sql.expressions.Window
-    val grams = df
-      .select(col(idCol),
-        explode(when(length(col(textCol)) >= k,
-          sequence(lit(1), length(col(textCol)) - k + 1))
-          .otherwise(array().cast("array<int>"))).as("__p"),
-        col(textCol))
-      .select(col(idCol), col("__p"),
-        // md5 → first 8 hex chars → BIGINT: portable across engines
-        conv(substring(md5(col(textCol).substr(col("__p"), lit(k))), 1, 8), 16, 10)
-          .cast("long").as("__h"))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("__p"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val nPos = Window.partitionBy(col(idCol))
-    val selected = grams
-      .withColumn("__wmin", min(col("__h")).over(win))
-      .withColumn("__npos", count(lit(1)).over(nPos))
-      // only full windows select (pos ≤ P − w + 1); short docs with
-      // 0 < P < w still select their single global min (standard
-      // degenerate-case handling: the whole doc is one window)
-      .where(col("__p") <= greatest(col("__npos") - w + 1, lit(1)))
-      .select(col(idCol), col("__wmin").as("__fp"))
-      .distinct()
+    val selected = selectedFps(df, textCol, idCol, k, w)
     val sharing = selected.groupBy(col("__fp"))
       .agg(countDistinct(col(idCol)).as("__ndocs"))
     val perDoc = selected.join(sharing, Seq("__fp"))
@@ -67,5 +62,60 @@ object Winnow {
       .select(col(idCol), col("n_grams"),
         coalesce(col("n_fp"), lit(0L)).as("n_fp"),
         coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
+  }
+
+  /** Copy-clusters from shared winnowing fingerprints — the grouping
+    * that makes a train/val split LEAKAGE-SAFE: two docs are linked
+    * when their selected-fingerprint overlap clears `minSharePpm` of
+    * the SMALLER side's fingerprint count (asymmetric, so a chunk
+    * pasted into a larger doc still links), and clusters are the
+    * connected components of that link graph. Splitting by a hash of
+    * the CLUSTER root then puts every copy-related doc on the same
+    * side — per-doc hashing (q53) cannot do that for near-copies, and
+    * splitting near-copies across train and eval is the classic
+    * contamination bug.
+    *
+    * Scale shape: fingerprints shuffle as (fp, id) longs; candidate
+    * pairs come from the postings self-join, whose fan-out is bounded
+    * by dropping "stop fingerprints" selected by more than
+    * `maxPostings` docs (a fingerprint every doc shares identifies
+    * boilerplate, not copying — same move as the prefix filter's
+    * rare-token ordering). The pair aggregation is a partial-agg
+    * count; the component collapse is [[Graph.connectedComponents]]
+    * (min-label + pointer doubling, O(log n) rounds). Nothing
+    * text-sized crosses any exchange after the first scan.
+    *
+    * Returns one row per input doc: (idCol, cluster_root) —
+    * singletons (including docs too short to fingerprint) root at
+    * themselves.
+    */
+  def copyClusters(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 8, w: Int = 4, minSharePpm: Long = 500000L,
+                   maxPostings: Long = 64L): DataFrame = {
+    require(minSharePpm >= 1, s"minSharePpm must be >= 1, got $minSharePpm")
+    require(maxPostings >= 2, s"maxPostings must be >= 2, got $maxPostings")
+    val sel = selectedFps(df, textCol, idCol, k, w)
+      .localCheckpoint(false) // feeds per-doc counts AND both pair sides
+    val nf = sel.groupBy(col(idCol)).agg(count(lit(1)).as("__nfp"))
+    val keep = sel.join(
+      sel.groupBy(col("__fp")).agg(count(lit(1)).as("__posting")),
+      Seq("__fp"))
+      .where(col("__posting") <= maxPostings)
+      .select(col("__fp"), col(idCol))
+      .localCheckpoint(false) // both sides of the pair self-join
+    val ov = keep.select(col("__fp"), col(idCol).as("__x"))
+      .join(keep.select(col("__fp"), col(idCol).as("__y")), Seq("__fp"))
+      .where(col("__x") < col("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__shared"))
+    val edges = ov
+      .join(nf.select(col(idCol).as("__x"), col("__nfp").as("__na")), Seq("__x"))
+      .join(nf.select(col(idCol).as("__y"), col("__nfp").as("__nb")), Seq("__y"))
+      .where(col("__shared") * lit(1000000L) >=
+        lit(minSharePpm) * least(col("__na"), col("__nb")))
+      .select(col("__x"), col("__y"))
+    val comp = Graph.connectedComponents(edges, "__x", "__y")
+    df.select(col(idCol))
+      .join(comp.select(col("node").as(idCol), col("comp")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_root"))
   }
 }

@@ -376,6 +376,67 @@ object QualityQueries {
             round(col("pc_0"), 6).as("pc_0"), round(col("pc_1"), 6).as("pc_1"),
             round(col("pc_2"), 6).as("pc_2"), round(col("pc_3"), 6).as("pc_3"))
       },
-      None)
+      None),
+
+    // ---- leakage-safe train/val split: connected components of the
+    //      shared-winnowing-fingerprint copy graph (≥ 50% of the
+    //      smaller side's fingerprints), split by md5 of the CLUSTER
+    //      root — near-copies land on one side, where per-doc hashing
+    //      (q53) would scatter them across train and eval ----
+    Q("q143_leakage_split",
+      (s, dir) => {
+        val cc = Winnow.copyClusters(
+          Tables.load(s, dir, "documents"), "text", "doc_id",
+          k = 8, w = 4, minSharePpm = 500000L, maxPostings = 64L)
+        val b = graft.ops.TextAnalysis.hashBucket(
+          col("cluster_root").cast("string"), "leak1")
+        cc.select(col("doc_id"), col("cluster_root"), b.as("bucket"),
+          when(b < 90, "train").otherwise("val").as("split"))
+      },
+      Some("""WITH RECURSIVE g AS (
+                SELECT doc_id, i.i AS p,
+                  CAST(CAST(('0x' || substr(md5(substr(text, CAST(i.i AS INTEGER), 8)), 1, 8))
+                    AS UBIGINT) AS BIGINT) AS h
+                FROM documents, LATERAL (
+                  SELECT unnest(generate_series(1, length(text) - 7)) AS i) i
+                WHERE length(text) >= 8),
+              wm AS (
+                SELECT doc_id, p,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                  count(*) OVER (PARTITION BY doc_id) AS npos
+                FROM g),
+              sel AS (SELECT DISTINCT doc_id, wmin AS fp
+                      FROM wm WHERE p <= greatest(npos - 3, 1)),
+              nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+                     FROM sel GROUP BY 1),
+              keep AS (SELECT fp, doc_id FROM sel
+                       QUALIFY count(*) OVER (PARTITION BY fp) <= 64),
+              ov AS (SELECT a.doc_id AS x, b.doc_id AS y,
+                            CAST(count(*) AS BIGINT) AS shared
+                     FROM keep a JOIN keep b USING (fp)
+                     WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+              e AS (SELECT x, y
+                    FROM ov JOIN nf na ON na.doc_id = ov.x
+                            JOIN nf nb ON nb.doc_id = ov.y
+                    WHERE shared * 1000000 >= 500000 * least(na.nfp, nb.nfp)),
+              eu AS (SELECT x AS a, y AS b FROM e UNION SELECT y, x FROM e),
+              reach(node, lbl) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM eu) t
+                UNION
+                SELECT eu.b, reach.lbl FROM reach JOIN eu ON reach.node = eu.a),
+              comp AS (SELECT node, min(lbl) AS root FROM reach GROUP BY 1),
+              lab AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(c.root, d.doc_id) AS BIGINT) AS cluster_root
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+              SELECT doc_id, cluster_root,
+                     CAST(CAST(('0x' || substr(md5(CAST(cluster_root AS VARCHAR)
+                            || 'leak1'), 1, 8)) AS UBIGINT) % 100 AS BIGINT)
+                       AS bucket,
+                     CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_root AS VARCHAR)
+                            || 'leak1'), 1, 8)) AS UBIGINT) % 100 < 90
+                          THEN 'train' ELSE 'val' END AS split
+              FROM lab"""))
   )
 }

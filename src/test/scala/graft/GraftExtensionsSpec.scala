@@ -41,6 +41,9 @@ class GraftExtensionsSpec extends SparkSpec {
         |  jaccard_sim(array('a','b','c'), array('b','c','d')) AS j_half,
         |  jaccard_sim(array('a','a','b'), array('a','b'))     AS j_dupes,
         |  jaccard_sim(array('a'), array('b'))                 AS j_none,
+        |  intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
+        |  intersect_count(array('a','a','b'), array('a','b','a')) AS ic_dupes,
+        |  intersect_count(array('a'), cast(array() AS ARRAY<STRING>)) AS ic_zero,
         |  nearest_centroids(array(1.0d, 0.1d),
         |    array(array(1.0d, 0.0d), array(0.0d, 1.0d)), 1)   AS cell,
         |  nearest_centroids(array(0.1d, 1.0d),
@@ -49,8 +52,11 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 0.5)  // |{b,c}| / |{a,b,c,d}|
     assert(r.getDouble(1) == 1.0)  // set semantics: duplicates collapse
     assert(r.getDouble(2) == 0.0)
-    assert(r.getSeq[Int](3) == Seq(0))
-    assert(r.getSeq[Int](4) == Seq(1, 0)) // nearest first
+    assert(r.getLong(3) == 2L)     // |{b,c}|
+    assert(r.getLong(4) == 2L)     // duplicates collapse on both sides
+    assert(r.getLong(5) == 0L)
+    assert(r.getSeq[Int](6) == Seq(0))
+    assert(r.getSeq[Int](7) == Seq(1, 0)) // nearest first
   }
 
   test("hashed_bow through the SQL surface") {

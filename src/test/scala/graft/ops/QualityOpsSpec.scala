@@ -250,4 +250,34 @@ class QualityOpsSpec extends SparkSpec {
     assert(got(("b", "a")) == ((2L, 1555555L)))
     assert(got.size == 2) // bc, ca fall under minCount
   }
+
+  test("copyClusters: copy chain collapses to one root, strangers stay singletons") {
+    val core = "zqxjkvbwpfmghydclrtnzqxjkvbwpfaaabbbcccdddeee"
+    val df = Seq(
+      (10L, s"original $core tail one"),
+      (11L, s"original $core tail two"),        // near-copy of 10
+      (12L, s"prefix pasted $core"),            // shares the core chunk
+      (20L, "completely unrelated text with its own words here"),
+      (21L, "short")                            // too short to fingerprint
+    ).toDF("doc_id", "text")
+    val r = Winnow.copyClusters(df, "text", "doc_id",
+        k = 8, w = 4, minSharePpm = 300000L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(10L) == 10L && r(11L) == 10L && r(12L) == 10L,
+      s"copy chain must share root 10: $r")
+    assert(r(20L) == 20L && r(21L) == 21L)
+  }
+
+  test("copyClusters: stop-fingerprint cap prunes boilerplate-only links") {
+    // every doc shares ONE boilerplate sentence; with the cap below the
+    // corpus size those fingerprints are dropped and nothing links
+    val boiler = "standard footer text appears everywhere verbatim"
+    val df = (1L to 6L).map(i => (i, s"doc $i unique-$i-content $boiler"))
+      .toDF("doc_id", "text")
+    val r = Winnow.copyClusters(df, "text", "doc_id",
+        k = 8, w = 4, minSharePpm = 100000L, maxPostings = 3L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.forall { case (id, root) => id == root },
+      s"boilerplate must not link docs under the postings cap: $r")
+  }
 }
