@@ -641,4 +641,43 @@ object Dedup {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("bucket"), col("n_pairs"), col("n_pairs_at_or_above"))
   }
+
+  /** Blocked edit-distance entity resolution — the STRING-metric member
+    * of the dedup family (everything else here is set-based: shingles,
+    * MinHash, SimHash). Classic record-linkage shape: a cheap BLOCKING
+    * key bounds the candidate pairs (only rows sharing a block ever
+    * meet), then the expensive metric — Levenshtein — verifies inside
+    * each block. Recall is exactly "matches that share a block": the
+    * caller picks block columns the way an ER pipeline picks blocking
+    * predicates (sorted-neighborhood, phonetic keys, attribute equality
+    * — all expressible as `blockCols` expressions).
+    *
+    * Scale shape: one shuffle on the block key; pair fan-out is
+    * Σ n_b·(n_b−1)/2 over block sizes — the blocking key's quality IS
+    * the cost model, and a hot block is visible in the exchange's key
+    * histogram before it burns CPU. The verify uses Spark's
+    * threshold-banded Levenshtein (O(len·maxDist) per pair, early-exit
+    * −1 above the bound), not the full O(len²) matrix.
+    *
+    * Returns (id_a < id_b, dist ≤ maxDist) pairs.
+    */
+  def fuzzyMatchPairs(df: DataFrame, textCol: String, idCol: String,
+                      blockCols: Seq[Column], maxDist: Int): DataFrame = {
+    require(blockCols.nonEmpty, "fuzzyMatchPairs needs >= 1 blocking column")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val bcols = blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
+    val bnames = blockCols.indices.map(i => s"__b$i")
+    val n = df.select((col(idCol) +: col(textCol).as("__t") +: bcols): _*)
+    val a = n.select(
+      (col(idCol).as("id_a") +: col("__t").as("__ta") +: bnames.map(col)): _*)
+    val b = n.select(
+      (col(idCol).as("id_b") +: col("__t").as("__tb") +: bnames.map(col)): _*)
+    a.join(b, bnames)
+      .where(col("id_a") < col("id_b"))
+      // banded form: -1 above the threshold, so the filter keeps only
+      // real distances and never pays the unbanded matrix
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long").as("dist"))
+      .where(col("dist") >= 0)
+  }
 }

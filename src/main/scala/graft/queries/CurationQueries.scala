@@ -250,6 +250,25 @@ object CurationQueries {
           .select(col("doc_id"), round(col("score"), 4).as("score"),
             (col("score") >= 0.5).as("pred_en"))
       },
-      None)
+      None),
+
+    // ---- blocked edit-distance entity resolution: the string-metric
+    //      dedup member (everything else is set-based). Blocking on
+    //      (brand, first name word) bounds the pair fan-out; Spark's
+    //      threshold-banded levenshtein verifies inside blocks ----
+    Q("q144_fuzzy_match",
+      (s, dir) => Dedup.fuzzyMatchPairs(
+        Tables.load(s, dir, "part"), "p_name", "p_partkey",
+        Seq(col("p_brand"), substring_index(col("p_name"), " ", 1)),
+        maxDist = 3),
+      Some("""WITH p AS (
+                SELECT p_partkey AS id, p_name AS name, p_brand AS b,
+                       split_part(p_name, ' ', 1) AS w1
+                FROM part)
+              SELECT a.id AS id_a, b2.id AS id_b,
+                     CAST(levenshtein(a.name, b2.name) AS BIGINT) AS dist
+              FROM p a JOIN p b2
+                ON a.b = b2.b AND a.w1 = b2.w1 AND a.id < b2.id
+              WHERE levenshtein(a.name, b2.name) <= 3"""))
   )
 }

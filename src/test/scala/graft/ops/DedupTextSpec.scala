@@ -327,4 +327,31 @@ class DedupTextSpec extends SparkSpec {
     val bottom = got.keys.min
     assert(got(bottom)._2 == 3L) // lowest bucket accumulates every pair
   }
+
+  test("fuzzyMatchPairs equals the quadratic blocked definition; banded dist exact") {
+    val rnd = new scala.util.Random(31)
+    val words = Vector("anvil", "bolt", "crank", "amber", "azure")
+    val docs = (1L to 80L).map { i =>
+      val name = (0 until 3).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      (i, name, s"B${rnd.nextInt(3)}")
+    }.toDF("id", "name", "blk")
+    val got = Dedup.fuzzyMatchPairs(docs, "name", "id", Seq($"blk"), maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // driver-side quadratic reference with classic DP levenshtein
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows2 = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = (for {
+      (ia, na, ba) <- rows2; (ib, nb, bb) <- rows2
+      if ia < ib && ba == bb && lev(na, nb) <= 4
+    } yield (ia, ib) -> lev(na, nb).toLong).toMap
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must produce matches")
+  }
 }
