@@ -72,6 +72,53 @@ final class Warehouse(spark: SparkSession, root: String) {
     */
   def readBucketed(table: String): DataFrame = spark.table(table)
 
+  /** JDBC sink — the reference's actual warehouse is SQL Server reached
+    * over DBI/odbc (`R/_db_connect.R:16-36`, `dbWriteTable`/`dbAppendTable`
+    * in `R/_pull_data.R`); this is that leg on Spark's JDBC source.
+    * Executors write their partitions concurrently over independent
+    * connections — the driver never funnels rows. `batchSize` maps to
+    * JDBC addBatch chunking (the knob that matters against a real
+    * RDBMS); `numPartitions` caps concurrent connections so a 1000-task
+    * stage doesn't open 1000 sessions against one database.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: String = "overwrite", batchSize: Int = 10000,
+                numPartitions: Int = 8): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .option("numPartitions", numPartitions)
+      .option("truncate", true) // overwrite keeps the DDL, empties rows
+      .mode(mode)
+      .save()
+
+  /** JDBC source, single-partition — fine for dimension-sized tables
+    * (the reference reads its config dims back the same way).
+    */
+  def readJdbc(url: String, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+
+  /** JDBC source, range-partitioned — the 100 TB shape for a big
+    * RDBMS-resident fact table: `numPartitions` executors each issue
+    * `WHERE partCol BETWEEN …` slices concurrently, so ingest
+    * parallelism is bounded by the database, not by one cursor. Spark
+    * pushes filters into the remote WHERE clause (JDBC V1 pushdown),
+    * so a date-ranged read never ships the whole table.
+    */
+  def readJdbcPartitioned(url: String, table: String, partCol: String,
+                          lower: Long, upper: Long,
+                          numPartitions: Int): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partCol)
+      .option("lowerBound", lower)
+      .option("upperBound", upper)
+      .option("numPartitions", numPartitions)
+      .load()
+
   /** Right-to-be-forgotten: delete every row of `table` whose `keyCol`
     * appears in `keys`, returning the number of rows removed. The
     * delete is a broadcast anti-join rewrite — at warehouse scale pair
