@@ -119,22 +119,41 @@ final class Warehouse(spark: SparkSession, root: String) {
       .option("numPartitions", numPartitions)
       .load()
 
+  private def hadoopFs(p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
   /** Right-to-be-forgotten: delete every row of `table` whose `keyCol`
     * appears in `keys`, returning the number of rows removed. The
     * delete is a broadcast anti-join rewrite — at warehouse scale pair
     * this with date partitioning so only partitions actually holding
     * the keys rewrite; here the single-dir test shape rewrites the
-    * table. The rewrite materializes (localCheckpoint) before
-    * overwriting its own input path — the same read-then-overwrite
-    * hazard mergeAggStream handles.
+    * table. Crash-safety: the kept rows are FULLY written to a staging
+    * path first, then swapped in with two renames — a failure during
+    * the rewrite leaves the original table intact, and only the narrow
+    * rename-rename window (not the whole job) can strand the table
+    * under the `.old` name (recoverable by hand, never truncated).
     */
   def forget(table: String, keyCol: String, keys: DataFrame): Int = {
     val current = read(table)
     val k = keys.select(col(keyCol)).distinct()
     val kept = current.join(broadcast(k), Seq(keyCol), "left_anti")
-      .localCheckpoint(true)
-    val removed = (current.count() - kept.count()).toInt
-    kept.write.mode("overwrite").parquet(path(table))
+    val staging = path(table) + ".forget_staging"
+    kept.write.mode("overwrite").parquet(staging)
+    val removed =
+      (current.count() - spark.read.parquet(staging).count()).toInt
+    val (fs, live) = hadoopFs(path(table))
+    val stagingP = new org.apache.hadoop.fs.Path(staging)
+    val oldP = new org.apache.hadoop.fs.Path(path(table) + ".forget_old")
+    fs.delete(oldP, true)
+    if (!fs.rename(live, oldP))
+      throw new java.io.IOException(s"forget: cannot stage out $live")
+    if (!fs.rename(stagingP, live)) {
+      fs.rename(oldP, live) // restore
+      throw new java.io.IOException(s"forget: cannot swap in $stagingP")
+    }
+    fs.delete(oldP, true)
     removed
   }
 
@@ -142,28 +161,26 @@ final class Warehouse(spark: SparkSession, root: String) {
     * a date-partitioned table (written via [[overwriteDatePartitions]]).
     * Deletes partition DIRECTORIES — no data rewrite, no scan; the
     * operation 100 TB retention jobs must be (a rewrite-based expiry
-    * would read the whole table to delete a day). Returns the dropped
+    * would read the whole table to delete a day). Unparsable partition
+    * values (e.g. `__HIVE_DEFAULT_PARTITION__` from NULL dates) are
+    * skipped, never fatal. Hadoop FileSystem API, so any warehouse
+    * filesystem works, not just local disk. Returns the dropped
     * partition names.
     */
   def expirePartitions(table: String, dateCol: String,
                        keepFrom: java.sql.Date): Seq[String] = {
-    val dir = new java.io.File(path(table))
-    if (!dir.exists()) return Seq.empty
+    val (fs, dir) = hadoopFs(path(table))
+    if (!fs.exists(dir)) return Seq.empty
     val prefix = s"$dateCol="
-    val dropped = dir.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-      .filter { f =>
+    val dropped = fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .filter { st =>
         val v = java.net.URLDecoder.decode(
-          f.getName.stripPrefix(prefix), "UTF-8")
-        java.sql.Date.valueOf(v).before(keepFrom)
+          st.getPath.getName.stripPrefix(prefix), "UTF-8")
+        scala.util.Try(java.sql.Date.valueOf(v))
+          .toOption.exists(_.before(keepFrom))
       }
-    dropped.foreach { f =>
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory) x.listFiles().foreach(rm)
-        x.delete(): Unit
-      }
-      rm(f)
-    }
-    dropped.map(_.getName)
+    dropped.foreach(st => fs.delete(st.getPath, true))
+    dropped.map(_.getPath.getName)
   }
 }

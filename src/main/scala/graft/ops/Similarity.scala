@@ -72,11 +72,10 @@ object Similarity {
 
   /** k-NN label assignment (semi-supervised label bootstrapping): each
     * query vector takes the MAJORITY label of its k nearest labeled
-    * neighbors by cosine (ties: smaller label wins; neighbor-rank ties:
-    * smaller id). The label-spreading step data pipelines run to grow a
-    * seed label set before training a classifier. Exact form — swap the
-    * corpus side to LSH/IVF/PQ candidates at scale, as with
-    * [[bruteForceTopK]].
+    * neighbors by cosine (vote ties: smaller label wins). The
+    * label-spreading step data pipelines run to grow a seed label set
+    * before training a classifier. Exact form — swap the corpus side
+    * to LSH/IVF/PQ candidates at scale, as with [[bruteForceTopK]].
     */
   def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, labelCol: String, k: Int): DataFrame = {
@@ -85,7 +84,7 @@ object Similarity {
       .join(labeled.select(col(idCol).as("neighbor_id"),
         col(labelCol).as("__nl")), Seq("neighbor_id"))
     topk.groupBy(col("query_id"), col("__nl"))
-      .agg(count(lit(1)).as("votes"), min(col("rank")).as("__best"))
+      .agg(count(lit(1)).as("votes"))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("votes").desc, col("__nl").asc)))

@@ -9,13 +9,20 @@ import org.apache.spark.sql.types._
 
 /** Catalyst optimizer rule: rewrite point-in-interval joins
   * (`l.t BETWEEN r.lo AND r.hi`, in any conjunct arrangement) into
-  * banded equi-joins — the general range-join fix, opt-in via
+  * banded equi-joins — the general range-join fix.
   *
-  *   spark.conf.set("spark.graft.rangeJoin.binSize", <n>)
-  *
-  * (units: seconds for timestamp operands, value units for integral
-  * ones; pick ≈ the typical interval length — fan-out per interval row
-  * is (hi−lo)/binSize + 2).
+  * Bin size selection, in priority order:
+  *  1. the session conf, when set:
+  *     `spark.conf.set("spark.graft.rangeJoin.binSize", <n>)`
+  *     (units: seconds for timestamp operands, value units for
+  *     integral ones; pick ≈ the typical interval length — fan-out per
+  *     interval row is (hi−lo)/binSize + 2);
+  *  2. AUTO: when the upper bound is manifestly `lo + <literal>`
+  *     (e.g. `cts <= ets + INTERVAL 1 HOUR`), the literal IS the
+  *     interval length, so it is also the optimal bin size (≤ 2 bins
+  *     per interval row) — the rule fires with no configuration.
+  *     Intervals bounded by two independent columns have no manifest
+  *     width and stay dormant without the conf.
   *
   * A join whose only condition is a range containment has no equi key
   * and plans BroadcastNestedLoopJoin. But containment is banding: the
@@ -28,8 +35,7 @@ import org.apache.spark.sql.types._
   * floor-seconds via Cast to long); empty intervals (lo > hi) explode
   * to zero bins. The rule bails on existing equi conjuncts (already
   * hash-planned; also the fixpoint guard), non-inner joins, and
-  * non-deterministic operands, and stays dormant unless the bin size
-  * is configured.
+  * non-deterministic operands.
   */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -66,6 +72,35 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => Seq.empty
     }
 
+  /** Manifest interval width in band units (seconds for timestamps,
+    * value units for integrals), recovered from `hi = lo + <literal>`
+    * or `lo = hi − <literal>`. Sub-unit widths (e.g. a 500 ms
+    * interval) floor to 0 and are reported as None (stay dormant).
+    */
+  private def widthOf(lo: Expression, hi: Expression): Option[Long] = {
+    def units(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _: DayTimeIntervalType) => Some(v / 1000000L)
+      case Literal(v: Long, _) => Some(v)
+      case Literal(ci: org.apache.spark.unsafe.types.CalendarInterval,
+                   CalendarIntervalType) if ci.months == 0 =>
+        Some(ci.days * 86400L + ci.microseconds / 1000000L)
+      case _ => None
+    }
+    val w = hi match {
+      case Add(x, c, _) if x.semanticEquals(lo) => units(c)
+      case Add(c, x, _) if x.semanticEquals(lo) => units(c)
+      case TimestampAddInterval(x, c, _) if x.semanticEquals(lo) => units(c)
+      case _ => lo match {
+        case Subtract(x, c, _) if x.semanticEquals(hi) => units(c)
+        case _ => None
+      }
+    }
+    w.filter(_ > 0)
+  }
+
   private def sameSide(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet)
 
@@ -82,10 +117,9 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val binSize =
+    val confBin =
       try SQLConf.get.getConfString(BinSizeKey, "0").toLong
       catch { case _: NumberFormatException => 0L }
-    if (binSize <= 0) return plan
 
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
@@ -106,7 +140,11 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
         pair match {
           case None => j
+          case Some((t, lo, hi))
+            if confBin <= 0 && widthOf(lo, hi).isEmpty => j
           case Some((t, lo, hi)) =>
+            val binSize =
+              if (confBin > 0) confBin else widthOf(lo, hi).get
             val pointOnLeft = sameSide(t, left)
             val (pointPlan, intervalPlan) =
               if (pointOnLeft) (left, right) else (right, left)

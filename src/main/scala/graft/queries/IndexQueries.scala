@@ -467,14 +467,14 @@ object IndexQueries {
 
     // ---- temporal proximity join written NAIVELY (clicks within one
     //      hour AFTER any error — no equi key, the BNLJ shape),
-    //      rewritten by RangeJoinRule into a banded equi-join: the
-    //      point side bins on floor-seconds, the interval side
-    //      explodes its covered bins, the exact predicate stays as
-    //      residual. binSize 3600 = the window length → ≤ 2 bins per
-    //      interval row. ----
+    //      rewritten by RangeJoinRule into a banded equi-join with NO
+    //      configuration: the `+ INTERVAL 1 HOUR` literal manifests
+    //      the interval width, so the rule self-selects binSize 3600
+    //      (≤ 2 bins per interval row); the point side bins on
+    //      floor-seconds, the interval side explodes its covered bins,
+    //      the exact predicate stays as residual. ----
     Q("q141_range_join_auto",
       (s, dir) => {
-        s.conf.set(graft.plans.RangeJoinRule.BinSizeKey, "3600")
         val e = Tables.load(s, dir, "events")
         val errors = e.where(col("event_type") === "error")
           .select(col("event_id").as("err_id"), col("ts").as("ets"))

@@ -77,7 +77,35 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
-  test("dormant without the conf; equi-keyed joins untouched") {
+  test("auto mode: literal-width interval rewrites with no conf set") {
+    // same proximity join as above but NO binSize conf — the
+    // `+ INTERVAL 1 HOUR` literal manifests the width, so the rule
+    // self-selects binSize 3600
+    val errors = Seq((1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 13:30:00"))).toDF("err_id", "ets")
+    val clicks = Seq(
+      (101L, ts("2024-01-01 10:20:00")),
+      (102L, ts("2024-01-01 10:59:59")),
+      (103L, ts("2024-01-01 12:00:00")),
+      (104L, ts("2024-01-01 14:00:00"))).toDF("click_id", "cts")
+    val j = clicks.join(errors,
+      $"cts" >= $"ets" && $"cts" <= $"ets" + expr("INTERVAL 1 HOUR"))
+    assert(!plan(j).contains("BroadcastNestedLoopJoin"), plan(j))
+    assert(plan(j).contains("Generate explode"), plan(j))
+    assert(j.select($"click_id", $"err_id").as[(Long, Long)].collect().toSet
+      == Set((101L, 1L), (102L, 1L), (104L, 2L)))
+    // integral flavor: the width literal sits in the condition itself
+    // (a width computed in a Project below the join hides behind an
+    // attribute and correctly stays dormant — manifest means manifest)
+    val a = points.join(intervals, $"v" >= $"lo" && $"v" <= $"lo" + 5L)
+    assert(!plan(a).contains("BroadcastNestedLoopJoin"), plan(a))
+    assert(a.select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      == Set((1L, 10L), (2L, 11L), (2L, 13L))) // v in [lo, lo+5]
+  }
+
+  test("dormant without conf when width is not manifest; equi-keyed joins untouched") {
+    // lo and hi are independent columns — no manifest width, no conf:
+    // the rule must leave the BNLJ alone
     val j = points.join(intervals, $"v" >= $"lo" && $"v" <= $"hi")
     assert(plan(j).contains("BroadcastNestedLoopJoin"))
     assert(j.select($"pid", $"iid").as[(Long, Long)].collect().toSet
