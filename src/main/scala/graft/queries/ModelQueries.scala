@@ -30,7 +30,10 @@ object ModelQueries {
       None),
 
     // ---- §3.3 compare: actual vs predicted with VOLUME_DIFF (J11/P15)
-    //      over an in-sample week (rows-only: prediction is iterative) ----
+    //      over an in-sample week. Predictions come from the
+    //      deterministic seasonal-naive baseline (hour-of-week train
+    //      mean), so the compare join + diff is fully hash-oracled; the
+    //      GAM predictor itself stays under q50/q51 ----
     Q("q52_volume_diff",
       (s, dir) => {
         val hourly = Tables.load(s, dir, "events")
@@ -38,12 +41,46 @@ object ModelQueries {
             date_trunc("hour", col("ts")).as("START_DATETIME"))
           .agg(count(lit(1)).cast("long").as("VOLUME_SUM_IMPUTE"))
           .withColumn("CORRIDOR_ROUTE", lit("events"))
-        val preds = graft.traffic.Compare.predictions(hourly, hourly = true,
-          "2024-01-24 00:00:00", "2024-01-30 23:00:00",
-          graft.model.Gam.Config(hourly = true, negBin = true))
+        val preds = graft.traffic.Compare.seasonalNaive(hourly,
+          "2024-01-24 00:00:00", "2024-01-30 23:00:00")
         graft.traffic.Compare.volumeDiff(hourly, preds)
       },
-      None),
+      Some("""WITH a AS (
+                SELECT event_type AS NODE_NAME,
+                       date_trunc('hour', ts) AS START_DATETIME,
+                       CAST(count(*) AS BIGINT) AS VOLUME_SUM_IMPUTE
+                FROM events GROUP BY 1, 2),
+              train AS (
+                SELECT * FROM a
+                WHERE START_DATETIME < TIMESTAMP '2024-01-24 00:00:00'),
+              prof AS (
+                SELECT NODE_NAME,
+                       dayofweek(START_DATETIME) * 24
+                         + hour(START_DATETIME) AS how,
+                       CAST(sum(VOLUME_SUM_IMPUTE) // count(*) AS BIGINT)
+                         AS pred
+                FROM train GROUP BY 1, 2),
+              grid AS (
+                SELECT n.NODE_NAME, g.t AS PREDICT_TIME
+                FROM (SELECT DISTINCT NODE_NAME FROM train) n
+                CROSS JOIN (
+                  SELECT unnest(generate_series(
+                    TIMESTAMP '2024-01-24 00:00:00',
+                    TIMESTAMP '2024-01-30 23:00:00',
+                    INTERVAL 1 HOUR)) AS t) g),
+              p AS (
+                SELECT grid.NODE_NAME, grid.PREDICT_TIME, prof.pred
+                FROM grid JOIN prof
+                  ON grid.NODE_NAME = prof.NODE_NAME
+                 AND dayofweek(grid.PREDICT_TIME) * 24
+                       + hour(grid.PREDICT_TIME) = prof.how)
+              SELECT a.NODE_NAME, a.START_DATETIME, a.VOLUME_SUM_IMPUTE,
+                     p.pred AS VOLUMN_PREDICTION,
+                     'events' AS CORRIDOR_ROUTE,
+                     a.VOLUME_SUM_IMPUTE - p.pred AS VOLUME_DIFF
+              FROM a JOIN p
+                ON a.NODE_NAME = p.NODE_NAME
+               AND a.START_DATETIME = p.PREDICT_TIME""")),
 
     // ---- M3/M4: daily model per event_type ----
     Q("q51_gam_daily",

@@ -23,6 +23,38 @@ object Compare {
         col("CORRIDOR_ROUTE"),
         (col("VOLUME_SUM_IMPUTE") - col("VOLUMN_PREDICTION")).as("VOLUME_DIFF"))
 
+  /** Deterministic counterfactual baseline in the RTMC_PREDICT_HOUR
+    * contract: predict each (node, grid hour) as the hour-of-week mean
+    * (integer floor) of the node's actuals BEFORE `gridStart` — the
+    * seasonal-naive forecast every counterfactual model is benchmarked
+    * against. Unlike the iterative GAM ([[predictions]]) this is pure
+    * relational algebra, so [[volumeDiff]] fed from it is exactly
+    * reproducible in any SQL engine — it exists to put the §3.3
+    * compare join itself under the hash oracle, decoupled from
+    * model-fit nondeterminism. Scale shape: profile and grid are
+    * node×168-bounded (dimension-sized); the only fact-scale pass is
+    * the train aggregation, which shuffles once on (node, hour-of-week).
+    */
+  def seasonalNaive(actual: DataFrame, gridStart: String,
+                    gridEnd: String): DataFrame = {
+    val how = (c: org.apache.spark.sql.Column) =>
+      dayofweek(c) * 24 + hour(c)
+    val train = actual
+      .where(col("START_DATETIME") < to_timestamp(lit(gridStart)))
+    val prof = train
+      .groupBy(col("NODE_NAME"), how(col("START_DATETIME")).as("__how"))
+      .agg(expr("sum(VOLUME_SUM_IMPUTE) div count(*)")
+        .as("VOLUMN_PREDICTION"))
+    val grid = graft.ops.TimeOps.tsGrid(actual.sparkSession,
+      gridStart, gridEnd, "1 hour", "PREDICT_TIME")
+    train.select(col("NODE_NAME"), col("CORRIDOR_ROUTE")).distinct()
+      .crossJoin(broadcast(grid))
+      .withColumn("__how", how(col("PREDICT_TIME")))
+      .join(prof, Seq("NODE_NAME", "__how"))
+      .select(col("NODE_NAME"), col("PREDICT_TIME"),
+        col("VOLUMN_PREDICTION"), col("CORRIDOR_ROUTE"))
+  }
+
   /** Modeling wrapper: QAQC'd node aggregate → GAM → predictions in the
     * RTMC_PREDICT_{HOUR,DAY} contract (VOLUMN_PREDICTION spelling per
     * R/_analyze_data.R:247).
