@@ -71,4 +71,50 @@ class AggsSpec extends SparkSpec {
     assert(math.abs(approx - exact) <= 1.0 + exact * 0.01,
       s"exact=$exact approx=$approx")
   }
+
+  // The two rows-only sketch queries, pinned against their exact twins
+  // on the driver's correctness-scale fixture: q58's sketch values must
+  // sit inside exact percentile brackets at ±0.001 rank (documented
+  // rank error for accuracy=10000 is 1e-4 — 10× slack), and q74's HLL
+  // counts within 5× the requested 2% relative standard deviation.
+  // Both sketches are deterministic for fixed input, so these are hard
+  // gates, not flaky statistical ones.
+
+  test("q58 approx percentiles sit inside exact rank brackets (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = graft.queries.Registry
+      .queries("q58_approx_quantiles")(spark, dir)
+    val brackets = graft.core.Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, array(0.249, 0.251, 0.499, 0.501, " +
+        "0.989, 0.991))").as("br"))
+    val joined = approx.join(brackets, Seq("event_type")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val br = r.getSeq[Double](r.fieldIndex("br"))
+      def in(v: Double, lo: Double, hi: Double, tag: String): Unit =
+        assert(v >= lo - 1e-6 && v <= hi + 1e-6,
+          s"${r.getString(0)} $tag=$v outside [$lo, $hi]")
+      in(r.getDouble(r.fieldIndex("p25")), br(0), br(1), "p25")
+      in(r.getDouble(r.fieldIndex("p50")), br(2), br(3), "p50")
+      in(r.getDouble(r.fieldIndex("p99")), br(4), br(5), "p99")
+    }
+  }
+
+  test("q74 HLL distinct counts within 5x rsd of exact q73 (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.queries.Registry
+      .queries("q73_distinct_exact")(spark, dir)
+      .select($"event_type", $"n_users".as("exact"))
+    val approx = graft.queries.Registry
+      .queries("q74_approx_distinct")(spark, dir)
+      .select($"event_type", $"n_users_approx".as("approx"))
+    val joined = exact.join(approx, Seq("event_type")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (ex, ap) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(ap - ex) <= math.max(1.0, 0.10 * ex),
+        s"${r.getString(0)}: exact=$ex approx=$ap exceeds 10% bound")
+    }
+  }
 }
