@@ -659,15 +659,32 @@ object Dedup {
     * threshold-banded Levenshtein (O(len·maxDist) per pair, early-exit
     * −1 above the bound), not the full O(len²) matrix.
     *
+    * `maxBlockSize` is the safety valve for a degenerate blocking key
+    * (the empty-phonetic-code block, the NULL-attribute block): blocks
+    * with more than `maxBlockSize` rows are dropped whole before the
+    * self-join — same drop-and-report move as [[Winnow.copyClusters]]'s
+    * stop-fingerprint cap — so one hot block can't turn the job
+    * quadratic. Dropped blocks are enumerable via
+    * [[fuzzyMatchDroppedBlocks]] with the same arguments.
+    *
     * Returns (id_a < id_b, dist ≤ maxDist) pairs.
     */
   def fuzzyMatchPairs(df: DataFrame, textCol: String, idCol: String,
-                      blockCols: Seq[Column], maxDist: Int): DataFrame = {
+                      blockCols: Seq[Column], maxDist: Int,
+                      maxBlockSize: Long = Long.MaxValue): DataFrame = {
     require(blockCols.nonEmpty, "fuzzyMatchPairs needs >= 1 blocking column")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxBlockSize >= 2, s"maxBlockSize must be >= 2, got $maxBlockSize")
     val bcols = blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
     val bnames = blockCols.indices.map(i => s"__b$i")
-    val n = df.select((col(idCol) +: col(textCol).as("__t") +: bcols): _*)
+    val n0 = df.select((col(idCol) +: col(textCol).as("__t") +: bcols): _*)
+    // the cap join is block-keyed like everything downstream, so it
+    // adds an agg but no new partitioning; skipped entirely when uncapped
+    val n = if (maxBlockSize == Long.MaxValue) n0 else n0.join(
+      n0.groupBy(bnames.map(col): _*).agg(count(lit(1)).as("__bn"))
+        .where(col("__bn") <= maxBlockSize)
+        .drop("__bn"),
+      bnames)
     val a = n.select(
       (col(idCol).as("id_a") +: col("__t").as("__ta") +: bnames.map(col)): _*)
     val b = n.select(
@@ -679,5 +696,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("__ta"), col("__tb"), maxDist).cast("long").as("dist"))
       .where(col("dist") >= 0)
+  }
+
+  /** The audit leg of [[fuzzyMatchPairs]]'s block cap: the blocking-key
+    * values (original caller expressions, named `block_0..block_k`) whose
+    * blocks exceeded `maxBlockSize` and were therefore dropped whole,
+    * with their row counts. A non-empty result is the signal to fix the
+    * blocking predicate, not to raise the cap.
+    */
+  def fuzzyMatchDroppedBlocks(df: DataFrame, blockCols: Seq[Column],
+                              maxBlockSize: Long): DataFrame = {
+    require(blockCols.nonEmpty, "fuzzyMatchDroppedBlocks needs >= 1 blocking column")
+    val bcols = blockCols.zipWithIndex.map { case (c, i) => c.as(s"block_$i") }
+    df.select(bcols: _*)
+      .groupBy(blockCols.indices.map(i => col(s"block_$i")): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") > maxBlockSize)
   }
 }

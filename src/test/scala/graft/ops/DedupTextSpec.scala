@@ -354,4 +354,26 @@ class DedupTextSpec extends SparkSpec {
     assert(got == want)
     assert(want.nonEmpty, "fixture must produce matches")
   }
+
+  test("fuzzyMatchPairs maxBlockSize drops a degenerate block whole and reports it") {
+    // block "HOT" is degenerate (40 rows of near-identical names — the
+    // NULL-attribute block of a real ER run); "A" and "B" are healthy
+    val hot = (1L to 40L).map(i => (i, s"widget $i", "HOT"))
+    val ok = Seq((100L, "anvil works", "A"), (101L, "anvil worry", "A"),
+      (200L, "bolt cutter", "B"), (201L, "bolt gutter", "B"))
+    val docs = (hot ++ ok).toDF("id", "name", "blk")
+    val capped = Dedup.fuzzyMatchPairs(docs, "name", "id", Seq($"blk"),
+      maxDist = 4, maxBlockSize = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every surviving pair comes from the healthy blocks; nothing from HOT
+    assert(capped == Set((100L, 101L), (200L, 201L)))
+    // the audit leg names the dropped block with its size
+    val dropped = Dedup.fuzzyMatchDroppedBlocks(docs, Seq($"blk"), 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dropped == Map("HOT" -> 40L))
+    // uncapped default is unchanged: HOT pairs come back
+    val full = Dedup.fuzzyMatchPairs(docs, "name", "id", Seq($"blk"), maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(full) && full.exists(p => p._1 <= 40L))
+  }
 }
