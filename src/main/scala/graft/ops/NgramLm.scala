@@ -87,11 +87,27 @@ object NgramLm {
     * is recomputable relationally — the q95 oracle replays the whole
     * training loop in SQL and must agree on every merge.
     *
+    * `batch` bounds the driver-loop cost at real vocab sizes (10k+
+    * merges would otherwise be 10k Spark jobs): each outer round counts
+    * pairs ONCE, then greedily selects up to `batch` candidates in
+    * (cnt desc, pair asc) order whose member tokens are disjoint from
+    * every earlier selection's members AND its glued output — exactly
+    * the condition under which applying the earlier merges cannot
+    * create or destroy occurrences of the later pair, so each recorded
+    * `cnt` is still the true count at its own application time. Total
+    * merges stay `rounds`; jobs drop to ~rounds/batch. `batch = 1` is
+    * bit-identical to the classic loop (the q95 oracle contract).
+    * Batched selection is NOT always the same LIST as sequential greedy
+    * (a merge can create a brand-new pair that outranks the next
+    * candidate) — it is the standard frequency-snapshot approximation,
+    * and every merge in it is valid with an exact count.
+    *
     * Returns the merge list and the final (word-frequency, tokens)
     * frame.
     */
   def bpeTrain(df: DataFrame, textCol: String,
-               rounds: Int): (Seq[BpeMerge], DataFrame) = {
+               rounds: Int, batch: Int = 1): (Seq[BpeMerge], DataFrame) = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val words = df
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("__word"))
       .where(length(col("__word")) > 0)
@@ -102,8 +118,11 @@ object NgramLm {
     var cur = words.localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var exhausted = false
-    for (r <- 1 to rounds if !exhausted) {
+    while (merges.size < rounds && !exhausted) {
+      val want = math.min(batch, rounds - merges.size)
       val n = size(col("__toks"))
+      // over-fetch 4x: conflicting candidates are skipped, and selecting
+      // fewer than `want` this round just means another round runs
       val top = cur.select(col("__wc"),
           explode(zip_with(
             slice(col("__toks"), lit(1), greatest(n - 1, lit(0))),
@@ -112,22 +131,34 @@ object NgramLm {
         .groupBy(col("__p.x").as("x"), col("__p.y").as("y"))
         .agg(sum(col("__wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
-        .limit(1).collect()
+        .limit(want * 4).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (x, y) = (top(0).getString(0), top(0).getString(1))
-        merges += BpeMerge(r, x, y, top(0).getLong(2))
-        // greedy left-to-right merge of (x,y): fold each token into the
-        // accumulator, gluing when the accumulator's last token is x and
-        // the incoming token is y
-        val merged = aggregate(col("__toks"),
-          array().cast("array<string>"),
-          (acc, t) => when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(x) && t === lit(y),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(element_at(acc, -1), t))))
-            .otherwise(concat(acc, array(t))))
-        cur = cur.select(col("__wc"), merged.as("__toks"))
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        for (r <- top if sel.size < want) {
+          val (x, y) = (r.getString(0), r.getString(1))
+          if (!used(x) && !used(y)) {
+            sel += ((x, y, r.getLong(2)))
+            used ++= Seq(x, y, x + y)
+          }
+        }
+        sel.foreach { case (x, y, c) =>
+          merges += BpeMerge(merges.size + 1, x, y, c) }
+        // greedy left-to-right merge of each (x,y): fold each token into
+        // the accumulator, gluing when the accumulator's last token is x
+        // and the incoming token is y; one fold per selected merge, in
+        // selection order, all inside one projection + one checkpoint
+        val mergedToks = sel.foldLeft(col("__toks")) { case (toks, (x, y, _)) =>
+          aggregate(toks,
+            array().cast("array<string>"),
+            (acc, t) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(x) && t === lit(y),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), t))))
+              .otherwise(concat(acc, array(t))))
+        }
+        cur = cur.select(col("__wc"), mergedToks.as("__toks"))
           .localCheckpoint(false)
       }
     }

@@ -203,6 +203,45 @@ class QualityOpsSpec extends SparkSpec {
     assert(toks == Set((2L, List("aaab")), (1L, List("ab"))))
   }
 
+  test("bpeTrain batched: valid merges with exact counts, far fewer jobs") {
+    // 8 disjoint two-letter words with distinct frequencies: all 8 merges
+    // are selectable from ONE pair-count snapshot
+    val ws = Seq("ab" -> 9, "cd" -> 8, "ef" -> 7, "gh" -> 6,
+      "ij" -> 5, "kl" -> 4, "mn" -> 3, "op" -> 2)
+    val text = ws.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+
+    def countJobs(tag: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    }
+
+    var seq: Seq[NgramLm.BpeMerge] = null
+    var bat: Seq[NgramLm.BpeMerge] = null
+    val seqJobs = countJobs("bpe-seq") {
+      seq = NgramLm.bpeTrain(df, "text", rounds = 8)._1 }
+    val batJobs = countJobs("bpe-bat") {
+      bat = NgramLm.bpeTrain(df, "text", rounds = 8, batch = 8)._1 }
+    // disjoint pairs -> the snapshot selection IS the greedy sequence
+    assert(bat == seq)
+    assert(bat.map(m => (m.x + m.y, m.cnt)) ==
+      ws.map { case (w, n) => (w, n.toLong) })
+    // 8 rounds of (count+collect+checkpoint) collapse into 1
+    assert(batJobs * 4 <= seqJobs, s"batched=$batJobs sequential=$seqJobs")
+
+    // conflicting candidates are deferred, not mis-counted: (a,b) shares
+    // a member with the round-1 winner (a,a), so batch=2 selects it in
+    // round 2 with a RECOUNTED cnt — identical to the sequential list
+    val df2 = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val (m1, _) = NgramLm.bpeTrain(df2, "text", rounds = 2)
+    val (m2, fin2) = NgramLm.bpeTrain(df2, "text", rounds = 2, batch = 2)
+    assert(m2 == m1)
+    val toks2 = fin2.collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSet
+    assert(toks2 == Set((2L, List("aa", "ab")), (1L, List("ab"))))
+  }
+
   test("bpeTopTokens: vocabulary after training is the merged tokens") {
     val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
     val r = NgramLm.bpeTopTokens(df, "text", rounds = 3, topK = 10)
