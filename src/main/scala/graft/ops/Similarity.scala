@@ -361,6 +361,156 @@ object Similarity {
     }
   }
 
+  /** IVF+PQ composed ANN — the production billion-vector layout (faiss
+    * IndexIVFPQ): a coarse quantizer prunes the search to `nProbe` of
+    * `nCentroids` cells, and within cells vectors exist only as `m`
+    * product-quantization codes over the RESIDUAL v − c(cell) (encoding
+    * residuals instead of raw vectors is the faiss default — residual
+    * magnitudes are smaller, so the same ksub codes quantize finer).
+    * One shared codebook set across cells, trained with plain L2 Lloyd
+    * like [[pqTopK]].
+    *
+    * ADC under inner product decomposes exactly:
+    *   ⟨q,v⟩ = ⟨q,c⟩ + ⟨q,r⟩ ≈ ⟨q,c⟩ + Σ_s LUT_s[code_s],
+    *   LUT_s[j] = ⟨q_s, book_s(j)⟩
+    * so each probed row costs m array lookups + adds; ⟨q,c⟩ is computed
+    * once per (query, probed cell) on the driver.
+    *
+    * Scale shape: the corpus NEVER shuffles — cell assignment is the
+    * map-side nearest-centroid expression, the residual comes from a
+    * broadcast join against the nCentroids-row cell table, codes are a
+    * projection, and probing is a broadcast join of the tiny
+    * (query × nProbe) LUT frame against the code table; only
+    * (query_id, neighbor_id, sim) candidate rows reach the top-k
+    * window's exchange. Queries are a small collected batch — the same
+    * documented contract as [[pqTopK]]. `rerank > k` re-scores the ADC
+    * shortlist with exact cosine (faiss IndexRefineFlat), restoring
+    * near-exact recall while the corpus still only streams.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, nCentroids: Int, nProbe: Int,
+                m: Int, ksub: Int, k: Int,
+                coarseIters: Int = 2, pqIters: Int = 3,
+                rerank: Int = 0): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids,
+      s"nProbe $nProbe out of range 1..$nCentroids")
+    val c = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
+      .where(col("__v").isNotNull)
+    val dim = c.select(size(col("__v"))).limit(1).collect()(0).getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // coarse quantizer: deterministic id-hash sample + spherical Lloyd
+    // (identical seeding to ivfTopK, so cells are comparable)
+    val init: Array[Array[Double]] = c
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h")).limit(nCentroids)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents = trainCentroids(c, "__v", init, coarseIters)
+    // residual per corpus vector: cell from the map-side expression, the
+    // centroid array from a broadcast join against the nCentroids-row
+    // cell table — the corpus side stays a streaming scan
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("__cell", "__cent"))
+    val resid = c
+      .withColumn("__cell",
+        nearestCentroids(col("__v"), cents, 1).getItem(0))
+      .join(centDf, Seq("__cell"))
+      .select(col(idCol), col("__cell"),
+        zip_with(col("__v"), col("__cent"), (a, b) => a - b).as("__r"))
+    val sliced = resid.select(
+      col(idCol) +: col("__cell") +: (0 until m).map(s =>
+        slice(col("__r"), s * sub + 1, sub).as(s"__s$s")): _*)
+      .localCheckpoint(false) // feeds codebook training + encoding
+    // shared residual codebooks: same one-job-per-iteration Lloyd as
+    // pqTopK — only (subspace, cell) partial sums cross the wire
+    val initRows = sliced
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h")).limit(ksub)
+      .select((0 until m).map(s => col(s"__s$s")): _*)
+      .collect()
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => initRows.map(_.getSeq[Double](s).toArray))
+    var it = 0
+    while (it < pqIters) {
+      val pairs = sliced.select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          nearestCentroids(col(s"__s$s"), books(s), 1, l2 = true)
+            .getItem(0).as("cell"),
+          col(s"__s$s").as("v"))): _*)).as("p"))
+        .select(col("p.s"), col("p.cell"), col("p.v"))
+      val sums = pairs.groupBy(col("s"), col("cell"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until sub).map(d => sum(element_at(col("v"), d + 1)).as(s"__d$d")): _*)
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { row =>
+        val (s, cell) = (row.getInt(0), row.getInt(1))
+        val cnt = row.getLong(2).toDouble
+        next(s)(cell) = Array.tabulate(sub)(d => row.getDouble(3 + d) / cnt)
+      }
+      books = next
+      it += 1
+    }
+    val encoded = sliced.select(col(idCol).as("neighbor_id"), col("__cell"),
+      array((0 until m).map(s =>
+        nearestCentroids(col(s"__s$s"), books(s), 1, l2 = true).getItem(0)): _*)
+        .as("__codes"))
+      .localCheckpoint(false) // scanned once per ADC pass
+    // small-batch query contract: probe list, ⟨q,c⟩ terms, and LUTs are
+    // all driver-built and ride as ONE broadcast (query × nProbe rows)
+    val qRows = queries.select(col(idCol), toDoubleVec(col(vecCol)).as("__qv"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val probeRows = qRows.flatMap { case (qid, qv) =>
+      val luts = Array.tabulate(m) { s =>
+        val qs = qv.slice(s * sub, (s + 1) * sub)
+        books(s).map(cent => dot(qs, cent)).toSeq
+      }.toSeq
+      // probe order mirrors nearestCentroids(l2=false): dot desc, cell asc
+      cents.zipWithIndex
+        .map { case (cent, cell) => (cell, dot(qv, cent)) }
+        .sortBy { case (cell, d) => (-d, cell) }
+        .take(nProbe)
+        .map { case (cell, qdotc) => (qid.toString, cell, qdotc, luts) }
+    }
+    val probeDf = broadcast(probeRows.toSeq
+      .toDF("__qid_str", "__cell", "__qdotc", "__luts"))
+    val adc = col("__qdotc") + (0 until m).map(s =>
+      element_at(element_at(col("__luts"), s + 1), col("__codes").getItem(s) + 1))
+      .reduce(_ + _)
+    val scored = encoded.join(probeDf, Seq("__cell"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"))
+        .withColumn("__qid_str", col("query_id").cast("string"))), Seq("__qid_str"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val adcRanked = scored.withColumn("rank", row_number().over(w))
+    if (rerank <= k) adcRanked.where(col("rank") <= k)
+    else {
+      val short = adcRanked.where(col("rank") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = queries.select(col(idCol).as("query_id"),
+        toDoubleVec(col(vecCol)).as("__qv"))
+      val exact = broadcast(short)
+        .join(c.select(col(idCol).as("neighbor_id"), col("__v").as("__cv")),
+          Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("__qv"), col("__cv")).as("sim"))
+      exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    }
+  }
+
   /** SemDedup-style semantic dedup decision (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, then drop
     * near-identical vectors WITHIN each cluster — cosine pairs are only

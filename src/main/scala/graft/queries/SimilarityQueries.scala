@@ -227,6 +227,22 @@ object SimilarityQueries {
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"))
       },
+      None),
+
+    // ---- IVF+PQ composed index (faiss IndexIVFPQ): coarse cells prune
+    //      the probe set, residual PQ codes + ADC score inside probed
+    //      cells, exact rerank on the shortlist. Rows-only: centroids
+    //      and codebooks are engine-specific float k-means; recall vs
+    //      brute force is pinned in SimilaritySpec ----
+    Q("q145_ivfpq_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.ivfPqTopK(e, e.where(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", nCentroids = 16, nProbe = 4,
+            m = 8, ksub = 16, k = 5, rerank = 50)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+      },
       None)
   )
 }

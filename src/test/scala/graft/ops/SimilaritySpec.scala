@@ -209,6 +209,55 @@ class SimilaritySpec extends SparkSpec {
           s"ADC $adc vs exact $exact for $id"))
     }
   }
+  test("ivfPqTopK: composed IVF+PQ with rerank meets the brute-force recall floor") {
+    // same unit-norm curve fixture as the PQ recall test
+    val corpus = (1L to 200L).map { i =>
+      val raw = Array.tabulate(16)(d => math.cos(i * 0.05 + d * 0.4))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      (i, raw.map(x => (x / n).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" % 20 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
+    val ivfpq = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      nCentroids = 8, nProbe = 4, m = 4, ksub = 16, k = 5, rerank = 20)
+    // structural contract: exactly k rows per query, self excluded
+    val perQuery = ivfpq.groupBy($"query_id").count()
+      .select($"count").as[Long].collect().toSet
+    assert(perQuery == Set(5L))
+    assert(ivfpq.where($"query_id" === $"neighbor_id").count() == 0)
+    val recall = (pairs(ivfpq) intersect truth).size.toDouble / truth.size
+    // SAME probe budget as the IVF recall test (nProbe/nCentroids = 1/2
+    // of cells here) — deterministic seeds make the measured value
+    // stable; the floor is the bar the composed path must hold
+    assert(recall >= 0.9, s"IVF+PQ recall@5 = $recall")
+    // exhaustive probe + full-corpus rerank must equal brute force
+    val exhaustive = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      nCentroids = 8, nProbe = 8, m = 4, ksub = 16, k = 5, rerank = 199)
+    assert(rows(exhaustive.select($"query_id", $"rank", $"neighbor_id")) ==
+      rows(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+        .select($"query_id", $"rank", $"neighbor_id")))
+  }
+
+  test("ivfPqTopK plan: corpus never shuffles — probe and LUT joins broadcast") {
+    val corpus = (1L to 100L).map { i =>
+      val raw = Array.tabulate(8)(d => math.cos(i * 0.05 + d * 0.4))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      (i, raw.map(x => (x / n).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(corpus, corpus.where($"vec_id" <= 3),
+      "vec_id", "embedding", nCentroids = 4, nProbe = 2,
+      m = 4, ksub = 8, k = 3)
+    val planStr = out.queryExecution.executedPlan.toString
+    // every join against the code table rides a broadcast — a sort-merge
+    // join would mean the corpus side shuffled for probing
+    assert(!planStr.contains("SortMergeJoin"), planStr)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = out.queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow => w }.size == 1, plan)
+  }
+
   test("knnClassify: majority of k nearest labeled neighbors, ties to " +
     "smaller label, unlabeled corpus rows ignored") {
     import spark.implicits._
