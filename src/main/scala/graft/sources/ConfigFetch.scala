@@ -35,6 +35,77 @@ object ConfigFetch {
   /** Plain URL-open transport (http/https/file). */
   val defaultFetcher: Fetcher = url => new java.net.URI(url).toURL.openStream()
 
+  /** Real HTTP transport (`java.net.http.HttpClient`): redirect-following,
+    * connect/request timeouts, bounded retry with exponential backoff on
+    * 5xx and transport-level failures (connect refused/reset, timeout).
+    * 404 maps to `NoSuchFileException` — NOT retried — so [[fetchRange]]
+    * records the day as missing (the reference's history has gaps);
+    * other 4xx are non-retryable IOExceptions (a 403 won't fix itself).
+    */
+  def httpFetcher(connectTimeoutMs: Long = 10000L,
+                  requestTimeoutMs: Long = 60000L,
+                  retries: Int = 3,
+                  backoffMs: Long = 200L): Fetcher = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val client = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+      .build()
+    url => {
+      val req = HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+        .GET().build()
+      var attempt = 0
+      var result: InputStream = null
+      var fatal: Throwable = null
+      var retryable: Throwable = null
+      while (result == null && fatal == null && attempt <= retries) {
+        if (attempt > 0) Thread.sleep(backoffMs << (attempt - 1))
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+          val code = resp.statusCode()
+          if (code / 100 == 2) result = resp.body()
+          else {
+            resp.body().close()
+            if (code == 404)
+              fatal = new java.nio.file.NoSuchFileException(url, null, "HTTP 404")
+            else if (code >= 500)
+              retryable = new java.io.IOException(s"HTTP $code for $url")
+            else
+              fatal = new java.io.IOException(s"HTTP $code for $url")
+          }
+        } catch {
+          case e: java.io.IOException => retryable = e
+        }
+        attempt += 1
+      }
+      if (fatal != null) throw fatal
+      if (result == null) throw retryable
+      result
+    }
+  }
+
+  /** Transport selection by Spark conf — the production wiring:
+    *
+    *   spark.graft.fetch.transport = url | http     (default: url)
+    *   spark.graft.fetch.connectTimeoutMs, .requestTimeoutMs,
+    *   spark.graft.fetch.retries, .backoffMs        (http tuning)
+    *
+    * `url` is the plain stream-open (also serves `file://` fixtures);
+    * `http` is [[httpFetcher]].
+    */
+  def fetcherFor(spark: SparkSession): Fetcher =
+    spark.conf.get("spark.graft.fetch.transport", "url") match {
+      case "url" => defaultFetcher
+      case "http" => httpFetcher(
+        spark.conf.get("spark.graft.fetch.connectTimeoutMs", "10000").toLong,
+        spark.conf.get("spark.graft.fetch.requestTimeoutMs", "60000").toLong,
+        spark.conf.get("spark.graft.fetch.retries", "3").toInt,
+        spark.conf.get("spark.graft.fetch.backoffMs", "200").toLong)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.fetch.transport must be url|http, got '$other'")
+    }
+
   private val Ymd = DateTimeFormatter.ofPattern("yyyyMMdd")
 
   /** Expand a URL template for a date: `{yyyyMMdd}` and `{yyyy-MM-dd}`

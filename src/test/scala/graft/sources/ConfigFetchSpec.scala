@@ -62,6 +62,60 @@ class ConfigFetchSpec extends SparkSpec {
     assert(df.select($"CORRIDOR_ROUTE").distinct().as[String].collect().toSeq == Seq("I-94"))
   }
 
+  test("httpFetcher over a real socket: 503s retried with backoff, 404 is a " +
+    "missing day, cache hit skips the network, conf selects the transport") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val gzBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new GZIPOutputStream(bos)
+      out.write(xml.getBytes("UTF-8")); out.close()
+      bos.toByteArray
+    }
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/cfg/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val n = hits.incrementAndGet()
+        if (n <= 2) ex.sendResponseHeaders(503, -1) // flaky warm-up: retry path
+        else if (ex.getRequestURI.getPath.contains("20230115")) {
+          ex.sendResponseHeaders(200, gzBytes.length.toLong)
+          ex.getResponseBody.write(gzBytes)
+        } else ex.sendResponseHeaders(404, -1)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val tpl = s"http://127.0.0.1:${server.getAddress.getPort}" +
+        "/cfg/{yyyyMMdd}/metro_config.xml.gz"
+      val cache = Files.createTempDirectory("cfg_http_cache").toString
+      // transport selected by conf, not hard-wired
+      spark.conf.set("spark.graft.fetch.transport", "http")
+      spark.conf.set("spark.graft.fetch.retries", "3")
+      spark.conf.set("spark.graft.fetch.backoffMs", "5")
+      val f = try ConfigFetch.fetcherFor(spark)
+      finally {
+        spark.conf.unset("spark.graft.fetch.transport")
+        spark.conf.unset("spark.graft.fetch.retries")
+        spark.conf.unset("spark.graft.fetch.backoffMs")
+      }
+      assert(ConfigFetch.fetcherFor(spark) eq ConfigFetch.defaultFetcher) // default
+      val day = LocalDate.parse("2023-01-15")
+      val p = ConfigFetch.fetch(tpl, day, cache, f)
+      assert(hits.get == 3, "two 503s then the 200") // retried over the socket
+      val df = ConfigXml.readSnapshot(spark, p.toString)
+      assert(df.count() == 2) // fetched bytes parse end-to-end
+      ConfigFetch.fetch(tpl, day, cache, f)
+      assert(hits.get == 3) // cache hit: no request
+      // missing remote day: exactly one request (404 never retries)
+      val fr = ConfigFetch.fetchRange(tpl,
+        Seq(day, LocalDate.parse("2023-01-16")), cache, f)
+      assert(fr.fetched.size == 1 &&
+        fr.missing.map(_._1) == Seq(LocalDate.parse("2023-01-16")))
+      assert(hits.get == 4)
+    } finally server.stop(0)
+  }
+
   test("readRange: missing remote days are skipped, not fatal; only requested days parse") {
     val (tpl, cache) = remote("20230115", "20230117", "20230118")
     val want = Seq("2023-01-15", "2023-01-16", "2023-01-17").map(LocalDate.parse)
