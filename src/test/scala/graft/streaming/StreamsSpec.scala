@@ -46,6 +46,59 @@ class StreamsSpec extends SparkSpec {
     assert(got2.select($"START_DATETIME").distinct().count() == 7)
   }
 
+  test("batch/stream parity: finalized 15-min windows hash-equal the batch " +
+    "aggregation under the oracle's canonicalization") {
+    val srcDir = Files.createTempDirectory("parity_src").toString
+    val ckDir = Files.createTempDirectory("parity_ck").toString
+    val outDir = Files.createTempDirectory("parity_out").toString + "/fact"
+    val mk = (lo: Int, hi: Int) => (lo until hi).map { slot =>
+      ("s1", d("2020-01-01"), slot / 120, (slot % 120) / 2.0,
+        Some(5), if (slot % 10 == 0) None: Option[Int] else Some(300))
+    }.toDF("sensor", "date", "hour", "min", "volume", "occupancy")
+    mk(0, 120).write.parquet(srcDir + "/f1")
+    mk(120, 240).write.parquet(srcDir + "/f2")
+    val raw = Streams.readRaw30s(spark, srcDir + "/*")
+    Streams.drainToParquet(Streams.agg15Min(raw), outDir, ckDir)
+    mk(240, 360).write.parquet(srcDir + "/f3")
+    Streams.drainToParquet(Streams.agg15Min(raw), outDir, ckDir)
+
+    // the oracle's canonicalization: columns sorted by name, rows sorted
+    // by value, then one digest over the cells (check_oracle.py `norm`)
+    def canonicalHash(df: org.apache.spark.sql.DataFrame): String = {
+      val cols = df.columns.sorted.toSeq
+      val lines = df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(v => if (v == null) "␀" else v.toString)
+          .mkString(""))
+        .sorted
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(lines.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+
+    // batch leg: the SAME fixture through the A1 batch aggregation,
+    // restricted to windows the watermark has finalized (window end ≤
+    // max event time 02:59:30 − 1 h lateness) — an INDEPENDENT
+    // derivation of the finalized set, so hash equality also re-proves
+    // which windows emitted
+    val batchRaw = spark.read.parquet(srcDir + "/f1", srcDir + "/f2", srcDir + "/f3")
+      .withColumn("ts", graft.ops.TimeOps.composeTimestamp(
+        col("date"), col("hour"), col("min")))
+    val batch = graft.ops.Aggs.timeBucketAgg(batchRaw, "ts", 900, Seq("sensor"),
+      Seq(coalesce(sum(col("volume")), lit(0)).cast("int").as("VOLUME_SUM"),
+        graft.ops.Aggs.pctNull(col("volume")).as("VOLUME_PCT_NULL"),
+        coalesce(sum(col("occupancy")), lit(0)).cast("int").as("OCCUPANCY_SUM"),
+        graft.ops.Aggs.pctNull(col("occupancy")).as("OCCUPANCY_PCT_NULL")),
+      bucketName = "START_DATETIME")
+      .withColumnRenamed("sensor", "DETECTOR_NAME")
+      .where(col("START_DATETIME") + expr("INTERVAL 15 MINUTES") <=
+        lit(ts("2020-01-01 02:59:30")) - expr("INTERVAL 1 HOUR"))
+    // START_DATE is the sink's partition key, a pure projection of
+    // START_DATETIME — not part of the aggregation contract
+    val streamed = spark.read.parquet(outDir).drop("START_DATE")
+    assert(streamed.count() == 7) // watermark finalized 7 of 12 windows
+    assert(canonicalHash(streamed) == canonicalHash(batch))
+  }
+
   test("streaming dedup within watermark drops cross-batch repeats") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
