@@ -20,7 +20,26 @@ final class Warehouse(spark: SparkSession, root: String) {
   def exists(table: String): Boolean =
     new java.io.File(path(table)).exists()
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  /** Crash recovery for [[forget]]'s rename-rename swap: a failure
+    * between the two renames leaves the table stranded under
+    * `.forget_old` with no live path. Entry points that touch the table
+    * call this first — if the live path is missing but the staged-out
+    * copy exists, the rename is rolled forward and the table is
+    * readable again with no manual surgery. Single-writer assumption:
+    * the warehouse (like the reference's nightly job) has exactly one
+    * writer at a time; concurrent writers would race the swap itself,
+    * which no rename protocol on a non-transactional store can fix.
+    */
+  private def recoverStranded(table: String): Unit = {
+    val (fs, live) = hadoopFs(path(table))
+    val oldP = new org.apache.hadoop.fs.Path(path(table) + ".forget_old")
+    if (!fs.exists(live) && fs.exists(oldP)) fs.rename(oldP, live)
+  }
+
+  def read(table: String): DataFrame = {
+    recoverStranded(table)
+    spark.read.parquet(path(table))
+  }
 
   /** S8 — plain append. */
   def append(df: DataFrame, table: String): Unit =
@@ -136,6 +155,7 @@ final class Warehouse(spark: SparkSession, root: String) {
     * under the `.old` name (recoverable by hand, never truncated).
     */
   def forget(table: String, keyCol: String, keys: DataFrame): Int = {
+    recoverStranded(table)
     val current = read(table)
     val k = keys.select(col(keyCol)).distinct()
     val kept = current.join(broadcast(k), Seq(keyCol), "left_anti")

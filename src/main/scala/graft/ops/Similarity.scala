@@ -470,24 +470,33 @@ object Similarity {
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
-    val probeRows = qRows.flatMap { case (qid, qv) =>
+    // two broadcasts, not one: LUTs keyed by query alone (each m×ksub
+    // table ships ONCE), probe targets keyed by (query, cell) carrying
+    // only the scalar ⟨q,c⟩ term — folding LUTs into the probe frame
+    // would inflate the broadcast nProbe-fold for no information gain
+    val lutRows = qRows.map { case (qid, qv) =>
       val luts = Array.tabulate(m) { s =>
         val qs = qv.slice(s * sub, (s + 1) * sub)
         books(s).map(cent => dot(qs, cent)).toSeq
       }.toSeq
+      (qid.toString, luts)
+    }
+    val lutDf = broadcast(lutRows.toSeq.toDF("__qid_str", "__luts"))
+    val probeRows = qRows.flatMap { case (qid, qv) =>
       // probe order mirrors nearestCentroids(l2=false): dot desc, cell asc
       cents.zipWithIndex
         .map { case (cent, cell) => (cell, dot(qv, cent)) }
         .sortBy { case (cell, d) => (-d, cell) }
         .take(nProbe)
-        .map { case (cell, qdotc) => (qid.toString, cell, qdotc, luts) }
+        .map { case (cell, qdotc) => (qid.toString, cell, qdotc) }
     }
     val probeDf = broadcast(probeRows.toSeq
-      .toDF("__qid_str", "__cell", "__qdotc", "__luts"))
+      .toDF("__qid_str", "__cell", "__qdotc"))
     val adc = col("__qdotc") + (0 until m).map(s =>
       element_at(element_at(col("__luts"), s + 1), col("__codes").getItem(s) + 1))
       .reduce(_ + _)
     val scored = encoded.join(probeDf, Seq("__cell"))
+      .join(lutDf, Seq("__qid_str"))
       .join(broadcast(queries.select(col(idCol).as("query_id"))
         .withColumn("__qid_str", col("query_id").cast("string"))), Seq("__qid_str"))
       .where(col("query_id") =!= col("neighbor_id"))

@@ -54,6 +54,12 @@ object ModelQueries {
                 SELECT * FROM a
                 WHERE START_DATETIME < TIMESTAMP '2024-01-24 00:00:00'),
               prof AS (
+                -- DuckDB dayofweek is Sunday=0 vs Spark's Sunday=1;
+                -- the offset is deliberate and harmless: `how` only
+                -- matches prof against grid, both computed by the SAME
+                -- engine, so any internally-consistent bijection of
+                -- hour-of-week works. Do not "align" the two indexings
+                -- — only engine-internal consistency matters.
                 SELECT NODE_NAME,
                        dayofweek(START_DATETIME) * 24
                          + hour(START_DATETIME) AS how,

@@ -60,7 +60,10 @@ object ConfigFetch {
       var fatal: Throwable = null
       var retryable: Throwable = null
       while (result == null && fatal == null && attempt <= retries) {
-        if (attempt > 0) Thread.sleep(backoffMs << (attempt - 1))
+        // exponent capped: an unclamped shift overflows to a negative
+        // sleep (IllegalArgumentException) once conf-supplied retries
+        // reach ~60; 2^20 × backoffMs is already an hours-scale ceiling
+        if (attempt > 0) Thread.sleep(backoffMs << math.min(attempt - 1, 20))
         try {
           val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
           val code = resp.statusCode()

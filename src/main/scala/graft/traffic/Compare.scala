@@ -43,8 +43,10 @@ object Compare {
       .where(col("START_DATETIME") < to_timestamp(lit(gridStart)))
     val prof = train
       .groupBy(col("NODE_NAME"), how(col("START_DATETIME")).as("__how"))
-      .agg(expr("sum(VOLUME_SUM_IMPUTE) div count(*)")
-        .as("VOLUMN_PREDICTION"))
+      .agg(expr("cast(sum(VOLUME_SUM_IMPUTE) as bigint) div count(*)")
+        .as("VOLUMN_PREDICTION")) // cast first: `div` needs integral
+        // operands, and VOLUME_SUM_IMPUTE is double-typed on the
+        // fractional-impute legs of the RTMC contract
     val grid = graft.ops.TimeOps.tsGrid(actual.sparkSession,
       gridStart, gridEnd, "1 hour", "PREDICT_TIME")
     train.select(col("NODE_NAME"), col("CORRIDOR_ROUTE")).distinct()
