@@ -6,15 +6,20 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column operators: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed per partition in bounded
-  * batches — the Spark-side plumbing (schema, partitioning, batch
-  * shape) is real; the codec itself is a clearly-marked deterministic
-  * STUB because no image/audio libraries exist in this container. A
-  * production deployment swaps `stubDecode` for a real codec (e.g. a
-  * JNI JPEG decoder) without touching any of the distribution logic.
+  * batches. The IMAGE codec is REAL — `javax.imageio` ships in the JDK
+  * (PNG/JPEG/GIF/BMP), so image payloads decode to true width/height
+  * and a downsampled-luminance feature with zero external
+  * dependencies. Audio/video remain a clearly-marked deterministic
+  * STUB (no such codecs exist in the JDK); a production deployment
+  * swaps `stubDecode` for a real codec (e.g. an FFmpeg JNI binding)
+  * without touching any of the distribution logic — both paths share
+  * one schema and one batching shape.
   *
   * Scale: payloads never shuffle — every operator is a mapPartitions
   * projection; only the (small) extracted features move. Batch size
-  * bounds peak memory per task regardless of payload sizes.
+  * bounds peak memory per task regardless of payload sizes. A 100 TB
+  * deployment should additionally cap decoded pixel count per payload
+  * (decompression-bomb guard) — the `maxPixels` parameter below.
   */
 object Multimodal {
 
@@ -26,10 +31,59 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", IntegerType, nullable = true)))
 
+  /** `width`/`height` are the DECODED dimensions (null on the stub
+    * path — byte statistics have no geometry).
+    */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
     StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  // ImageIO's default scratch cache is a temp FILE per decode — at one
+  // decode per row that is an I/O disaster; keep scratch in memory
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL image decode via the JDK's ImageIO: payload → (width, height,
+    * `dim`-bucket mean-luminance feature). Pixels are flattened
+    * row-major and averaged into `dim` equal buckets (Rec. 601 luma,
+    * normalized to [0,1]) — a fixed-length signature independent of
+    * image size, the pHash-style input [[nearDupMedia]] signs. Returns
+    * None when the bytes aren't a decodable image (wrong format,
+    * truncated, or over `maxPixels` — the decompression-bomb guard), at
+    * which point callers fall back to [[stubDecode]].
+    */
+  private[ops] def decodeImage(payload: Array[Byte], dim: Int,
+                               maxPixels: Long = 1L << 26)
+      : Option[(Int, Int, Array[Float])] = {
+    if (payload == null || payload.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+      val n = w.toLong * h
+      val sums = new Array[Double](dim)
+      val cnts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF)
+            + 0.114 * (rgb & 0xFF)) / 255.0
+          val idx = (((y.toLong * w + x) * dim) / n).toInt
+          sums(idx) += lum
+          cnts(idx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h,
+        Array.tabulate(dim)(i => if (cnts(i) == 0) 0f else (sums(i) / cnts(i)).toFloat)))
+    } catch { case _: Exception => None }
+  }
 
   /** STUB decode — deterministic bytes→feature map standing in for a
     * real codec. Produces a `dim`-length feature from byte statistics;
@@ -51,6 +105,11 @@ object Multimodal {
 
   /** Feature extraction over binary payloads: mapPartitions in batches
     * of `batchSize` rows (the mapInPandas batch shape, Scala-side).
+    * Each payload first attempts the REAL ImageIO decode (format
+    * sniffing on the magic bytes is cheap for non-images) and falls
+    * back to the deterministic stub — so PNG/JPEG payloads yield true
+    * geometry + luminance features while opaque audio/video bytes get
+    * the stub signature, one schema for both.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16,
                       batchSize: Int = 64): DataFrame = {
@@ -61,13 +120,60 @@ object Multimodal {
           // batch boundary = the codec's vectorization unit
           batch.iterator.map { r =>
             val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-            Row(r.getLong(0),
-              if (payload == null) 0 else payload.length,
-              stubDecode(payload, dim).toSeq)
+            val nBytes = if (payload == null) 0 else payload.length
+            decodeImage(payload, dim) match {
+              case Some((w, h, feat)) =>
+                Row(r.getLong(0), nBytes,
+                  Integer.valueOf(w), Integer.valueOf(h), feat.toSeq)
+              case None =>
+                Row(r.getLong(0), nBytes, null, null,
+                  stubDecode(payload, dim).toSeq)
+            }
           }
         }
       }
     spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Deterministic PNG fixture generator: one real `size`×`size` PNG
+    * payload per id, REAL bytes from the JDK's PNG encoder — the
+    * container ships no media fixtures, so this op is how the ImageIO
+    * decode path gets exercised end-to-end at fixture scale. The pixel
+    * pattern is a pure function of the id: a base gradient keyed by
+    * `id mod 32` (so ids sharing a base render near-identical images —
+    * the near-dup structure [[nearDupMedia]] mines) plus one id-keyed
+    * "noise" pixel (so same-base images are close, not equal). Same
+    * mapPartitions shape as every other codec op; payload generation
+    * never shuffles.
+    */
+  def syntheticPng(ids: DataFrame, idCol: String, size: Int = 8): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(
+          size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val base = (id % 32).toInt
+        var y = 0
+        while (y < size) {
+          var x = 0
+          while (x < size) {
+            val lum = (base * 37 + x * 11 + y * 23) % 256
+            img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+            x += 1
+          }
+          y += 1
+        }
+        val noisePos = ((id / 32) % (size.toLong * size)).toInt
+        val noiseLum = ((id * 13) % 256).toInt
+        img.setRGB(noisePos % size, noisePos / size,
+          (noiseLum << 16) | (noiseLum << 8) | noiseLum)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row(id, "image", baos.toByteArray, size, size, null)
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
   }
 
   /** Frame sampling for video payloads: emit `frames` evenly-spaced

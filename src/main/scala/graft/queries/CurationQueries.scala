@@ -260,7 +260,12 @@ object CurationQueries {
       (s, dir) => Dedup.fuzzyMatchPairs(
         Tables.load(s, dir, "part"), "p_name", "p_partkey",
         Seq(col("p_brand"), substring_index(col("p_name"), " ", 1)),
-        maxDist = 3),
+        // cap ARMED as the pattern users should copy: generous enough
+        // to be bit-identical here (max block is 128 at sf0.1, ~1.3k
+        // extrapolated at sf1), while a degenerate blocking key at
+        // scale gets dropped-and-reported instead of going quadratic;
+        // q146 is the audit leg asserting nothing was dropped
+        maxDist = 3, maxBlockSize = 2000L),
       Some("""WITH p AS (
                 SELECT p_partkey AS id, p_name AS name, p_brand AS b,
                        split_part(p_name, ' ', 1) AS w1
@@ -269,6 +274,22 @@ object CurationQueries {
                      CAST(levenshtein(a.name, b2.name) AS BIGINT) AS dist
               FROM p a JOIN p b2
                 ON a.b = b2.b AND a.w1 = b2.w1 AND a.id < b2.id
-              WHERE levenshtein(a.name, b2.name) <= 3"""))
+              WHERE levenshtein(a.name, b2.name) <= 3""")),
+
+    // ---- the audit leg of q144's armed block cap: blocking-key values
+    //      whose blocks exceed the cap (dropped whole from the match).
+    //      Empty here — the oracled assertion that q144's cap dropped
+    //      NOTHING, so its result is bit-identical to the uncapped
+    //      form; non-empty at scale means "fix the blocking predicate",
+    //      with the offending key values and sizes in hand ----
+    Q("q146_fuzzy_audit",
+      (s, dir) => Dedup.fuzzyMatchDroppedBlocks(
+        Tables.load(s, dir, "part"),
+        Seq(col("p_brand"), substring_index(col("p_name"), " ", 1)),
+        maxBlockSize = 2000L),
+      Some("""SELECT p_brand AS block_0,
+                     split_part(p_name, ' ', 1) AS block_1,
+                     count(*) AS n_rows
+              FROM part GROUP BY 1, 2 HAVING count(*) > 2000"""))
   )
 }

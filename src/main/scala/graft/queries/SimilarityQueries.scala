@@ -146,34 +146,42 @@ object SimilarityQueries {
       },
       None),
 
-    // ---- multimodal: batched feature extraction over binary payloads
-    //      (decode STUBBED — deterministic; plumbing real) ----
+    // ---- multimodal: batched feature extraction over binary payloads.
+    //      Image rows carry REAL PNG payloads (deterministic fixture
+    //      encoder) decoded by the REAL JDK ImageIO codec — true
+    //      geometry + luminance features; audio/video rows carry opaque
+    //      bytes on the deterministic stub path, same schema ----
     Q("q44_multimodal_features",
       (s, dir) => {
-        val media = Tables.load(s, dir, "documents").select(
-          col("doc_id").as("media_id"),
-          when(col("doc_id") % 3 === 0, "image")
-            .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
-          col("text").cast("binary").as("payload"),
-          lit(64).as("width"), lit(64).as("height"),
-          (col("doc_id") % 10000).cast("int").as("duration_ms"))
+        val docs = Tables.load(s, dir, "documents")
+        val pngs = graft.ops.Multimodal.syntheticPng(
+          docs.where(col("doc_id") % 3 === 0), "doc_id")
+          .select(col("media_id"), col("payload").as("__png"))
+        val media = docs
+          .join(pngs, col("doc_id") === col("media_id"), "left")
+          .select(
+            col("doc_id").as("media_id"),
+            when(col("doc_id") % 3 === 0, "image")
+              .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
+            coalesce(col("__png"), col("text").cast("binary")).as("payload"),
+            lit(8).as("width"), lit(8).as("height"),
+            (col("doc_id") % 10000).cast("int").as("duration_ms"))
         graft.ops.Multimodal.extractFeatures(media, dim = 8)
           .select(col("media_id"), col("n_bytes"),
+            col("width").as("decoded_w"), col("height").as("decoded_h"),
             round(element_at(col("feature"), 1), 5).as("f0"))
       },
       None),
 
-    // ---- multimodal perceptual near-dup (pHash shape): stub decode →
-    //      sign-bit signature → 16-bit band buckets → hamming verify.
-    //      Full recall at hamming ≤ 3 by pigeonhole; payloads never
-    //      shuffle (engine-specific hash family → rows-only) ----
+    // ---- multimodal perceptual near-dup (pHash shape): REAL PNG
+    //      payloads → REAL ImageIO luminance decode → sign-bit
+    //      signature → 16-bit band buckets → hamming verify. Full
+    //      recall at hamming ≤ 3 by pigeonhole; payloads never shuffle
+    //      (engine-specific hash family → rows-only) ----
     Q("q101_media_neardup",
       (s, dir) => {
-        val media = Tables.load(s, dir, "documents").select(
-          col("doc_id").as("media_id"), lit("image").as("media_type"),
-          col("text").cast("binary").as("payload"),
-          lit(64).as("width"), lit(64).as("height"),
-          lit(null).cast("int").as("duration_ms"))
+        val media = graft.ops.Multimodal.syntheticPng(
+          Tables.load(s, dir, "documents"), "doc_id")
         graft.ops.Multimodal.nearDupMedia(media, dim = 16, maxHamming = 3)
       },
       None),

@@ -23,6 +23,42 @@ class HeavyHittersSpec extends SparkSpec {
     assert(top2(1)._2 >= 1000 && top2(1)._2 - top2(1)._3 <= 1000)
   }
 
+  // bounded-error gate vs the exact twin q46 on the driver's
+  // correctness-scale fixture (the AggsSpec q58/q74 discipline): every
+  // estimate must bracket the exact count per SpaceSaving's guarantee
+  // (exact ≤ est ≤ exact + max_err), and the summary must contain
+  // every item above the N/capacity support threshold. Deterministic
+  // for fixed input and partitioning-insensitive (the guarantee holds
+  // under any merge order), so these are hard gates.
+  test("q47 SpaceSaving estimates bracket exact counts; support threshold complete (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = graft.queries.Registry
+      .queries("q47_heavy_hitters")(spark, dir)
+    val exact = graft.core.Tables.load(spark, dir, "documents")
+      .select($"lang", explode(TextAnalysis.tokens(lower($"text"))).as("token"))
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("exact"))
+      .localCheckpoint(false) // feeds the bracket join AND the support scan
+    val joined = approx.join(exact, Seq("lang", "token"), "left").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (est, err) = (r.getLong(r.fieldIndex("est_count")),
+        r.getLong(r.fieldIndex("max_err")))
+      assert(!r.isNullAt(r.fieldIndex("exact")),
+        s"${r.getString(0)}/${r.getString(1)}: reported token never occurs")
+      val ex = r.getLong(r.fieldIndex("exact"))
+      assert(est >= ex && est - err <= ex,
+        s"${r.getString(0)}/${r.getString(1)}: est=$est err=$err outside bracket for exact=$ex")
+    }
+    // completeness: every (lang, token) with exact count > N_lang/capacity
+    // must appear in the summary (capacity = 32 in q47)
+    val totals = exact.groupBy($"lang").agg(sum($"exact").as("n_lang"))
+    val missing = exact.join(totals, Seq("lang"))
+      .where($"exact" > $"n_lang" / 32)
+      .join(approx.select($"lang", $"token"), Seq("lang", "token"), "left_anti")
+      .count()
+    assert(missing == 0, s"$missing above-threshold heavy hitters absent from the sketch")
+  }
+
   test("sketch merges across groups (grouped aggregation)") {
     val df = (Seq.fill(100)(("a", "x")) ++ Seq.fill(50)(("a", "y")) ++
       Seq.fill(70)(("b", "z"))).toDF("g", "token").repartition(4)

@@ -22,11 +22,53 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(media, dim = 4, batchSize = 2)
     assert(f.count() == 4)
     val m = f.collect().map(r => r.getLong(0) ->
-      (r.getInt(1), r.getSeq[Float](2))).toMap
+      (r.getInt(1), r.getSeq[Float](4))).toMap
     assert(m(1L) == m(2L))          // identical payload ⇒ identical feature
     assert(m(1L)._1 == 4)           // n_bytes
     assert(m(4L)._1 == 0)           // null payload → zero feature, no crash
     assert(m(4L)._2.forall(_ == 0f))
+    // non-image bytes take the stub path: no decoded geometry
+    assert(f.where($"media_id" === 1).head().isNullAt(2))
+  }
+
+  test("extractFeatures decodes a real 2x2 PNG to exact geometry and luminance") {
+    // checkerboard: black, white / white, black — Rec.601 luma of pure
+    // black is 0.0 and pure white exactly 1.0, so with dim = 4 (one
+    // pixel per bucket) the feature is exact, not approximate
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xFFFFFF)
+    img.setRGB(0, 1, 0xFFFFFF); img.setRGB(1, 1, 0x000000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val rows = Seq(Row(9L, "image", baos.toByteArray, null, null, null))
+    val m = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1), Multimodal.mediaSchema)
+    val r = Multimodal.extractFeatures(m, dim = 4).head()
+    assert(r.getInt(r.fieldIndex("width")) == 2)
+    assert(r.getInt(r.fieldIndex("height")) == 2)
+    assert(r.getSeq[Float](r.fieldIndex("feature")) == Seq(0f, 1f, 1f, 0f))
+  }
+
+  test("syntheticPng emits decodable PNGs whose luminance matches the pattern") {
+    val ids = Seq(0L, 1L, 32L).toDF("doc_id")
+    val media = Multimodal.syntheticPng(ids, "doc_id", size = 8)
+    assert(media.count() == 3)
+    val payload = media.where($"media_id" === 0L).head()
+      .getAs[Array[Byte]]("payload")
+    // PNG magic
+    assert((payload(0) & 0xFF) == 0x89 && payload(1) == 'P'.toByte)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    // id 0: base 0, noise pixel at (0,0) with lum 0 — pixel (1,0) is
+    // untouched base gradient: lum = (0*37 + 1*11 + 0*23) % 256 = 11
+    assert((img.getRGB(1, 0) & 0xFF) == 11)
+    // ids 0 and 32 share base 0: identical except each one's noise pixel
+    val p32 = media.where($"media_id" === 32L).head().getAs[Array[Byte]]("payload")
+    val img32 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p32))
+    val diffs = (for { y <- 0 until 8; x <- 0 until 8
+      if img.getRGB(x, y) != img32.getRGB(x, y) } yield (x, y)).size
+    assert(diffs <= 2, s"same-base images differ in $diffs pixels, want <= 2")
   }
 
   test("sampleFrames: N evenly-spaced frames per video only") {
