@@ -216,6 +216,58 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** §2.8's streaming leg: SCD-2 dimension maintenance driven from a
+    * STREAM of dated config-snapshot arrivals — the config half of the
+    * nightly job in the same Trigger.AvailableNow shape as the sensor
+    * half ([[mergeAggStream]]). Each micro-batch may carry several
+    * snapshot days (a backfill); days fold through `Scd2.merge` in
+    * date order against the stored dimension, exactly the
+    * `Scd2.replay` fold — so the streamed dimension and changelog are
+    * hash-equal to a batch replay of the same snapshots (pinned by
+    * StreamsSpec). The first-ever snapshot bootstraps the dimension
+    * with no changelog rows, matching replay's run-once initial load.
+    *
+    * State discipline: the dimension itself IS the state, stored in
+    * the warehouse (key-space sized, not history-sized); the changelog
+    * only appends. The per-day distinct-dates collect is bounded by
+    * days-per-batch, never rows. `foreachBatch` + the checkpoint give
+    * exactly-once-per-batch folds across restarts.
+    */
+  def scd2Stream(snapshots: DataFrame, dateCol: String,
+                 opts: graft.ops.Scd2.Options,
+                 dimDir: String, changelogDir: String,
+                 checkpointDir: String): Unit = {
+    import graft.ops.Scd2
+    val spark = snapshots.sparkSession
+    val q = snapshots.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val days = batch.select(col(dateCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).sorted
+        days.foreach { day =>
+          val snap = batch.where(col(dateCol).cast("string") === day)
+            .drop(dateCol)
+          if (!new java.io.File(dimDir).exists()) {
+            snap.withColumn(opts.startCol, to_date(lit(day)))
+              .withColumn(opts.endCol, to_date(lit(opts.openEnd)))
+              .withColumn(opts.deactivateCol, lit(false))
+              .write.mode("overwrite").parquet(dimDir)
+          } else {
+            val r = Scd2.merge(spark.read.parquet(dimDir), snap, day, opts)
+            // materialize BOTH legs before overwriting the dim input path
+            val dim = r.dim.localCheckpoint(true)
+            val log = r.changelog.localCheckpoint(true)
+            dim.write.mode("overwrite").parquet(dimDir)
+            log.write.mode("append").parquet(changelogDir)
+          }
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming drift monitor: per micro-batch, compare the batch's
     * bucket distribution against a STATIC baseline profile with the
     * batch-side drift op (`Profiling.drift` — q109) and append the

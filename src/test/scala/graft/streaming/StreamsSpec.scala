@@ -8,6 +8,20 @@ import java.nio.file.Files
 class StreamsSpec extends SparkSpec {
   import spark.implicits._
 
+  // the oracle's canonicalization: columns sorted by name, rows sorted
+  // by value, then one digest over the cells (check_oracle.py `norm`) —
+  // shared by the batch/stream parity gates below
+  private def canonicalHash(df: org.apache.spark.sql.DataFrame): String = {
+    val cols = df.columns.sorted.toSeq
+    val lines = df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(v => if (v == null) "␀" else v.toString)
+        .mkString(""))
+      .sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   test("streaming 15-min agg over file source matches batch semantics (§2.10)") {
     val srcDir = Files.createTempDirectory("stream_src").toString
     val ckDir = Files.createTempDirectory("stream_ck").toString
@@ -62,18 +76,6 @@ class StreamsSpec extends SparkSpec {
     mk(240, 360).write.parquet(srcDir + "/f3")
     Streams.drainToParquet(Streams.agg15Min(raw), outDir, ckDir)
 
-    // the oracle's canonicalization: columns sorted by name, rows sorted
-    // by value, then one digest over the cells (check_oracle.py `norm`)
-    def canonicalHash(df: org.apache.spark.sql.DataFrame): String = {
-      val cols = df.columns.sorted.toSeq
-      val lines = df.select(cols.map(col): _*).collect()
-        .map(_.toSeq.map(v => if (v == null) "␀" else v.toString)
-          .mkString(""))
-        .sorted
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(lines.mkString("\n").getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    }
 
     // batch leg: the SAME fixture through the A1 batch aggregation,
     // restricted to windows the watermark has finalized (window end ≤
@@ -332,5 +334,57 @@ class StreamsSpec extends SparkSpec {
     val out = spark.sql("SELECT user FROM ij_out").as[String].collect().toSeq
     q.stop()
     assert(out == Seq("u1"))
+  }
+
+  test("batch/stream parity: scd2Stream dimension and changelog hash-equal " +
+    "a batch replay of the same snapshots (§2.8 streaming leg)") {
+    val srcDir = Files.createTempDirectory("scd2_src").toString
+    val ckDir = Files.createTempDirectory("scd2_ck").toString
+    val base = Files.createTempDirectory("scd2_out").toString
+    val (dimDir, logDir) = (base + "/dim", base + "/changelog")
+    val opts = graft.ops.Scd2.Options(key = "DETECTOR_NAME",
+      attrCols = Seq("LANE", "ABANDONED"), abandonedCol = Some("ABANDONED"))
+
+    // four dated snapshots covering the full §2.8 move set: bootstrap,
+    // attribute change, delete + abandoned f→t, insert
+    val days = Seq(
+      "2020-01-01" -> Seq(("d1", "L1", "f"), ("d2", "L2", "f")),
+      "2020-01-02" -> Seq(("d1", "L1b", "f"), ("d2", "L2", "f")),
+      "2020-01-03" -> Seq(("d1", "L1b", "t")),
+      "2020-01-04" -> Seq(("d1", "L1b", "t"), ("d3", "L3", "f")))
+    def snapDf(rows: Seq[(String, String, String)]) =
+      rows.toDF("DETECTOR_NAME", "LANE", "ABANDONED")
+
+    // first drain sees days 1–2 (possibly in ONE micro-batch — the
+    // date-ordered fold must split them); second drain sees 3–4 after a
+    // restart, proving the dimension state carries across runs
+    days.take(2).foreach { case (day, rows) =>
+      snapDf(rows).withColumn("snap_date", lit(day))
+        .write.parquet(s"$srcDir/$day")
+    }
+    def drain(): Unit = Streams.scd2Stream(
+      spark.readStream
+        .schema("DETECTOR_NAME string, LANE string, ABANDONED string, snap_date string")
+        .parquet(srcDir + "/*"),
+      "snap_date", opts, dimDir, logDir, ckDir)
+    drain()
+    days.drop(2).foreach { case (day, rows) =>
+      snapDf(rows).withColumn("snap_date", lit(day))
+        .write.parquet(s"$srcDir/$day")
+    }
+    drain()
+
+    val replayed = graft.ops.Scd2.replay(
+      days.map { case (day, rows) => day -> snapDf(rows) }, opts)
+    val streamedDim = spark.read.parquet(dimDir)
+    val streamedLog = spark.read.parquet(logDir)
+    assert(streamedDim.count() == 3) // d1, d2 (closed), d3
+    assert(canonicalHash(streamedDim) == canonicalHash(replayed.dim))
+    assert(canonicalHash(streamedLog) == canonicalHash(replayed.changelog))
+    // sanity on content, not just hashes: the move set all happened
+    val changes = streamedLog.select($"Change").as[String].collect()
+    assert(changes.contains("Attribute Changed: LANE"))
+    assert(changes.contains("Detector Removed"))
+    assert(changes.contains("New Detector Added"))
   }
 }
