@@ -13,6 +13,40 @@ class GamSpec extends SparkSpec {
     }
   }
 
+  test("Crs basis: cardinal at knots, partition of unity, exact-zero curvature penalty on lines") {
+    val cr = Crs.uniform(0, 100, 7)
+    // cardinal: b(x*_j) = e_j — coefficients ARE knot values
+    cr.knots.zipWithIndex.foreach { case (kx, j) =>
+      val b = cr.basisRow(kx)
+      b.zipWithIndex.foreach { case (v, i) =>
+        assert(math.abs(v - (if (i == j) 1.0 else 0.0)) < 1e-9, s"b($kx)($i)=$v")
+      }
+    }
+    // natural interpolation of a constant is that constant
+    Seq(3.3, 47.2, 99.1).foreach { x =>
+      assert(math.abs(cr.basisRow(x).sum - 1.0) < 1e-9, s"unity at $x")
+    }
+    // βᵀSβ = ∫f''² is 0 for linear knot values, positive for curvature
+    val s = cr.penalty
+    def quad(beta: Array[Double]) = {
+      var v = 0.0
+      for (a <- 0 until 7; b <- 0 until 7) v += beta(a) * s(a)(b) * beta(b)
+      v
+    }
+    val line = cr.knots.map(kx => 2.0 + 0.3 * kx)
+    val bent = cr.knots.map(kx => kx * kx / 100.0)
+    assert(math.abs(quad(line)) < 1e-9 * quad(bent))
+    assert(quad(bent) > 0)
+    // the cs shrinkage penalty penalizes the null space too
+    val ss = cr.shrinkPenalty
+    def quadS(beta: Array[Double]) = {
+      var v = 0.0
+      for (a <- 0 until 7; b <- 0 until 7) v += beta(a) * ss(a)(b) * beta(b)
+      v
+    }
+    assert(quadS(line) > 0)
+  }
+
   test("Glm Poisson IRLS recovers log-linear rate") {
     // y ~ Poisson(exp(1 + 0.5*x)); deterministic pseudo-sample via quantiles
     val rng = new scala.util.Random(7)
@@ -251,5 +285,69 @@ class GamSpec extends SparkSpec {
     val avg = out.groupBy($"node").avg("PREDICTION").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(avg("b") > avg("a") * 3) // group separation survives
+  }
+
+  test("measured divergence: B-spline vs mgcv cr/cs basis on the M2 synthetic signal (§7)") {
+    // The engine's documented divergence from the reference is basis
+    // choice: clamped B-splines + coefficient-difference penalty here,
+    // mgcv's shrinkage cubic regression spline there. This pins the
+    // divergence as a NUMBER: fit both bases (equal rank, same knots,
+    // same Poisson IRLS, each at its own GCV-chosen λ) on the known M2
+    // signal and measure the fitted-curve disagreement.
+    val rng = new scala.util.Random(7)
+    val n = 24 * 120
+    val ts = Array.tabulate(n)(i => (i.toLong * 3600L) % 86400)
+    def mu(t: Double) = math.exp(3.0 + 0.8 * math.sin(2 * math.Pi * t / 86400.0))
+    val y = ts.map(t => poisson(rng, mu(t.toDouble)))
+
+    // rank parity: B-spline with 8 uniform knots has 10 basis fns →
+    // drop-first gives 9 smooth cols; cr with 10 knots gives the same
+    val bsp = Spline.uniform(0, 86400, 8)
+    val crs = Crs.uniform(0, 86400, 10)
+    val p = 10
+    val xB = ts.map(t => Array(1.0) ++ bsp.basis(t.toDouble).drop(1))
+    val xC = ts.map(t => Array(1.0) ++ crs.basisRow(t.toDouble).drop(1))
+
+    // embed each smooth's penalty at design offset 1, normalized to
+    // unit max-entry so one λ grid serves both scales (mgcv similarly
+    // rescales each S before smoothing-parameter selection)
+    def embed(s: Array[Array[Double]]): Array[Array[Double]] = {
+      val m = s.map(_.max).max.max(s.map(_.min).min.abs)
+      val out = Array.ofDim[Double](p, p)
+      for (a <- 1 until p; b <- 1 until p) out(a)(b) = s(a)(b) / m
+      out
+    }
+    val penB = embed(Glm.diffPenalty(p, Seq((1, 9)), 1.0))
+    val penC = embed {
+      val full = crs.shrinkPenalty // the "cs" variant the reference fits
+      Array.tabulate(p, p)((a, b) => full(a)(b)) // drop-first: row/col 0 constrained out
+    }
+    def best(x: Array[Array[Double]], pen0: Array[Array[Double]]): Glm.Fit =
+      Seq(1e-4, 1e-2, 1.0, 1e2, 1e4).map { lam =>
+        val pen = pen0.map(_.map(_ * lam))
+        Glm.score(x, y, Glm.fit(x, y, negBin = false, penalty = pen),
+          negBin = false, pen, lam)
+      }.minBy(_.gcv).fit
+
+    val fitB = best(xB, penB)
+    val fitC = best(xC, penC)
+    val grid = 0 until 86400 by 600
+    val (dSum, eBSum, eCSum) = grid.foldLeft((0.0, 0.0, 0.0)) { case ((d, eb, ec), t) =>
+      val pb = Glm.predict(Array(1.0) ++ bsp.basis(t.toDouble).drop(1), fitB.beta)
+      val pc = Glm.predict(Array(1.0) ++ crs.basisRow(t.toDouble).drop(1), fitC.beta)
+      val truth = mu(t.toDouble)
+      (d + math.abs(pb - pc) / ((pb + pc) / 2), eb + math.abs(pb - truth) / truth,
+        ec + math.abs(pc - truth) / truth)
+    }
+    val (relDelta, mreB, mreC) = (dSum / grid.size, eBSum / grid.size, eCSum / grid.size)
+    info(f"mean |B-spline − cr/cs| / mean = $relDelta%.4f " +
+      f"(B-spline MRE vs truth $mreB%.4f, cr/cs MRE $mreC%.4f)")
+    // the divergence number: the two bases must agree with each other
+    // more closely than either agrees with the noisy truth — basis
+    // choice is then demonstrably NOT the binding error term
+    assert(relDelta < 0.10, f"basis divergence $relDelta%.4f")
+    assert(relDelta < math.max(mreB, mreC) + 0.02,
+      f"basis divergence $relDelta%.4f exceeds fit error ($mreB%.4f, $mreC%.4f)")
+    assert(mreB < 0.15 && mreC < 0.15)
   }
 }
