@@ -69,7 +69,9 @@ object Bench {
     def short(k: String): String = k.takeWhile(_ != '_')
     val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // short names here too: a long error list once pushed the line past
+    // the harness's tail capture, front-truncating the JSON beyond repair
+    val errs = results.collect { case (k, _, false) => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // "value" placed last: the harness keeps only the final bytes of

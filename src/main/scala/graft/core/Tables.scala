@@ -14,15 +14,23 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's vectorized reader rejects. Read nanos as long (legacy conf)
-    * and truncate to microsecond timestamps (matching DuckDB's ns→µs
-    * comparison behavior; sub-µs precision is irrelevant downstream).
+  /** The events table has shipped with two physical `ts` encodings across
+    * fixture generations: TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read nanos as long via the legacy conf and truncate
+    * to microseconds, matching DuckDB's ns→µs comparison behavior) and
+    * plain TIMESTAMP(MICROS)/NTZ. Normalize both to session-zone (UTC)
+    * microsecond TimestampType so downstream operators see one type.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Warehouse-style read (directory, possibly hive-partitioned). */

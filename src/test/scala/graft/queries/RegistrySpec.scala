@@ -37,10 +37,10 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
-  test("events source: nanosecond parquet timestamps surface as timestamps") {
-    // the fixture's events.parquet carries TIMESTAMP(NANOS), which the
-    // vectorized reader rejects — Tables.events reads nanos as long and
-    // truncates to µs (core/Tables.scala); this guards that workaround
+  test("events source: parquet timestamps surface as timestamps") {
+    // the fixture's events.parquet has shipped as both TIMESTAMP(NANOS)
+    // (vectorized reader rejects it) and TIMESTAMP(MICROS)/NTZ across
+    // generations — Tables.events normalizes either to µs TimestampType
     val e = Tables.events(spark, "/root/testdata/sf0.001")
     assert(e.schema("ts").dataType == TimestampType)
     assert(e.count() == 1000)
