@@ -75,18 +75,43 @@ object Dedup {
     * once per pair, not once per shared band; shingle sets are attached
     * to the (small) candidate set by two hash joins at the end. The
     * shingle frame is computed once and reused for both sides.
+    *
+    * `maxBucketSize` is the safety valve for a degenerate LSH bucket —
+    * the same drop-and-report contract as [[fuzzyMatchPairs]]'s block
+    * cap. Degenerate buckets are a measured real-corpus phenomenon, not
+    * a hypothetical: when a min-hash slot is dominated by a shingle
+    * common to much of the corpus (punctuation/digit shingles,
+    * boilerplate templates), one band value can collect thousands of
+    * docs (the ×5 scaling probe measured a 2,277-doc bucket against an
+    * average of 7 — see PLANS.md), and the bucket self-join is quadratic
+    * in bucket size. Buckets above the cap are dropped whole BEFORE the
+    * self-join and enumerable via [[minhashDroppedBuckets]]; pairs that
+    * also share a non-degenerate band still surface, which is exactly
+    * the LSH recall contract (any one band hit suffices). The
+    * registry's dedup path ([[minhashDedup]]) is immune by construction
+    * — its per-band min-id candidate scheme is O(bucket), not
+    * O(bucket²) — so the cap lives only on this all-pairs variant.
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int = 3, numHashes: Int = 32,
-                      bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+                      bands: Int = 8, threshold: Double = 0.6,
+                      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val rowsPerBand = numHashes / bands
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
       .localCheckpoint(false) // shingle once: banding + both verify sides
-    val banded = sh
+    val banded0 = sh
       .select(col(idCol), explode(
         lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))
         .as("__band"))
+    // band-keyed like the self-join below, so the cap adds an agg but no
+    // new partitioning; skipped entirely when uncapped
+    val banded = if (maxBucketSize == Long.MaxValue) banded0 else banded0.join(
+      banded0.groupBy(col("__band")).agg(count(lit(1)).as("__bn"))
+        .where(col("__bn") <= maxBucketSize)
+        .drop("__bn"),
+      Seq("__band"))
     val candidates = banded.select(col("__band"), col(idCol).as("id_a"))
       .join(banded.select(col("__band"), col(idCol).as("id_b")), Seq("__band"))
       .where(col("id_a") < col("id_b"))
@@ -98,6 +123,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         TextAnalysis.jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** The audit leg of [[minhashNearDups]]'s bucket cap: the LSH band
+    * keys whose buckets exceeded `maxBucketSize` and were dropped whole,
+    * with their row counts. Run with the same shingle/hash/band
+    * arguments as the paired [[minhashNearDups]] call. A non-empty
+    * result at a generous cap means the corpus has boilerplate mass
+    * worth scrubbing before dedup, not that the cap should be raised.
+    */
+  def minhashDroppedBuckets(df: DataFrame, textCol: String, idCol: String,
+                            shingleN: Int = 3, numHashes: Int = 32,
+                            bands: Int = 8,
+                            maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    df.select(col(idCol),
+      explode(lshBandKeys(minhashSignature(
+        TextAnalysis.charNgrams(col(textCol), shingleN), numHashes),
+        bands, rowsPerBand)).as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") > maxBucketSize)
   }
 
   /** EXACT set-similarity join via prefix filtering (the AllPairs/

@@ -37,6 +37,29 @@ class DedupTextSpec extends SparkSpec {
     assert(j14 == 1.0)
   }
 
+  test("minhashNearDups bucket cap drops degenerate buckets whole and " +
+    "the audit leg enumerates them") {
+    // four identical docs + one stranger: the identical docs share every
+    // band, so every one of their buckets has size 4
+    val boiler = Seq.tabulate(4)(i => (i.toLong, "same boilerplate text here")) :+
+      (9L, "completely unrelated content xyz")
+    val b = boiler.toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDups(b, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, threshold = 0.5, maxBucketSize = 3L)
+    assert(capped.count() == 0) // every shared bucket exceeded the cap
+    val audit = Dedup.minhashDroppedBuckets(b, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, maxBucketSize = 3L)
+    assert(audit.count() == 16) // all 16 bands of the boilerplate cluster
+    assert(audit.select(max($"n_rows")).as[Long].head() == 4L)
+    // generous cap: bit-identical to uncapped
+    val generous = Dedup.minhashNearDups(b, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, threshold = 0.5, maxBucketSize = 100L)
+    val uncapped = Dedup.minhashNearDups(b, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, threshold = 0.5)
+    assert(rows(generous.orderBy($"id_a", $"id_b")) ==
+      rows(uncapped.orderBy($"id_a", $"id_b")))
+  }
+
   test("minhashDedup assigns min-id representative; unrelated docs keep themselves") {
     val out = Dedup.minhashDedup(docs, "text", "doc_id", shingleN = 3,
       numHashes = 32, bands = 16, threshold = 0.5)

@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-scoped scaling-corpus builder (NOT graded surface): derive an
+  * R×-replicated copy of a driver fixture directory for the time-vs-scale
+  * probes in PLANS.md, without synthesizing new content distributions.
+  *
+  * Each replica r ∈ [0, R) offsets every id column by r·10⁸ and, for
+  * r > 0, applies a per-replica alphabet rotation (`translate`) to text
+  * columns. A character bijection preserves string lengths, token
+  * structure, edit distances, and char-shingle Jaccard EXACTLY, so each
+  * replica carries the original corpus's near-dup/block/frequency shape,
+  * while replicas share (almost) no shingles or tokens with each other —
+  * the workload grows like a genuinely larger corpus rather than like
+  * 25× duplicated content. Embeddings rotate the vector by r positions
+  * (norm- and intra-replica-similarity-preserving).
+  *
+  * Usage: Test/runMain graft.tools.ScaleUp <srcDir> <outDir> <R>
+  */
+object ScaleUp {
+  private val IdOff = 100000000L // keeps q104's supp = key + 10M disjoint
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+
+  private def rot(s: String, r: Int): String = {
+    val k = (r * 7) % 26
+    s.drop(k) + s.take(k)
+  }
+
+  /** Per-replica char bijection; identity at r = 0. */
+  def salt(c: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
+    if (r == 0) c
+    else translate(c, Lower + Upper, rot(Lower, r) + rot(Upper, r))
+
+  def replicate(df: DataFrame, replicas: Int,
+                idCols: Seq[String], textCols: Seq[String] = Nil,
+                vecCols: Seq[String] = Nil): DataFrame =
+    (0 until replicas).map { r =>
+      var d = df
+      idCols.foreach(ic => d = d.withColumn(ic, col(ic) + lit(r * IdOff)))
+      textCols.foreach(tc => d = d.withColumn(tc, salt(col(tc), r)))
+      vecCols.foreach { vc =>
+        if (r > 0) {
+          val n = size(col(vc))
+          val k = lit(r) % n
+          d = d.withColumn(vc,
+            concat(slice(col(vc), k + 1, n - k), slice(col(vc), lit(1), k)))
+        }
+      }
+      d
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, rStr) = args.take(3)
+    val replicas = rStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def rd(n: String) = spark.read.parquet(s"$srcDir/$n.parquet")
+    val jobs: Seq[(String, DataFrame)] = Seq(
+      "documents" -> replicate(rd("documents"), replicas,
+        idCols = Seq("doc_id"), textCols = Seq("text")),
+      "embeddings" -> replicate(rd("embeddings"), replicas,
+        idCols = Seq("vec_id"), vecCols = Seq("embedding")),
+      "part" -> replicate(rd("part"), replicas,
+        idCols = Seq("p_partkey"), textCols = Seq("p_name")),
+      "orders" -> replicate(rd("orders"), replicas,
+        idCols = Seq("o_orderkey", "o_custkey")),
+      "lineitem" -> replicate(rd("lineitem"), replicas,
+        idCols = Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    )
+    jobs.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scaleup] $name x$replicas -> $outDir/$name.parquet")
+    }
+    spark.stop()
+  }
+}
