@@ -160,6 +160,17 @@ object Dedup {
     * (prefixes shrink as t grows). Shuffles carry (token, id) pairs and
     * (id_a, id_b) candidates — never documents; docs with empty shingle
     * sets (shorter than the shingle) emit no pairs by definition.
+    *
+    * VOCABULARY CONTRACT (measured, PLANS.md round-8 probe): prefix
+    * filtering is only selective while the token vocabulary is large
+    * relative to the corpus — "rarest tokens first" needs tokens that
+    * are actually rare. Char 3-grams live in a ≤ ~19k-token universe,
+    * so once the corpus saturates it every prefix token carries a huge
+    * posting list and candidate generation degenerates toward Σ p²
+    * (measured: 5,000 docs run in seconds at shingleN ≥ 5 but >100×
+    * longer at shingleN = 3). At corpus scale use shingleN ≥ 5 (or
+    * word-level shingles), or [[minhashDedup]] when the threshold is
+    * loose enough for LSH.
     */
   def similarityJoinPrefix(df: DataFrame, textCol: String, idCol: String,
                            shingleN: Int = 4, threshold: Double = 0.7): DataFrame = {
