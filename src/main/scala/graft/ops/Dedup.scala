@@ -251,6 +251,12 @@ object Dedup {
     * Returns (id_a < id_b, containment_ppm, jaccard_ppm) for pairs
     * clearing the containment bar. Shuffles carry (token, id) pairs and
     * (id_a, id_b) candidates — never documents.
+    *
+    * The [[similarityJoinPrefix]] VOCABULARY CONTRACT applies with more
+    * force here (the asymmetric join already fans out more): prefix
+    * selectivity requires a token universe large relative to the
+    * corpus, so at corpus scale use shingleN ≥ 5 / word shingles —
+    * char 3-grams saturate and degenerate toward posting-list².
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        shingleN: Int = 3,

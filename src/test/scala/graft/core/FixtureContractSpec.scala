@@ -30,6 +30,23 @@ class FixtureContractSpec extends SparkSpec {
     assert(t("event_type") == StringType && t("user_id") == LongType)
   }
 
+  test("events: the TIMESTAMP(NANOS) legacy branch still decodes (committed fixture)") {
+    // the regenerated driver fixtures dropped the nanos encoding, which
+    // would leave Tables.events' nanos-as-long branch dead-untested;
+    // this committed 3-row parquet (timestamp[ns]) keeps it covered
+    val tmp = java.nio.file.Files.createTempDirectory("nanos_fixture")
+    val res = getClass.getResourceAsStream("/events_nanos.parquet")
+    assert(res != null, "events_nanos.parquet test resource missing")
+    java.nio.file.Files.copy(res, tmp.resolve("events.parquet"))
+    val e = Tables.events(spark, tmp.toString)
+    assert(e.schema("ts").dataType == TimestampType)
+    val ts = e.orderBy("user_id").select("ts").collect()
+      .map(_.getTimestamp(0).toInstant.toString)
+    // nanos truncate to µs: ...000000001ns → ...000000µs, ...123456789ns → ...123456µs
+    assert(ts.toSeq == Seq("2023-11-14T22:13:20Z", "2023-11-14T22:13:20.123456Z",
+      "2023-11-14T23:13:20.999999Z"), ts.toSeq.toString)
+  }
+
   test("documents: id/text/lang columns keep their contracted types") {
     val t = typesOf("documents")
     assert(t("doc_id") == LongType && t("text") == StringType &&
