@@ -96,6 +96,63 @@ object Streams {
     df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** The dedup family's store-backed streaming leg — q85's incremental
+    * dedup driven from a STREAM of document-arrival batches, completing
+    * the batch/stream parity triad (15-min agg r6, SCD-2 r7, dedup
+    * store r8). Arrivals carry an `arrivalCol` batch label; each
+    * micro-batch may contain several arrival batches (a backfill), and
+    * they fold in label order — [[graft.ops.Dedup.incrementalDedup]]
+    * decisions against the store-so-far append to `decisionsDir`, then
+    * the batch's store contribution (min-id doc per text not already in
+    * the store, via [[graft.ops.Dedup.exactDedup]] + the non-exact-dup
+    * decisions) appends to `storeDir`, keeping the store md5-unique.
+    * The first-ever arrival bootstraps an empty store.
+    *
+    * State discipline mirrors [[scd2Stream]]: the store IS the state,
+    * kept in the warehouse (unique-text sized, not arrival-sized);
+    * per-fold frames are eagerly checkpointed before any write so no
+    * plan re-reads a path mid-overwrite; `foreachBatch` + the
+    * checkpoint give exactly-once-per-batch folds across restarts. The
+    * per-batch distinct-labels collect is bounded by batches-per-
+    * trigger, never rows.
+    */
+  def dedupStream(arrivals: DataFrame, arrivalCol: String,
+                  textCol: String, idCol: String,
+                  storeDir: String, decisionsDir: String,
+                  checkpointDir: String,
+                  shingleN: Int = 3, threshold: Double = 0.7): Unit = {
+    import graft.ops.Dedup
+    val spark = arrivals.sparkSession
+    val q = arrivals.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val labels = batch.select(col(arrivalCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).sorted
+        labels.foreach { label =>
+          val arrival = batch.where(col(arrivalCol).cast("string") === label)
+            .select(col(idCol), col(textCol))
+          val store =
+            if (new java.io.File(storeDir).exists()) spark.read.parquet(storeDir)
+            else arrival.limit(0)
+          val decisions = Dedup.incrementalDedup(arrival, store,
+            textCol, idCol, shingleN, threshold)
+            .withColumn(arrivalCol, lit(label))
+            .localCheckpoint(true) // materialize BEFORE touching storeDir
+          decisions.write.mode("append").parquet(decisionsDir)
+          val adds = Dedup.exactDedup(arrival, textCol, idCol)
+            .join(decisions.where(!col("exact_dup")).select(col(idCol)),
+              Seq(idCol), "leftsemi")
+            .select(col(idCol), col(textCol))
+            .localCheckpoint(true)
+          adds.write.mode("append").parquet(storeDir)
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** J8's streaming form: enrich the stream against a STATIC dimension
     * with a broadcast hash join — stateless, no watermark; the dim
     * rides to executors with each micro-batch plan, so the stream never

@@ -387,4 +387,75 @@ class StreamsSpec extends SparkSpec {
     assert(changes.contains("Detector Removed"))
     assert(changes.contains("New Detector Added"))
   }
+
+  test("batch/stream parity: dedupStream decisions and store hash-equal a " +
+    "sequential batch fold of the same arrivals (dedup streaming leg)") {
+    val srcDir = Files.createTempDirectory("dd_src").toString
+    val ckDir = Files.createTempDirectory("dd_ck").toString
+    val base = Files.createTempDirectory("dd_out").toString
+    val (storeDir, decDir) = (base + "/store", base + "/decisions")
+
+    // three arrival batches covering the decision space: bootstrap,
+    // exact dup vs store, near dup vs store, within-batch exact dups
+    // (both vs store-absent and store-present text), id reuse across
+    // batches, and an unrelated doc
+    val arrivals = Seq(
+      "b1" -> Seq((1L, "the quick brown fox jumps over the lazy dog"),
+                  (2L, "an utterly unrelated document about engines")),
+      "b2" -> Seq((1L, "the quick brown fox jumps over the lazy dog"), // exact vs store (+id reuse)
+                  (3L, "the quick brown fox jumps over the lazy cat"), // near vs store
+                  (4L, "fresh text with no earlier relative at all"),
+                  (5L, "fresh text with no earlier relative at all")), // within-batch dup
+      "b3" -> Seq((6L, "an utterly unrelated document about engines"), // exact vs store
+                  (7L, "the quick brown fox jumps over the lazy cat"))) // exact vs b2 addition
+    def arrDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+    // first drain sees b1–b2 (possibly ONE micro-batch — the label-
+    // ordered fold must split them); b3 arrives after a restart,
+    // proving the store state carries across runs
+    arrivals.take(2).foreach { case (label, rows) =>
+      arrDf(rows).withColumn("arrival", lit(label)).write.parquet(s"$srcDir/$label")
+    }
+    def drain(): Unit = Streams.dedupStream(
+      spark.readStream.schema("doc_id long, text string, arrival string")
+        .parquet(srcDir + "/*"),
+      "arrival", "text", "doc_id", storeDir, decDir, ckDir,
+      shingleN = 3, threshold = 0.7)
+    drain()
+    arrivals.drop(2).foreach { case (label, rows) =>
+      arrDf(rows).withColumn("arrival", lit(label)).write.parquet(s"$srcDir/$label")
+    }
+    drain()
+
+    // batch replay: the same fold, as a plain driver loop
+    var store = arrDf(Nil).limit(0)
+    val decisionFrames = arrivals.map { case (label, rows) =>
+      val arrival = arrDf(rows)
+      val d = graft.ops.Dedup.incrementalDedup(arrival, store,
+        "text", "doc_id", 3, 0.7).withColumn("arrival", lit(label))
+        .localCheckpoint(true)
+      val adds = graft.ops.Dedup.exactDedup(arrival, "text", "doc_id")
+        .join(d.where(!$"exact_dup").select($"doc_id"), Seq("doc_id"), "leftsemi")
+        .select($"doc_id", $"text")
+      store = store.unionByName(adds).localCheckpoint(true)
+      d
+    }
+    val replayDecisions = decisionFrames.reduce(_ unionByName _)
+
+    val streamedDec = spark.read.parquet(decDir)
+    val streamedStore = spark.read.parquet(storeDir)
+    assert(canonicalHash(streamedDec) == canonicalHash(replayDecisions))
+    assert(canonicalHash(streamedStore) == canonicalHash(store))
+    // content sanity: the store is md5-unique with min-id canonicals
+    assert(streamedStore.count() == 4) // dog, engines, cat, fresh
+    assert(streamedStore.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    val dec = streamedDec.collect().map(r => (r.getString(4), r.getLong(0)) ->
+      (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(dec(("b2", 1L))._1) // exact dup vs store despite id reuse
+    val (b2n3, b2best, b2j) = dec(("b2", 3L))
+    assert(!b2n3 && b2best == Some(1L) && b2j.isDefined) // near dup of store doc 1
+    assert(dec(("b3", 6L))._1 && dec(("b3", 7L))._1) // both exact vs grown store
+    assert(!dec(("b2", 4L))._1 && !dec(("b2", 5L))._1) // within-batch dups both novel vs store
+  }
 }
