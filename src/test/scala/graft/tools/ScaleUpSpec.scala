@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Guards the property PLANS.md's scaling evidence rests on: ScaleUp's
+  * per-replica alphabet rotation is a character BIJECTION, so every
+  * similarity structure the probed operators compute — char-shingle
+  * Jaccard, edit distance, token boundaries — is preserved exactly
+  * within a replica, while replicas share (almost) no letter shingles.
+  */
+class ScaleUpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("salt is a bijection: lengths, jaccard, and edit distance are invariant") {
+    val salted = docs.select($"doc_id", ScaleUp.salt($"text", 3).as("text"))
+    // lengths unchanged
+    assert(rows(docs.select(length($"text"))) == rows(salted.select(length($"text"))))
+    def jac(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = rows(
+      df.as("a").join(df.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id", $"b.doc_id",
+          graft.ops.TextAnalysis.jaccard(
+            graft.ops.TextAnalysis.charNgrams($"a.text", 3),
+            graft.ops.TextAnalysis.charNgrams($"b.text", 3)).as("j"))
+        .orderBy($"a.doc_id", $"b.doc_id"))
+    assert(jac(docs) == jac(salted))
+    def lev(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = rows(
+      df.as("a").join(df.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select(levenshtein($"a.text", $"b.text"))
+        .orderBy($"a.doc_id", $"b.doc_id"))
+    assert(lev(docs) == lev(salted))
+    // r = 0 is the identity
+    assert(rows(docs.select(ScaleUp.salt($"text", 0))) == rows(docs.select($"text")))
+  }
+
+  test("replicas are vocabulary-disjoint on letter tokens, ids offset, counts scale") {
+    val x3 = ScaleUp.replicate(docs, 3, idCols = Seq("doc_id"), textCols = Seq("text"))
+    assert(x3.count() == 9)
+    assert(rows(x3.groupBy().agg(countDistinct($"doc_id"))) == Seq(Seq(9L)))
+    // letter words from different replicas never coincide
+    val words = x3.select(($"doc_id" / 100000000L).cast("long").as("rep"),
+        explode(split($"text", " ")).as("w"))
+      .where($"w".rlike("^[a-zA-Z]+$"))
+    val crossRep = words.as("a").join(words.as("b"),
+      $"a.w" === $"b.w" && $"a.rep" =!= $"b.rep")
+    assert(crossRep.count() == 0)
+  }
+}
