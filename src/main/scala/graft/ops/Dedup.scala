@@ -135,7 +135,11 @@ object Dedup {
   def minhashDroppedBuckets(df: DataFrame, textCol: String, idCol: String,
                             shingleN: Int = 3, numHashes: Int = 32,
                             bands: Int = 8,
-                            maxBucketSize: Long = Long.MaxValue): DataFrame = {
+                            maxBucketSize: Long): DataFrame = {
+    // no default: a Long.MaxValue cap makes the filter unsatisfiable and
+    // the audit a silent no-op that reads as "nothing dropped"
+    require(maxBucketSize >= 2 && maxBucketSize < Long.MaxValue,
+      s"maxBucketSize must be a real cap in [2, Long.MaxValue), got $maxBucketSize")
     val rowsPerBand = numHashes / bands
     df.select(col(idCol),
       explode(lshBandKeys(minhashSignature(
@@ -171,9 +175,40 @@ object Dedup {
     * longer at shingleN = 3). At corpus scale use shingleN ≥ 5 (or
     * word-level shingles), or [[minhashDedup]] when the threshold is
     * loose enough for LSH.
+    *
+    * The contract is ENFORCED, not just documented, by two mechanisms
+    * (round-9; calibration table in PLANS.md):
+    *
+    *  - '''Saturation guard''' (on by default): before the candidate
+    *    self-join runs, the plan computes the EXACT size of its output,
+    *    Σ over prefix tokens of (prefix-posting-list length)² — one
+    *    tiny aggregate over the already-materialized prefix table — and
+    *    raises a `SATURATED VOCABULARY` error with the remedies when it
+    *    exceeds `maxCandidateVolume`. The default (150M) is calibrated
+    *    against the round-8 probe: both measured ~8 s configurations
+    *    (2,400 docs @ shingleN=3 → 52M; 5,000 docs @ shingleN=5 → 79M)
+    *    clear it ~2×, the measured >300 s cliff (5,000 docs @
+    *    shingleN=3 → 226M) trips it, and healthy corpora sit 3–4 orders
+    *    of magnitude below. On a large cluster raise the budget
+    *    deliberately — the point is that crossing the cliff is a
+    *    decision, never a silent default. `Long.MaxValue` disarms.
+    *
+    *  - '''Posting-list cap''' (opt-in `maxPostings`): tokens whose
+    *    GLOBAL posting list (number of docs containing the shingle)
+    *    exceeds the cap are dropped from candidate generation — the
+    *    same drop-and-report contract as [[fuzzyMatchPairs]]'s block
+    *    cap and [[minhashNearDups]]'s bucket cap. Recall loss is
+    *    exactly the pairs whose ONLY shared prefix token is that hot;
+    *    dropped tokens are enumerable via
+    *    [[similarityJoinDroppedTokens]] with the same arguments. The
+    *    cap filter runs AFTER prefix ranking (membership in the prefix
+    *    window is decided by the full global ordering first), so it
+    *    never adds candidates, only removes them.
     */
   def similarityJoinPrefix(df: DataFrame, textCol: String, idCol: String,
-                           shingleN: Int = 4, threshold: Double = 0.7): DataFrame = {
+                           shingleN: Int = 4, threshold: Double = 0.7,
+                           maxPostings: Long = Long.MaxValue,
+                           maxCandidateVolume: Long = 150000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The shingle table feeds three consumers (token explode + both sides
     // of the verification join) and the prefix table self-joins; without
@@ -187,14 +222,38 @@ object Dedup {
     val toks = sh.select(col(idCol), size(col("__sh")).as("__len"),
       explode(col("__sh")).as("__tok"))
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
-    val prefix = toks.join(freq, Seq("__tok"))
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val prefix0 = toks.join(freq, Seq("__tok"))
       .withColumn("__r", row_number().over(Window.partitionBy(col(idCol))
         .orderBy(col("__freq").asc, col("__tok").asc)))
       // t*len can land epsilon above an integer in doubles (e.g. 0.7*10);
       // ceil would then over-shoot and shorten the prefix, dropping exact pairs
       .where(col("__r") <= col("__len") - ceil(lit(threshold) * col("__len") - lit(1e-9)) + 1)
+      // cap AFTER ranking: prefix membership is decided by the full global
+      // ordering, then hot tokens are removed — never adds candidates
+      .where(col("__freq") <= maxPostings)
       .select(col("__tok"), col(idCol), col("__len"), col("__r"))
       .localCheckpoint(false) // self-joined below: run freq+window once
+    // Saturation guard: Σ pf² over prefix tokens IS the candidate-join
+    // output size (pre length-filter) — one small agg over the
+    // checkpointed prefix table, asserted in-plan via a broadcast 1-row
+    // frame so the job fails fast with the remedy instead of grinding
+    // through a degenerate self-join.
+    val prefix = if (maxCandidateVolume == Long.MaxValue) prefix0 else {
+      val cost = prefix0.groupBy(col("__tok")).agg(count(lit(1)).as("__pf"))
+        .agg(coalesce(sum(col("__pf") * col("__pf")), lit(0L)).as("__cost"))
+      prefix0.crossJoin(broadcast(cost))
+        .where(coalesce(assert_true(col("__cost") <= maxCandidateVolume,
+          concat(lit("similarityJoinPrefix: SATURATED VOCABULARY — estimated " +
+            "candidate volume "), col("__cost"),
+            lit(s" exceeds maxCandidateVolume=$maxCandidateVolume (shingleN=" +
+              s"$shingleN). Remedies: raise shingleN (>=5) or use word-level " +
+              "shingles; set maxPostings to drop-and-report hot tokens " +
+              "(audit: similarityJoinDroppedTokens); use minhashDedup if the " +
+              "threshold tolerates LSH; or raise maxCandidateVolume " +
+              "deliberately for a larger cluster."))).cast("boolean"), lit(true)))
+        .drop("__cost")
+    }
     // PPJoin positional filter (Xiao et al. 2008): the aggregation picks
     // each pair's FIRST common prefix token (min rank — sound because
     // both docs order tokens by one global (freq, tok) order, so an
@@ -227,6 +286,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         TextAnalysis.jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** The audit leg of [[similarityJoinPrefix]]'s posting-list cap: the
+    * shingle tokens whose GLOBAL posting lists (number of documents
+    * containing the shingle) exceed `maxPostings` and were therefore
+    * excluded from candidate generation, with their posting counts. Run
+    * with the same `shingleN` as the paired join call. A non-empty
+    * result at a generous cap means the corpus's shingle vocabulary is
+    * saturating — raise `shingleN` or switch to word shingles — not
+    * that the cap should be raised. `maxPostings` must be a real cap: a
+    * Long.MaxValue default would make the filter unsatisfiable and the
+    * audit a silent no-op, which reads as "nothing dropped".
+    */
+  def similarityJoinDroppedTokens(df: DataFrame, textCol: String,
+                                  shingleN: Int, maxPostings: Long): DataFrame = {
+    require(maxPostings >= 1 && maxPostings < Long.MaxValue,
+      s"maxPostings must be a real cap in [1, Long.MaxValue), got $maxPostings")
+    df.select(explode(TextAnalysis.charNgrams(col(textCol), shingleN)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_postings"))
+      .where(col("n_postings") > maxPostings)
   }
 
   /** EXACT containment join — the asymmetric cousin of

@@ -141,6 +141,41 @@ object TextQueries {
       },
       None),
 
+    // ---- the all-pairs MinHash variant with its bucket cap ARMED — the
+    //      pattern users should copy (mirror of q144's armed block cap):
+    //      a generous-by-measurement cap (max fixture bucket is 407 at
+    //      sf0.1 on this slice, 210 at sf0.01 — see PLANS.md) keeps the
+    //      result bit-identical to uncapped here, while a degenerate
+    //      boilerplate bucket at scale is dropped-and-reported instead
+    //      of going quadratic. Engine-specific band hashes → rows-only;
+    //      q147 is the oracled audit leg asserting zero drops ----
+    Q("q149_minhash_capped",
+      (s, dir) => {
+        Dedup.minhashNearDups(
+          Tables.load(s, dir, "documents").where(col("doc_id") < 1000),
+          "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8,
+          threshold = 0.6, maxBucketSize = 1000L)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      None),
+
+    // ---- the audit leg of q149's armed bucket cap: LSH band keys whose
+    //      buckets exceed the cap (dropped whole from the self-join).
+    //      The band keys are engine-specific xxhash64-family values a
+    //      SQL engine cannot recompute, but the ASSERTION — the cap
+    //      dropped NOTHING on this corpus, so q149 is bit-identical to
+    //      its uncapped form — is exactly "this result is empty", which
+    //      the oracle states directly. Non-empty at scale names the
+    //      degenerate buckets and their sizes: scrub the boilerplate,
+    //      don't raise the cap ----
+    Q("q147_minhash_audit",
+      (s, dir) => Dedup.minhashDroppedBuckets(
+        Tables.load(s, dir, "documents").where(col("doc_id") < 1000),
+        "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8,
+        maxBucketSize = 1000L),
+      Some("""SELECT CAST(NULL AS BIGINT) AS band, CAST(NULL AS BIGINT) AS n_rows
+              WHERE 1 = 0""")),
+
     // ---- SimHash fingerprints + near-pairs (rows-only) ----
     Q("q36_simhash",
       (s, dir) => {
@@ -458,10 +493,18 @@ object TextQueries {
       (s, dir) => {
         // 3-gram shingles at t=0.7: the corpus's near-dup tail clears
         // the bar at every sf (4-gram jaccard tops out below 0.5 at
-        // sf0.1, which would make the query vacuous there)
+        // sf0.1, which would make the query vacuous there). Both
+        // vocabulary-contract enforcements are armed: the default
+        // saturation guard (this slice's candidate volume is ~0.8M,
+        // far under the 150M budget), and a generous posting cap —
+        // bit-identical here (posting lists are bounded by the 300-doc
+        // slice, so 2000 never trips; q148 is the audit leg asserting
+        // nothing was dropped) while a saturated corpus at scale gets
+        // drop-and-report instead of a silent cliff ----
         Dedup.similarityJoinPrefix(
           Tables.load(s, dir, "documents").where(col("doc_id") < 300),
-          "text", "doc_id", shingleN = 3, threshold = 0.7)
+          "text", "doc_id", shingleN = 3, threshold = 0.7,
+          maxPostings = 2000L)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       },
       Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
@@ -480,6 +523,26 @@ object TextQueries {
                      round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
               FROM pairs
               WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.7""")),
+
+    // ---- the audit leg of q59's armed posting-list cap: shingle tokens
+    //      whose global posting lists exceed the cap (excluded from
+    //      candidate generation). Empty here — the oracled assertion
+    //      that q59's cap dropped NOTHING, so its result is
+    //      bit-identical to the uncapped form; non-empty at scale means
+    //      "the vocabulary is saturating: raise shingleN / use word
+    //      shingles", with the offending tokens and counts in hand ----
+    Q("q148_similarity_audit",
+      (s, dir) => Dedup.similarityJoinDroppedTokens(
+        Tables.load(s, dir, "documents").where(col("doc_id") < 300),
+        "text", shingleN = 3, maxPostings = 2000L),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+              sh AS (
+                SELECT doc_id,
+                  unnest(list_distinct([substr(text, CAST(i AS INTEGER), 3)
+                    FOR i IN generate_series(1, greatest(length(text) - 2, 0))])) AS token
+                FROM d)
+              SELECT token, count(*) AS n_postings
+              FROM sh GROUP BY token HAVING count(*) > 2000""")),
 
     // ---- deflate compression ratio (engine-internal codec → rows-only) ----
     Q("q55_compression_ratio",

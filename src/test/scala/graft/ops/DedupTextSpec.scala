@@ -98,6 +98,62 @@ class DedupTextSpec extends SparkSpec {
     assert(brute.nonEmpty) // the corpus actually exercises the join
   }
 
+  test("similarityJoinPrefix saturation guard fails fast on a saturated " +
+    "vocabulary with the documented remedy; posting cap completes with audit") {
+    // 60 docs over a 3-letter alphabet: the 3-gram universe is ≤ 27
+    // tokens, so every posting list is huge relative to the corpus —
+    // the measured round-8 cliff shape in miniature
+    val rnd = new scala.util.Random(11)
+    val sat = (0L until 60L).map { i =>
+      (i, (1 to 40).map(_ => "abc" (rnd.nextInt(3))).mkString)
+    }.toDF("doc_id", "text")
+    // guard armed at a unit-test-sized budget: the job dies BEFORE the
+    // candidate self-join with the remedy in the message
+    val ex = intercept[Exception] {
+      Dedup.similarityJoinPrefix(sat, "text", "doc_id", shingleN = 3,
+        threshold = 0.5, maxCandidateVolume = 1000L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("SATURATED VOCABULARY")),
+      s"guard error should carry the remedy, got: ${messages(ex).mkString(" | ")}")
+    // the posting-list cap is the drop-and-report escape hatch: hot
+    // tokens leave candidate generation, the job completes under the
+    // same budget, and the audit leg names what was dropped
+    val capped = Dedup.similarityJoinPrefix(sat, "text", "doc_id", shingleN = 3,
+      threshold = 0.5, maxPostings = 5L, maxCandidateVolume = 1000L)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val audit = Dedup.similarityJoinDroppedTokens(sat, "text",
+      shingleN = 3, maxPostings = 5L)
+    assert(audit.count() > 0)
+    assert(audit.select(min($"n_postings")).as[Long].head() > 5L)
+    // capped never invents pairs: subset of the uncapped exact answer
+    val uncapped = Dedup.similarityJoinPrefix(sat, "text", "doc_id", shingleN = 3,
+      threshold = 0.5, maxCandidateVolume = Long.MaxValue)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+  }
+
+  test("similarityJoinPrefix generous posting cap is bit-identical to uncapped " +
+    "and its audit is empty; default guard passes a healthy corpus") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector.fill(40)((1 to 7).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val base = Vector.fill(25)(vocab(rnd.nextInt(vocab.size)))
+    val corpus = (0L until 30L).map { i =>
+      val words =
+        if (i < 15) base.map(w => if (rnd.nextInt(8) == 0) vocab(rnd.nextInt(vocab.size)) else w)
+        else Vector.fill(25)(vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairs(mp: Long) =
+      rows(Dedup.similarityJoinPrefix(corpus, "text", "doc_id", shingleN = 4,
+        threshold = 0.6, maxPostings = mp).orderBy($"id_a", $"id_b"))
+    val generous = pairs(1000L)   // no posting list comes near 1000
+    val uncapped = pairs(Long.MaxValue) // default guard armed on both
+    assert(generous == uncapped && generous.nonEmpty)
+    assert(Dedup.similarityJoinDroppedTokens(corpus, "text", 4, 1000L).count() == 0)
+  }
+
   test("similarityJoinPrefix boundary: pair with jaccard exactly == threshold " +
     "survives the float length filter and prefix ceil") {
     // 23 distinct chars -> 20 distinct 4-grams; the 14-char prefix -> 11,
