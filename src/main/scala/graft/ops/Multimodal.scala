@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * batches. The IMAGE codec is REAL — `javax.imageio` ships in the JDK
   * (PNG/JPEG/GIF/BMP), so image payloads decode to true width/height
   * and a downsampled-luminance feature with zero external
-  * dependencies. Audio/video remain a clearly-marked deterministic
-  * STUB (no such codecs exist in the JDK); a production deployment
-  * swaps `stubDecode` for a real codec (e.g. an FFmpeg JNI binding)
-  * without touching any of the distribution logic — both paths share
-  * one schema and one batching shape.
+  * dependencies. The AUDIO codec is REAL too — `javax.sound.sampled`
+  * is equally JDK-only, so WAV/PCM payloads decode to true sample
+  * rate, channel count, duration, windowed RMS, and peak. VIDEO
+  * remains a clearly-marked deterministic STUB (the JDK ships no video
+  * codec); a production deployment swaps `stubDecode` for a real codec
+  * (e.g. an FFmpeg JNI binding) without touching any of the
+  * distribution logic — all paths share one schema and one batching
+  * shape.
   *
   * Scale: payloads never shuffle — every operator is a mapPartitions
   * projection; only the (small) extracted features move. Batch size
@@ -31,15 +34,21 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", IntegerType, nullable = true)))
 
-  /** `width`/`height` are the DECODED dimensions (null on the stub
-    * path — byte statistics have no geometry).
+  /** `width`/`height` are the DECODED image dimensions;
+    * `sample_rate`/`channels`/`duration_ms`/`peak` are the DECODED
+    * audio properties. Each group is null off its own codec path (byte
+    * statistics have neither geometry nor a time axis).
     */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
-    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("duration_ms", IntegerType, nullable = true),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("peak", FloatType, nullable = true)))
 
   // ImageIO's default scratch cache is a temp FILE per decode — at one
   // decode per row that is an I/O disaster; keep scratch in memory
@@ -85,9 +94,86 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL audio decode via the JDK's `javax.sound.sampled`: WAV/PCM
+    * payload → (sample_rate, channels, duration_ms, `dim`-window RMS
+    * feature, global peak). Frames are channel-averaged to mono,
+    * normalized to [−1, 1], and reduced to root-mean-square per `dim`
+    * equal time windows — the audio analogue of [[decodeImage]]'s
+    * bucketed luminance (a fixed-length loudness envelope independent
+    * of clip length, usable by the same downstream signature ops).
+    * Returns None when the bytes aren't RIFF/WAVE (cheap magic sniff —
+    * no exception cost on image/stub payloads), aren't integer PCM of
+    * 8 or 16 bits, or exceed `maxFrames` (the audio decompression-bomb
+    * guard), at which point callers fall back to [[stubDecode]].
+    */
+  private[ops] def decodeWav(payload: Array[Byte], dim: Int,
+                             maxFrames: Long = 1L << 24)
+      : Option[(Int, Int, Int, Array[Float], Float)] = {
+    if (payload == null || payload.length < 44) return None
+    if (!(payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+          payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+          payload(10) == 'V' && payload(11) == 'E')) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!signed && enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+          return None
+        val channels = fmt.getChannels
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
+        val nFrames = in.getFrameLength
+        if (channels < 1 || bytesPerSample < 1 || bytesPerSample > 2 ||
+            nFrames <= 0 || nFrames > maxFrames) return None
+        val sampleRate = math.round(fmt.getSampleRate)
+        if (sampleRate <= 0) return None
+        val bytes = in.readAllBytes()
+        val frameBytes = bytesPerSample * channels
+        val frames = math.min(nFrames, bytes.length / frameBytes).toInt
+        if (frames <= 0) return None
+        val sumsq = new Array[Double](dim)
+        val cnts = new Array[Long](dim)
+        var peak = 0.0
+        var f = 0
+        while (f < frames) {
+          var c = 0
+          var acc = 0.0
+          while (c < channels) {
+            val off = f * frameBytes + c * bytesPerSample
+            val s =
+              if (bytesPerSample == 1) {
+                if (signed) bytes(off) / 128.0 else ((bytes(off) & 0xFF) - 128) / 128.0
+              } else {
+                val (b0, b1) =
+                  if (fmt.isBigEndian) (bytes(off + 1), bytes(off)) else (bytes(off), bytes(off + 1))
+                val raw = ((b1 << 8) | (b0 & 0xFF)).toShort.toInt
+                (if (signed) raw else ((raw & 0xFFFF) - 32768)) / 32768.0
+              }
+            acc += s
+            c += 1
+          }
+          val mono = acc / channels
+          if (math.abs(mono) > peak) peak = math.abs(mono)
+          val idx = ((f.toLong * dim) / frames).toInt
+          sumsq(idx) += mono * mono
+          cnts(idx) += 1
+          f += 1
+        }
+        val durationMs = (nFrames * 1000L / sampleRate).toInt
+        Some((sampleRate, channels, durationMs,
+          Array.tabulate(dim)(i =>
+            if (cnts(i) == 0) 0f else math.sqrt(sumsq(i) / cnts(i)).toFloat),
+          peak.toFloat))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
   /** STUB decode — deterministic bytes→feature map standing in for a
-    * real codec. Produces a `dim`-length feature from byte statistics;
-    * same payload ⇒ same feature on any executor.
+    * real codec (VIDEO only, since round 9). Produces a `dim`-length
+    * feature from byte statistics; same payload ⇒ same feature on any
+    * executor.
     */
   private[ops] def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -105,11 +191,13 @@ object Multimodal {
 
   /** Feature extraction over binary payloads: mapPartitions in batches
     * of `batchSize` rows (the mapInPandas batch shape, Scala-side).
-    * Each payload first attempts the REAL ImageIO decode (format
-    * sniffing on the magic bytes is cheap for non-images) and falls
-    * back to the deterministic stub — so PNG/JPEG payloads yield true
-    * geometry + luminance features while opaque audio/video bytes get
-    * the stub signature, one schema for both.
+    * Each payload is sniffed by magic bytes (cheap — no exception
+    * cost): PNG/JPEG/GIF/BMP take the REAL ImageIO decode (true
+    * geometry + luminance buckets), RIFF/WAVE takes the REAL
+    * `javax.sound.sampled` decode (true sample rate / channels /
+    * duration + windowed-RMS envelope + peak), and anything else —
+    * video and opaque bytes — falls back to the deterministic stub.
+    * One schema for all three paths.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16,
                       batchSize: Int = 64): DataFrame = {
@@ -124,10 +212,17 @@ object Multimodal {
             decodeImage(payload, dim) match {
               case Some((w, h, feat)) =>
                 Row(r.getLong(0), nBytes,
-                  Integer.valueOf(w), Integer.valueOf(h), feat.toSeq)
-              case None =>
-                Row(r.getLong(0), nBytes, null, null,
-                  stubDecode(payload, dim).toSeq)
+                  Integer.valueOf(w), Integer.valueOf(h),
+                  null, null, null, feat.toSeq, null)
+              case None => decodeWav(payload, dim) match {
+                case Some((rate, ch, ms, rms, peak)) =>
+                  Row(r.getLong(0), nBytes, null, null,
+                    Integer.valueOf(rate), Integer.valueOf(ch),
+                    Integer.valueOf(ms), rms.toSeq, java.lang.Float.valueOf(peak))
+                case None =>
+                  Row(r.getLong(0), nBytes, null, null, null, null, null,
+                    stubDecode(payload, dim).toSeq, null)
+              }
             }
           }
         }
@@ -171,6 +266,52 @@ object Multimodal {
         val baos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", baos)
         Row(id, "image", baos.toByteArray, size, size, null)
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Deterministic WAV fixture generator — the audio sibling of
+    * [[syntheticPng]]: one real RIFF/WAVE payload per id (16-bit
+    * signed PCM mono, 8 kHz, `samples` frames), REAL bytes from the
+    * JDK's `AudioSystem` WAVE writer, so the `javax.sound.sampled`
+    * decode path is exercised end-to-end at fixture scale. The signal
+    * is a pure function of the id: a ±0.25 full-scale square wave
+    * whose half-period is keyed by `id mod 32` (ids sharing a base
+    * sound near-identical — the near-dup structure the signature ops
+    * mine) plus one id-keyed spike sample (so same-base clips are
+    * close, not equal). ±8192/32768 = ±0.25 is exact in binary
+    * floating point, so windowed RMS and peak decode to exactly 0.25 —
+    * the spec anchors on that. Payload generation never shuffles.
+    */
+  def syntheticWav(ids: DataFrame, idCol: String, samples: Int = 400,
+                   sampleRate: Int = 8000): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val half = 2 + (id % 32).toInt // square-wave half-period in frames
+        val pcm = new Array[Byte](samples * 2)
+        var f = 0
+        while (f < samples) {
+          val amp: Short = if ((f / half) % 2 == 0) 8192 else -8192
+          pcm(2 * f) = (amp & 0xFF).toByte          // little-endian
+          pcm(2 * f + 1) = ((amp >> 8) & 0xFF).toByte
+          f += 1
+        }
+        val spikePos = ((id / 32) % samples).toInt  // id-keyed uniqueness
+        val spike: Short = (4096 + (id * 13) % 4096).toShort
+        pcm(2 * spikePos) = (spike & 0xFF).toByte
+        pcm(2 * spikePos + 1) = ((spike >> 8) & 0xFF).toByte
+        val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        Row(id, "audio", baos.toByteArray, null, null,
+          Integer.valueOf((samples.toLong * 1000 / sampleRate).toInt))
       }
     }
     spark.createDataFrame(rdd, mediaSchema)

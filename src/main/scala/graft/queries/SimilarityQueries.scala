@@ -149,27 +149,37 @@ object SimilarityQueries {
     // ---- multimodal: batched feature extraction over binary payloads.
     //      Image rows carry REAL PNG payloads (deterministic fixture
     //      encoder) decoded by the REAL JDK ImageIO codec — true
-    //      geometry + luminance features; audio/video rows carry opaque
-    //      bytes on the deterministic stub path, same schema ----
+    //      geometry + luminance features; audio rows carry REAL WAV
+    //      payloads (deterministic fixture encoder) decoded by the REAL
+    //      JDK javax.sound.sampled codec — true sample rate / channels /
+    //      duration + RMS envelope + peak; video rows carry opaque
+    //      bytes on the deterministic stub path, one schema for all ----
     Q("q44_multimodal_features",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val pngs = graft.ops.Multimodal.syntheticPng(
           docs.where(col("doc_id") % 3 === 0), "doc_id")
-          .select(col("media_id"), col("payload").as("__png"))
+          .select(col("media_id").as("__png_id"), col("payload").as("__png"))
+        val wavs = graft.ops.Multimodal.syntheticWav(
+          docs.where(col("doc_id") % 3 === 1), "doc_id")
+          .select(col("media_id").as("__wav_id"), col("payload").as("__wav"))
         val media = docs
-          .join(pngs, col("doc_id") === col("media_id"), "left")
+          .join(pngs, col("doc_id") === col("__png_id"), "left")
+          .join(wavs, col("doc_id") === col("__wav_id"), "left")
           .select(
             col("doc_id").as("media_id"),
             when(col("doc_id") % 3 === 0, "image")
               .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
-            coalesce(col("__png"), col("text").cast("binary")).as("payload"),
+            coalesce(col("__png"), col("__wav"), col("text").cast("binary")).as("payload"),
             lit(8).as("width"), lit(8).as("height"),
             (col("doc_id") % 10000).cast("int").as("duration_ms"))
         graft.ops.Multimodal.extractFeatures(media, dim = 8)
           .select(col("media_id"), col("n_bytes"),
             col("width").as("decoded_w"), col("height").as("decoded_h"),
-            round(element_at(col("feature"), 1), 5).as("f0"))
+            col("sample_rate"), col("channels"),
+            col("duration_ms").as("decoded_ms"),
+            round(element_at(col("feature"), 1), 5).as("f0"),
+            round(col("peak"), 5).as("peak"))
       },
       None),
 

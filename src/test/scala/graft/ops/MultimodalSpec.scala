@@ -22,7 +22,7 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(media, dim = 4, batchSize = 2)
     assert(f.count() == 4)
     val m = f.collect().map(r => r.getLong(0) ->
-      (r.getInt(1), r.getSeq[Float](4))).toMap
+      (r.getInt(1), r.getSeq[Float](r.fieldIndex("feature")))).toMap
     assert(m(1L) == m(2L))          // identical payload ⇒ identical feature
     assert(m(1L)._1 == 4)           // n_bytes
     assert(m(4L)._1 == 0)           // null payload → zero feature, no crash
@@ -48,6 +48,89 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getInt(r.fieldIndex("width")) == 2)
     assert(r.getInt(r.fieldIndex("height")) == 2)
     assert(r.getSeq[Float](r.fieldIndex("feature")) == Seq(0f, 1f, 1f, 0f))
+  }
+
+  test("extractFeatures decodes a real WAV to exact rate/channels/duration/RMS/peak") {
+    // ±8192 square wave: 8192/32768 = 0.25 exactly in binary floating
+    // point, so every RMS window and the peak decode to exactly 0.25
+    val samples = 400
+    val pcm = new Array[Byte](samples * 2)
+    for (f <- 0 until samples) {
+      val amp: Short = if ((f / 5) % 2 == 0) 8192 else -8192
+      pcm(2 * f) = (amp & 0xFF).toByte
+      pcm(2 * f + 1) = ((amp >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val rows = Seq(Row(7L, "audio", baos.toByteArray, null, null, null))
+    val m = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1), Multimodal.mediaSchema)
+    val r = Multimodal.extractFeatures(m, dim = 4).head()
+    assert(r.getInt(r.fieldIndex("sample_rate")) == 8000)
+    assert(r.getInt(r.fieldIndex("channels")) == 1)
+    assert(r.getInt(r.fieldIndex("duration_ms")) == 50) // 400 / 8000 s
+    assert(r.isNullAt(r.fieldIndex("width"))) // no geometry on the audio path
+    assert(r.getSeq[Float](r.fieldIndex("feature")) == Seq(0.25f, 0.25f, 0.25f, 0.25f))
+    assert(r.getFloat(r.fieldIndex("peak")) == 0.25f)
+  }
+
+  test("decodeWav averages stereo channels to mono before windowing") {
+    // L = +0.25, R = −0.25 every frame → mono average 0 → RMS 0, peak 0
+    val samples = 100
+    val pcm = new Array[Byte](samples * 4)
+    for (f <- 0 until samples) {
+      val l: Short = 8192; val rch: Short = -8192
+      pcm(4 * f) = (l & 0xFF).toByte;       pcm(4 * f + 1) = ((l >> 8) & 0xFF).toByte
+      pcm(4 * f + 2) = (rch & 0xFF).toByte; pcm(4 * f + 3) = ((rch >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val got = Multimodal.decodeWav(baos.toByteArray, dim = 2)
+    assert(got.isDefined)
+    val (rate, ch, ms, rms, peak) = got.get
+    assert(rate == 8000 && ch == 2 && ms == 12) // 100/8000 s = 12.5 ms, floor
+    assert(rms.toSeq == Seq(0f, 0f) && peak == 0f)
+  }
+
+  test("decodeWav reads the committed fixture (independent encoder) exactly") {
+    // tone_sq5_8k.wav was written by a hand-rolled RIFF encoder (not
+    // javax.sound), so this guards decoder/container compatibility, not
+    // just round-tripping our own writer: same ±8192 square wave shape
+    val path = getClass.getResource("/tone_sq5_8k.wav")
+    assert(path != null, "committed WAV fixture missing")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path.toURI))
+    val got = Multimodal.decodeWav(bytes, dim = 4)
+    assert(got.isDefined, "fixture did not decode")
+    val (rate, ch, ms, rms, peak) = got.get
+    assert(rate == 8000 && ch == 1 && ms == 50)
+    assert(rms.toSeq == Seq(0.25f, 0.25f, 0.25f, 0.25f) && peak == 0.25f)
+  }
+
+  test("syntheticWav emits decodable WAVs with id-keyed near-dup structure") {
+    val ids = Seq(0L, 32L, 1L).toDF("doc_id")
+    val media = Multimodal.syntheticWav(ids, "doc_id")
+    assert(media.count() == 3)
+    val p0 = media.where($"media_id" === 0L).head().getAs[Array[Byte]]("payload")
+    assert(p0(0) == 'R'.toByte && p0(8) == 'W'.toByte) // RIFF/WAVE magic
+    val d0 = Multimodal.decodeWav(p0, dim = 4).get
+    assert(d0._1 == 8000 && d0._2 == 1 && d0._3 == 50)
+    assert(d0._5 == 0.25f) // the spike is below the square-wave amplitude
+    // ids 0 and 32 share the half-period key: same clip except each
+    // one's spike sample
+    val p32 = media.where($"media_id" === 32L).head().getAs[Array[Byte]]("payload")
+    val diffs = p0.zip(p32).count { case (a, b) => a != b }
+    assert(diffs <= 4, s"same-base clips differ in $diffs bytes, want <= 4")
+    // a different half-period key yields a genuinely different clip
+    val p1 = media.where($"media_id" === 1L).head().getAs[Array[Byte]]("payload")
+    assert(p0.zip(p1).count { case (a, b) => a != b } > 100)
   }
 
   test("syntheticPng emits decodable PNGs whose luminance matches the pattern") {
