@@ -50,7 +50,7 @@ object Bench {
     // whatever JIT/allocator pressure the previous 100+ queries left
     // behind; min-of-two after reset measures the plan.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      def pass(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
@@ -61,17 +61,30 @@ object Bench {
         resetEngineState(spark)
         if (ok) Some(dt) else None
       }
+      val first = (1 to 2).flatMap(_ => pass())
+      // sub-second rows carry the protocol's whole noise envelope (r8:
+      // 13 same-commit queries differed >1.5x, every one sub-second);
+      // one extra pass when both passes land under 0.5 s buys a tighter
+      // min for exactly the rows that need it, at ~nothing on the total
+      val times = if (first.nonEmpty && first.min < 0.5) first ++ pass() else first
       (name, if (times.nonEmpty) times.min else 0.0, times.nonEmpty)
     }
     // 3-decimal times + qNN-prefix keys keep the whole line under the
     // harness's 2000-byte output tail even as the query count grows
     def f3(v: Double): String = "%.3f".format(v)
     def short(k: String): String = k.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + f3(v) }
+    // a collided short name would merge two distinct queries into one
+    // indistinguishable key: keep the full name for any prefix that is
+    // not unique across the registry
+    val ambiguous = results.groupBy(r => short(r._1)).collect {
+      case (s, g) if g.size > 1 => s
+    }.toSet
+    def key(k: String): String = if (ambiguous(short(k))) k else short(k)
+    val qs = results.map { case (k, v, _) => s"\"" + key(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    // short names here too: a long error list once pushed the line past
-    // the harness's tail capture, front-truncating the JSON beyond repair
-    val errs = results.collect { case (k, _, false) => "\"" + short(k) + "\"" }
+    // full names here: failures should be rare, and an ambiguous short
+    // name in the error list would hide WHICH variant failed
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // "value" placed last: the harness keeps only the final bytes of

@@ -16,9 +16,14 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   private def path(table: String) = s"$root/$table"
 
-  /** S12 — table-exists probe gating run-once bootstraps. */
-  def exists(table: String): Boolean =
-    new java.io.File(path(table)).exists()
+  /** S12 — table-exists probe gating run-once bootstraps. Hadoop FS
+    * resolved from the path (not java.io.File), so the probe is correct
+    * on HDFS/S3 warehouses, not only local ones.
+    */
+  def exists(table: String): Boolean = {
+    val (fs, p) = hadoopFs(path(table))
+    fs.exists(p)
+  }
 
   /** Crash recovery for [[forget]]'s rename-rename swap: a failure
     * between the two renames leaves the table stranded under

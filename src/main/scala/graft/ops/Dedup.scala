@@ -179,12 +179,17 @@ object Dedup {
     * The contract is ENFORCED, not just documented, by two mechanisms
     * (round-9; calibration table in PLANS.md):
     *
-    *  - '''Saturation guard''' (on by default): before the candidate
-    *    self-join runs, the plan computes the EXACT size of its output,
-    *    Σ over prefix tokens of (prefix-posting-list length)² — one
-    *    tiny aggregate over the already-materialized prefix table — and
+    *  - '''Saturation guard''' (on by default): before returning, the
+    *    operator computes the EXACT size of the candidate self-join's
+    *    output, Σ over prefix tokens of (prefix-posting-list length)² —
+    *    one tiny aggregate over the prefix table, which is
+    *    localCheckpoint-materialized for the self-join anyway, so the
+    *    eager driver action costs one small job that would have run
+    *    moments later regardless (the same bounded-action pattern as
+    *    [[graft.ops.Similarity]]'s centroid collects) — and
     *    raises a `SATURATED VOCABULARY` error with the remedies when it
-    *    exceeds `maxCandidateVolume`. The default (150M) is calibrated
+    *    exceeds `maxCandidateVolume`, at CALL time, before any
+    *    degenerate join streams. The default (150M) is calibrated
     *    against the round-8 probe: both measured ~8 s configurations
     *    (2,400 docs @ shingleN=3 → 52M; 5,000 docs @ shingleN=5 → 79M)
     *    clear it ~2×, the measured >300 s cliff (5,000 docs @
@@ -235,24 +240,23 @@ object Dedup {
       .select(col("__tok"), col(idCol), col("__len"), col("__r"))
       .localCheckpoint(false) // self-joined below: run freq+window once
     // Saturation guard: Σ pf² over prefix tokens IS the candidate-join
-    // output size (pre length-filter) — one small agg over the
-    // checkpointed prefix table, asserted in-plan via a broadcast 1-row
-    // frame so the job fails fast with the remedy instead of grinding
-    // through a degenerate self-join.
-    val prefix = if (maxCandidateVolume == Long.MaxValue) prefix0 else {
-      val cost = prefix0.groupBy(col("__tok")).agg(count(lit(1)).as("__pf"))
-        .agg(coalesce(sum(col("__pf") * col("__pf")), lit(0L)).as("__cost"))
-      prefix0.crossJoin(broadcast(cost))
-        .where(coalesce(assert_true(col("__cost") <= maxCandidateVolume,
-          concat(lit("similarityJoinPrefix: SATURATED VOCABULARY — estimated " +
-            "candidate volume "), col("__cost"),
-            lit(s" exceeds maxCandidateVolume=$maxCandidateVolume (shingleN=" +
-              s"$shingleN). Remedies: raise shingleN (>=5) or use word-level " +
-              "shingles; set maxPostings to drop-and-report hot tokens " +
-              "(audit: similarityJoinDroppedTokens); use minhashDedup if the " +
-              "threshold tolerates LSH; or raise maxCandidateVolume " +
-              "deliberately for a larger cluster."))).cast("boolean"), lit(true)))
-        .drop("__cost")
+    // output size (pre length-filter). Checked EAGERLY at call time —
+    // the prefix table just materialized for the self-join anyway, so
+    // this is one small extra agg job, zero per-row plan cost, and the
+    // failure arrives before any degenerate join streams.
+    val prefix = prefix0
+    if (maxCandidateVolume != Long.MaxValue) {
+      val cost = prefix.groupBy(col("__tok")).agg(count(lit(1)).as("__pf"))
+        .agg(coalesce(sum(col("__pf") * col("__pf")), lit(0L)))
+        .head().getLong(0)
+      require(cost <= maxCandidateVolume,
+        s"similarityJoinPrefix: SATURATED VOCABULARY — estimated candidate " +
+          s"volume $cost exceeds maxCandidateVolume=$maxCandidateVolume " +
+          s"(shingleN=$shingleN). Remedies: raise shingleN (>=5) or use " +
+          "word-level shingles; set maxPostings to drop-and-report hot " +
+          "tokens (audit: similarityJoinDroppedTokens); use minhashDedup " +
+          "if the threshold tolerates LSH; or raise maxCandidateVolume " +
+          "deliberately for a larger cluster.")
     }
     // PPJoin positional filter (Xiao et al. 2008): the aggregation picks
     // each pair's FIRST common prefix token (min rank — sound because

@@ -38,13 +38,38 @@ object Graph {
     * O(cadence) deep regardless of iteration count (same lineage
     * discipline as Dedup/Scd2.replay) while short runs fuse into one
     * job with no per-round materialization.
+    *
+    * THE ×100 STORY is `tolScaled` (round-9): per-iteration cost is one
+    * edge-sized shuffle, so at corpus scale the iteration COUNT is the
+    * whole bill, and fixed-count runs either overpay or under-converge.
+    * With `tolScaled > 0` the loop exits early once no node's rank
+    * moved more than `tolScaled` (in 1/`scale` units) across a
+    * `checkpointEvery`-round window. The check rides the EXISTING
+    * checkpoint cadence — it joins two already-materialized rank
+    * snapshots (narrow node rows, one 1-row driver action, the same
+    * bounded-action pattern as [[connectedComponents]]'s changed-count)
+    * — so it adds no extra materialization and runs every
+    * `checkpointEvery` rounds, not every round. Measured on the sf0.1
+    * trade graph (PLANS.md round-9 tolerance table): window deltas
+    * contract at exactly the damping rate, 0.85⁴ ≈ 0.52× per 4-round
+    * window, so the tolerance maps to a round count logarithmically —
+    * rounds ≈ log(Δ₀/tol) / log(1/0.85), e.g. ~36 rounds to 1%
+    * relative (tolScaled = 1e10 at the default scale) and ~88 rounds
+    * to 1e-6 relative. That log is the ×100 claim: tightening data
+    * scale 100× leaves the round count unchanged, and the cost of a
+    * tolerance is read off the table instead of guessed. `iterations`
+    * remains the hard upper bound; `tolScaled = 0` (default)
+    * reproduces the exact fixed-count result — the oracle-matching
+    * configuration.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, scale: Long = 1000000000000L,
                assumeDistinct: Boolean = false,
                allNodesReceive: Boolean = false,
-               checkpointEvery: Int = 4): DataFrame = {
+               checkpointEvery: Int = 4,
+               tolScaled: Long = 0L): DataFrame = {
     require(checkpointEvery > 0, s"checkpointEvery must be positive: $checkpointEvery")
+    require(tolScaled >= 0, s"tolScaled must be >= 0: $tolScaled")
     // `assumeDistinct` skips the edge-collapse shuffle when the caller
     // already guarantees uniqueness (e.g. a pre-distincted pair list
     // unioned into disjoint direction keyspaces) — at corpus scale the
@@ -74,8 +99,10 @@ object Graph {
     // straight off `e` (scale div outdeg), skipping the node-universe
     // distinct and the init join entirely
     var ranks: DataFrame = null
+    var lastCk: DataFrame = null // previous checkpointed snapshot (tol mode)
+    var converged = false
     var it = 0
-    while (it < iterations) {
+    while (it < iterations && !converged) {
       val contribs =
         (if (ranks == null)
           e.select(col("__dst"), expr(s"${scale}L div __outdeg").as("__contrib"))
@@ -106,9 +133,21 @@ object Graph {
       // materialization per round — a short run (iterations ≤ cadence)
       // fuses into one job, each intermediate rank table living only as
       // shuffle output between its two stages
-      ranks =
-        if (it % checkpointEvery == 0 && it < iterations) next.localCheckpoint(false)
-        else next
+      if (it % checkpointEvery == 0 && it < iterations) {
+        val ck = next.localCheckpoint(false)
+        if (tolScaled > 0 && lastCk != null) {
+          // both sides are materialized checkpoints: the delta join
+          // re-executes no lineage, and the max is a 1-row action
+          val row = ck.join(
+            lastCk.select(col("node"), col("rank_scaled").as("__prev")),
+            Seq("node"))
+            .agg(max(abs(col("rank_scaled") - col("__prev"))).as("__d"))
+            .head()
+          converged = !row.isNullAt(0) && row.getLong(0) <= tolScaled
+        }
+        lastCk = ck
+        ranks = ck
+      } else ranks = next
     }
     ranks
   }

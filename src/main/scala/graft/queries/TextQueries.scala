@@ -143,7 +143,7 @@ object TextQueries {
 
     // ---- the all-pairs MinHash variant with its bucket cap ARMED — the
     //      pattern users should copy (mirror of q144's armed block cap):
-    //      a generous-by-measurement cap (max fixture bucket is 407 at
+    //      a generous-by-measurement cap (max fixture bucket is 246 at
     //      sf0.1 on this slice, 210 at sf0.01 — see PLANS.md) keeps the
     //      result bit-identical to uncapped here, while a degenerate
     //      boilerplate bucket at scale is dropped-and-reported instead
@@ -151,8 +151,11 @@ object TextQueries {
     //      q147 is the oracled audit leg asserting zero drops ----
     Q("q149_minhash_capped",
       (s, dir) => {
+        // doc_id < 600: covers the whole sf0.01 correctness corpus (500
+        // docs) while keeping the sf0.1 bench row's all-pairs output
+        // bounded (bucket pair volume grows ~quadratically in slice size)
         Dedup.minhashNearDups(
-          Tables.load(s, dir, "documents").where(col("doc_id") < 1000),
+          Tables.load(s, dir, "documents").where(col("doc_id") < 600),
           "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8,
           threshold = 0.6, maxBucketSize = 1000L)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -170,7 +173,7 @@ object TextQueries {
     //      don't raise the cap ----
     Q("q147_minhash_audit",
       (s, dir) => Dedup.minhashDroppedBuckets(
-        Tables.load(s, dir, "documents").where(col("doc_id") < 1000),
+        Tables.load(s, dir, "documents").where(col("doc_id") < 600),
         "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8,
         maxBucketSize = 1000L),
       Some("""SELECT CAST(NULL AS BIGINT) AS band, CAST(NULL AS BIGINT) AS n_rows

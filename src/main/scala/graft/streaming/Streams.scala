@@ -111,10 +111,20 @@ object Streams {
     * State discipline mirrors [[scd2Stream]]: the store IS the state,
     * kept in the warehouse (unique-text sized, not arrival-sized);
     * per-fold frames are eagerly checkpointed before any write so no
-    * plan re-reads a path mid-overwrite; `foreachBatch` + the
-    * checkpoint give exactly-once-per-batch folds across restarts. The
-    * per-batch distinct-labels collect is bounded by batches-per-
-    * trigger, never rows.
+    * plan re-reads a path mid-overwrite. Folds are IDEMPOTENT, which is
+    * what upgrades `foreachBatch`'s at-least-once replay into
+    * exactly-once EFFECTS: both sinks are label-partitioned dynamic
+    * overwrites (a replayed fold rewrites its own partitions rather
+    * than appending contradictory duplicates), and each fold reads the
+    * store restricted to labels STRICTLY BEFORE its own — so a crash
+    * between the decisions write and the store write (or between
+    * labels of a multi-label micro-batch) replays against the exact
+    * store view the first attempt saw, even when its own or a later
+    * label's contribution already landed. This pins the label
+    * contract: labels are unique per arrival batch and sort ascending
+    * across the stream's lifetime (date-stamped batch ids — the
+    * nightly shape). The per-batch distinct-labels collect is bounded
+    * by batches-per-trigger, never rows.
     */
   def dedupStream(arrivals: DataFrame, arrivalCol: String,
                   textCol: String, idCol: String,
@@ -130,23 +140,45 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val labels = batch.select(col(arrivalCol).cast("string")).distinct()
           .collect().map(_.getString(0)).sorted
+        // Hadoop FS resolved from the path, not java.io.File: storeDir
+        // may live on HDFS/S3, where a local-FS probe would silently
+        // re-bootstrap an existing store
+        val storePath = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
         labels.foreach { label =>
           val arrival = batch.where(col(arrivalCol).cast("string") === label)
             .select(col(idCol), col(textCol))
+          // this fold's store view: contributions from labels strictly
+          // before it — the replay-stability anchor (see scaladoc)
           val store =
-            if (new java.io.File(storeDir).exists()) spark.read.parquet(storeDir)
+            if (fs.exists(storePath))
+              spark.read.parquet(storeDir)
+                .where(col(arrivalCol) < lit(label))
+                .select(col(idCol), col(textCol))
             else arrival.limit(0)
           val decisions = Dedup.incrementalDedup(arrival, store,
             textCol, idCol, shingleN, threshold)
             .withColumn(arrivalCol, lit(label))
             .localCheckpoint(true) // materialize BEFORE touching storeDir
-          decisions.write.mode("append").parquet(decisionsDir)
+          decisions.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(arrivalCol)
+            .parquet(decisionsDir)
+          // a dynamic overwrite REPLACES part files; drop the stale
+          // leaf-file listings from the shared FileStatusCache or the
+          // next same-JVM read of the path lists dropped files
+          spark.catalog.refreshByPath(decisionsDir)
           val adds = Dedup.exactDedup(arrival, textCol, idCol)
             .join(decisions.where(!col("exact_dup")).select(col(idCol)),
               Seq(idCol), "leftsemi")
             .select(col(idCol), col(textCol))
+            .withColumn(arrivalCol, lit(label))
             .localCheckpoint(true)
-          adds.write.mode("append").parquet(storeDir)
+          adds.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(arrivalCol)
+            .parquet(storeDir)
+          spark.catalog.refreshByPath(storeDir)
         }
       }
       .start()

@@ -54,7 +54,10 @@ object Nightly {
     val slice = raw.where(col("date").between(lit(histLo), lit(dates.last)))
     val fact = SensorIngest.build(slice, config)
       .where(col("START_DATE").between(lit(dates.head), lit(dates.last)))
-    wh.overwriteDatePartitions(fact, factTable, "START_DATE")
+    // sink cast: NUMERIC(4,1) columns land as DecimalType(4,1) per the
+    // §1.1 DDL (exact — the pipeline already rounded to 1 dp)
+    wh.overwriteDatePartitions(Schemas.conform(fact, Schemas.rtmc15MinSink),
+      factTable, "START_DATE")
     PlanResult(dates.map(java.sql.Date.valueOf))
   }
 }

@@ -48,6 +48,31 @@ object Schemas {
     StructField("New_Value", StringType, nullable = true),
     StructField("Last_Update_Date", DateType, nullable = true)))
 
+  /** §1.1 SINK schema for RTMC_15MIN — the declared DDL types
+    * (R/2) Write-Historical-SensorData-RunOnce.R:8-18): NUMERIC(4,1)
+    * columns are DecimalType(4,1) AT THE SINK, while in-flight
+    * arithmetic stays DoubleType ([[rtmc15Min]]). [[conform]] casts at
+    * the warehouse write boundary; the values are already rounded to
+    * 1 dp by the pipeline, so the cast is exact.
+    */
+  val rtmc15MinSink: StructType = StructType(rtmc15Min.map {
+    case f @ StructField("VOLUME_PCT_NULL" | "OCCUPANCY_PCT_NULL" | "SPEED",
+        _, _, _) => f.copy(dataType = DecimalType(4, 1))
+    case f => f
+  })
+
+  /** Cast-and-select to a declared sink schema: columns in DDL order,
+    * each cast to its DDL type. The single write-boundary chokepoint
+    * that keeps warehouse tables on their §1.1 contract regardless of
+    * what types in-flight arithmetic widened to (bigint `div`, double
+    * ratios); WarehouseContractSpec pins the read-back types.
+    */
+  def conform(df: org.apache.spark.sql.DataFrame,
+              schema: StructType): org.apache.spark.sql.DataFrame =
+    df.select(schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+      .toIndexedSeq: _*)
+
   /** 60 scans/sec ⇒ 54,000 scans per 15-min interval
     * (R/_pull_data.R:326: interval_scans = 0.25 h × 216,000/h).
     */

@@ -55,6 +55,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cyc == Set(scale))
   }
 
+  test("pageRank tolScaled exits early and lands within the geometric tail " +
+    "of the converged fixed point") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+      .toDF("src", "dst")
+    val scale = 1000000000000L
+    // exact integer fixed point from the driver-side simulation (the
+    // recurrence oscillates with period 2 on this bipartite-ish star
+    // and contracts ~0.7225 per 2 rounds; iterate until it stops moving)
+    val out = Map("a" -> 2L, "b" -> 1L, "c" -> 1L)
+    val es = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+    var sim = Map("a" -> scale, "b" -> scale, "c" -> scale)
+    var moved = true
+    while (moved) {
+      val in = es.groupBy(_._2).map { case (dst, g) =>
+        dst -> g.map { case (src, _) => sim(src) / out(src) }.sum
+      }
+      val next = sim.keys.map(n =>
+        n -> (15L * scale + 85L * in.getOrElse(n, 0L)) / 100L).toMap
+      moved = next != sim
+      sim = next
+    }
+    // 200 nominal iterations under a tolerance: the early exit fires
+    // once a 4-round window moves no node more than tol, at which point
+    // the remaining drift to the fixed point is a geometric tail of the
+    // same magnitude — so the result must land within a few tol of the
+    // simulated fixed point (and 200 un-exited rounds would take ~50
+    // checkpoint barriers, which this test's runtime would show)
+    val tol = 1000000L
+    val got = Graph.pageRank(edges, "src", "dst", iterations = 200,
+      scale = scale, tolScaled = tol)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (n, r) =>
+      assert(math.abs(r - sim(n)) <= 10 * tol, s"$n: $r vs fixpoint ${sim(n)}")
+    }
+    // tolScaled = 0 stays the exact fixed-count recurrence (oracle path)
+    val exact = Graph.pageRank(edges, "src", "dst", iterations = 3, scale = scale,
+      tolScaled = 0L).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactRef = Graph.pageRank(edges, "src", "dst", iterations = 3, scale = scale)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == exactRef)
+  }
+
   test("connectedComponents matches a union-find reference (chains, " +
     "cliques, long path)") {
     // deterministic mixed graph: a 3-clique, scattered mod-edges, and a

@@ -443,13 +443,16 @@ class StreamsSpec extends SparkSpec {
     val replayDecisions = decisionFrames.reduce(_ unionByName _)
 
     val streamedDec = spark.read.parquet(decDir)
-    val streamedStore = spark.read.parquet(storeDir)
+    // the store is label-partitioned for idempotent overwrite; its
+    // logical content is (doc_id, text)
+    val streamedStore = spark.read.parquet(storeDir).select($"doc_id", $"text")
     assert(canonicalHash(streamedDec) == canonicalHash(replayDecisions))
     assert(canonicalHash(streamedStore) == canonicalHash(store))
     // content sanity: the store is md5-unique with min-id canonicals
     assert(streamedStore.count() == 4) // dog, engines, cat, fresh
     assert(streamedStore.select($"doc_id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L, 4L))
+
     val dec = streamedDec.collect().map(r => (r.getString(4), r.getLong(0)) ->
       (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)))).toMap
     assert(dec(("b2", 1L))._1) // exact dup vs store despite id reuse
@@ -457,5 +460,22 @@ class StreamsSpec extends SparkSpec {
     assert(!b2n3 && b2best == Some(1L) && b2j.isDefined) // near dup of store doc 1
     assert(dec(("b3", 6L))._1 && dec(("b3", 7L))._1) // both exact vs grown store
     assert(!dec(("b2", 4L))._1 && !dec(("b2", 5L))._1) // within-batch dups both novel vs store
+
+    // replay idempotency — the exactly-once-EFFECTS claim: a fresh
+    // checkpoint forces every fold to run again against already-written
+    // sinks (the worst-case crash-replay), and nothing may change —
+    // each fold's strictly-before store view + dynamic partition
+    // overwrite rewrite identical partitions instead of appending
+    // contradictory duplicates (pre-round-9 this doubled every row)
+    val decBefore = canonicalHash(spark.read.parquet(decDir))
+    val storeBefore = canonicalHash(spark.read.parquet(storeDir))
+    Streams.dedupStream(
+      spark.readStream.schema("doc_id long, text string, arrival string")
+        .parquet(srcDir + "/*"),
+      "arrival", "text", "doc_id", storeDir, decDir,
+      Files.createTempDirectory("dd_ck2").toString,
+      shingleN = 3, threshold = 0.7)
+    assert(canonicalHash(spark.read.parquet(decDir)) == decBefore)
+    assert(canonicalHash(spark.read.parquet(storeDir)) == storeBefore)
   }
 }

@@ -74,7 +74,21 @@ object ScaleUp {
       "orders" -> replicate(rd("orders"), replicas,
         idCols = Seq("o_orderkey", "o_custkey")),
       "lineitem" -> replicate(rd("lineitem"), replicas,
-        idCols = Seq("l_orderkey", "l_partkey", "l_suppkey"))
+        idCols = Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      // the remaining fact/dim tables, so a FULL-BOARD bench can run
+      // against the scaled dir (round-9): fact keys offset per replica,
+      // preserving FK structure replica-locally (o_custkey ↔ c_custkey,
+      // l_suppkey ↔ s_suppkey, events.user_id self-joins); the fixed
+      // nation/region dims copy through unchanged and the un-offset
+      // *_nationkey columns still join them
+      "events" -> replicate(rd("events"), replicas,
+        idCols = Seq("event_id", "user_id")),
+      "customer" -> replicate(rd("customer"), replicas,
+        idCols = Seq("c_custkey")),
+      "supplier" -> replicate(rd("supplier"), replicas,
+        idCols = Seq("s_suppkey")),
+      "nation" -> rd("nation"),
+      "region" -> rd("region")
     )
     jobs.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")

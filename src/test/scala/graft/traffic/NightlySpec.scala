@@ -43,7 +43,8 @@ class NightlySpec extends SparkSpec {
     val fact = SensorIngest.build(
       mkRaw(1 to 17).where($"date" >= "2020-02-13"), config)
       .where($"START_DATE".between("2020-02-13", "2020-02-17"))
-    whReplay.overwriteDatePartitions(fact, "RTMC_15MIN", "START_DATE")
+    whReplay.overwriteDatePartitions(
+      Schemas.conform(fact, Schemas.rtmc15MinSink), "RTMC_15MIN", "START_DATE")
     assert(wh.read("RTMC_15MIN").count() == 12 * 96)
   }
 }
