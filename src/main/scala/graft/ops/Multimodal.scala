@@ -6,17 +6,19 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column operators: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed per partition in bounded
-  * batches. The IMAGE codec is REAL — `javax.imageio` ships in the JDK
-  * (PNG/JPEG/GIF/BMP), so image payloads decode to true width/height
-  * and a downsampled-luminance feature with zero external
-  * dependencies. The AUDIO codec is REAL too — `javax.sound.sampled`
-  * is equally JDK-only, so WAV/PCM payloads decode to true sample
-  * rate, channel count, duration, windowed RMS, and peak. VIDEO
-  * remains a clearly-marked deterministic STUB (the JDK ships no video
-  * codec); a production deployment swaps `stubDecode` for a real codec
-  * (e.g. an FFmpeg JNI binding) without touching any of the
-  * distribution logic — all paths share one schema and one batching
-  * shape.
+  * batches. ALL THREE codecs are REAL and JDK-only: IMAGE via
+  * `javax.imageio` (PNG/JPEG/GIF/BMP → true width/height and a
+  * bucketed-luminance feature), AUDIO via `javax.sound.sampled`
+  * (WAV/PCM → true sample rate, channel count, duration, windowed
+  * RMS, peak), and VIDEO via a hand-rolled RIFF/AVI container parser
+  * ([[parseAvi]]) whose frames the JDK itself decodes — MJPEG `00dc`
+  * frames are plain JPEGs (ImageIO), and uncompressed 24-bit DIB
+  * `00db` frames are decoded directly. Payloads in any OTHER video
+  * container (the JDK ships no general codec) fall back to the
+  * clearly-marked deterministic [[stubDecode]]; a production
+  * deployment swaps in an FFmpeg JNI binding at [[decodeAvi]]'s seam
+  * without touching any of the distribution logic — all paths share
+  * one schema and one batching shape.
   *
   * Scale: payloads never shuffle — every operator is a mapPartitions
   * projection; only the (small) extracted features move. Batch size
@@ -170,10 +172,236 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  // ------------------------------------------------------------- video
+
+  /** Parsed AVI container: geometry/timing from the `avih` main header
+    * and the byte extent of every video frame chunk in `movi` order
+    * (`isDib` = uncompressed `00db` frame vs MJPEG `00dc`). */
+  private[ops] final case class AviInfo(
+      width: Int, height: Int, microSecPerFrame: Int, bitCount: Int,
+      frames: Vector[(Int, Int, Boolean)]) {
+    def nFrames: Int = frames.length
+    def durationMs: Int = (frames.length.toLong * microSecPerFrame / 1000L).toInt
+    def fps: Int =
+      if (microSecPerFrame <= 0) 0 else math.round(1e6 / microSecPerFrame).toInt
+  }
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def cc(b: Array[Byte], off: Int): String =
+    new String(Array(b(off), b(off + 1), b(off + 2), b(off + 3)),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Generic RIFF chunk walk over an AVI payload (public AVI RIFF
+    * layout: `RIFF('AVI ' LIST('hdrl' avih …) LIST('movi' ##dc/##db …)
+    * [idx1])`): collects the `avih` main header (geometry + frame
+    * period), the first stream format's bit depth (`strf`,
+    * BITMAPINFOHEADER), and the extent of every `##dc`/`##db` frame
+    * chunk. Bounds-checked throughout — a malformed chunk size
+    * truncates the walk instead of throwing, and a payload without the
+    * RIFF/AVI magic returns None from the two magic compares alone (no
+    * exception cost on image/audio/opaque payloads).
+    */
+  private[ops] def parseAvi(payload: Array[Byte]): Option[AviInfo] = {
+    if (payload == null || payload.length < 24) return None
+    if (!(cc(payload, 0) == "RIFF" && cc(payload, 8) == "AVI ")) return None
+    var width = 0; var height = 0; var uspf = 0; var bitCount = -1
+    val frames = Vector.newBuilder[(Int, Int, Boolean)]
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = cc(payload, pos)
+        val sz = le32(payload, pos + 4)
+        if (sz < 0 || pos + 8 + sz > end) return // malformed: stop cleanly
+        id match {
+          case "LIST" if sz >= 4 => walk(pos + 12, pos + 8 + sz)
+          case "avih" if sz >= 40 =>
+            uspf = le32(payload, pos + 8)        // dwMicroSecPerFrame
+            width = le32(payload, pos + 8 + 32)  // dwWidth
+            height = le32(payload, pos + 8 + 36) // dwHeight
+          case "strf" if sz >= 16 && bitCount < 0 =>
+            bitCount = le16(payload, pos + 8 + 14) // BITMAPINFOHEADER.biBitCount
+          case _ if id(0).isDigit && id(1).isDigit &&
+              (id.substring(2) == "dc" || id.substring(2) == "db") =>
+            frames += ((pos + 8, sz, id.substring(2) == "db"))
+          case _ => ()
+        }
+        pos += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, payload.length)
+    val fr = frames.result()
+    if (fr.isEmpty || uspf <= 0 || width <= 0 || height <= 0) None
+    else Some(AviInfo(width, height, uspf, if (bitCount < 0) 24 else bitCount, fr))
+  }
+
+  /** Decode one frame chunk to a `dim`-bucket mean-luminance feature
+    * (the [[decodeImage]] reduction): MJPEG frames are plain JPEGs —
+    * the JDK's ImageIO decodes them — and uncompressed 24-bit DIB
+    * frames (bottom-up, BGR, 4-byte-aligned rows) are read directly. */
+  private def frameLumBuckets(payload: Array[Byte], off: Int, sz: Int,
+                              isDib: Boolean, w: Int, h: Int, bitCount: Int,
+                              dim: Int, maxPixels: Long): Option[Array[Float]] = {
+    if (!isDib)
+      return decodeImage(java.util.Arrays.copyOfRange(payload, off, off + sz),
+        dim, maxPixels).map(_._3)
+    if (bitCount != 24 || w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (sz.toLong < stride.toLong * h) return None
+    val n = w.toLong * h
+    val sums = new Array[Double](dim)
+    val cnts = new Array[Long](dim)
+    var y = 0
+    while (y < h) {
+      val rowOff = off + (h - 1 - y) * stride // DIB rows are bottom-up
+      var x = 0
+      while (x < w) {
+        val b = payload(rowOff + 3 * x) & 0xFF
+        val g = payload(rowOff + 3 * x + 1) & 0xFF
+        val r = payload(rowOff + 3 * x + 2) & 0xFF
+        val lum = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        val idx = (((y.toLong * w + x) * dim) / n).toInt
+        sums(idx) += lum
+        cnts(idx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some(Array.tabulate(dim)(i => if (cnts(i) == 0) 0f else (sums(i) / cnts(i)).toFloat))
+  }
+
+  /** REAL video decode via the RIFF/AVI walk + per-frame JDK decode:
+    * payload → (width, height, fps, duration_ms, `dim`-window temporal
+    * mean-luminance envelope, peak frame luminance) — the video
+    * analogue of [[decodeWav]]'s RMS envelope. Work per payload is
+    * BOUNDED regardless of clip length: at most `maxFramesDecoded`
+    * evenly-spaced frames decode (each under the [[decodeImage]]
+    * `maxPixels` bomb guard), and the envelope windows by ORIGINAL
+    * frame index so sampling preserves the time axis. Returns None
+    * when the bytes aren't RIFF/AVI, the header is malformed, or no
+    * frame decodes — callers fall back to [[stubDecode]].
+    */
+  private[ops] def decodeAvi(payload: Array[Byte], dim: Int,
+                             maxFramesDecoded: Int = 64,
+                             maxPixels: Long = 1L << 26)
+      : Option[(Int, Int, Int, Int, Array[Float], Float)] = {
+    parseAvi(payload).flatMap { info =>
+      try {
+        val n = info.nFrames
+        val take = math.min(n, maxFramesDecoded)
+        val sums = new Array[Double](dim)
+        val cnts = new Array[Long](dim)
+        var peak = 0.0
+        var decoded = 0
+        var s = 0
+        while (s < take) {
+          val fi = ((s.toLong * n) / take).toInt
+          val (off, sz, isDib) = info.frames(fi)
+          frameLumBuckets(payload, off, sz, isDib, info.width, info.height,
+            info.bitCount, 1, maxPixels).foreach { mean1 =>
+            val m = mean1(0)
+            if (m > peak) peak = m
+            val w = ((fi.toLong * dim) / n).toInt
+            sums(w) += m
+            cnts(w) += 1
+            decoded += 1
+          }
+          s += 1
+        }
+        if (decoded == 0) None
+        else Some((info.width, info.height, info.fps, info.durationMs,
+          Array.tabulate(dim)(i =>
+            if (cnts(i) == 0) 0f else (sums(i) / cnts(i)).toFloat),
+          peak.toFloat))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  // -- RIFF/AVI writer (fixture-scale encoder; shares no code with the
+  //    parser, so round-trip tests exercise both directions honestly) --
+  private def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+  }
+  private def w32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+    o.write((v >> 16) & 0xFF); o.write((v >> 24) & 0xFF)
+  }
+  private def wcc(o: java.io.ByteArrayOutputStream, s: String): Unit =
+    o.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(data.length + 10)
+    wcc(o, id); w32(o, data.length); o.write(data, 0, data.length)
+    if ((data.length & 1) == 1) o.write(0) // word-align
+    o.toByteArray
+  }
+  private def riffList(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    wcc(o, typ)
+    parts.foreach(p => o.write(p, 0, p.length))
+    riffChunk("LIST", o.toByteArray)
+  }
+
+  /** Assemble a single-video-stream AVI — public AVI RIFF layout
+    * `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    * LIST('movi' frames…) idx1)` — around pre-encoded frame chunks:
+    * JPEG bytes for MJPEG (`00dc`) or bottom-up BGR DIB rows (`00db`,
+    * for bit-exact tests). */
+  private[ops] def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                            fps: Int, dib: Boolean): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0, "buildAvi needs frames and fps > 0")
+    val maxFrame = frames.map(_.length).max
+    val avih = {
+      val o = new java.io.ByteArrayOutputStream(56)
+      w32(o, 1000000 / fps); w32(o, maxFrame * fps); w32(o, 0)
+      w32(o, 0x10) // AVIF_HASINDEX
+      w32(o, frames.length); w32(o, 0); w32(o, 1); w32(o, maxFrame)
+      w32(o, w); w32(o, h)
+      (0 until 4).foreach(_ => w32(o, 0))
+      o.toByteArray
+    }
+    val strh = {
+      val o = new java.io.ByteArrayOutputStream(56)
+      wcc(o, "vids"); wcc(o, if (dib) "DIB " else "MJPG")
+      w32(o, 0); w16(o, 0); w16(o, 0); w32(o, 0)
+      w32(o, 1); w32(o, fps) // dwScale / dwRate = fps
+      w32(o, 0); w32(o, frames.length); w32(o, maxFrame); w32(o, -1); w32(o, 0)
+      w16(o, 0); w16(o, 0); w16(o, w); w16(o, h)
+      o.toByteArray
+    }
+    val strf = {
+      val o = new java.io.ByteArrayOutputStream(40)
+      w32(o, 40); w32(o, w); w32(o, h); w16(o, 1); w16(o, 24)
+      if (dib) w32(o, 0) else wcc(o, "MJPG") // biCompression
+      w32(o, frames.head.length); w32(o, 0); w32(o, 0); w32(o, 0); w32(o, 0)
+      o.toByteArray
+    }
+    val hdrl = riffList("hdrl", riffChunk("avih", avih),
+      riffList("strl", riffChunk("strh", strh), riffChunk("strf", strf)))
+    val fid = if (dib) "00db" else "00dc"
+    val frameChunks = frames.map(f => riffChunk(fid, f))
+    val movi = riffList("movi", frameChunks: _*)
+    val idx1 = {
+      val o = new java.io.ByteArrayOutputStream(16 * frames.length)
+      var off = 4 // offsets are relative to the 'movi' fourcc
+      frames.zip(frameChunks).foreach { case (f, fc) =>
+        wcc(o, fid); w32(o, 0x10); w32(o, off); w32(o, f.length)
+        off += fc.length
+      }
+      o.toByteArray
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    wcc(body, "AVI ")
+    Seq(hdrl, movi, riffChunk("idx1", idx1)).foreach(p => body.write(p, 0, p.length))
+    riffChunk("RIFF", body.toByteArray)
+  }
+
   /** STUB decode — deterministic bytes→feature map standing in for a
-    * real codec (VIDEO only, since round 9). Produces a `dim`-length
-    * feature from byte statistics; same payload ⇒ same feature on any
-    * executor.
+    * real codec (non-AVI video containers and opaque bytes only, since
+    * round 9). Produces a `dim`-length feature from byte statistics;
+    * same payload ⇒ same feature on any executor.
     */
   private[ops] def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -195,9 +423,14 @@ object Multimodal {
     * cost): PNG/JPEG/GIF/BMP take the REAL ImageIO decode (true
     * geometry + luminance buckets), RIFF/WAVE takes the REAL
     * `javax.sound.sampled` decode (true sample rate / channels /
-    * duration + windowed-RMS envelope + peak), and anything else —
-    * video and opaque bytes — falls back to the deterministic stub.
-    * One schema for all three paths.
+    * duration + windowed-RMS envelope + peak), RIFF/AVI takes the REAL
+    * [[decodeAvi]] video path (true geometry / fps / duration +
+    * temporal-luminance envelope + peak frame), and anything else —
+    * other video containers and opaque bytes — falls back to the
+    * deterministic stub. One schema for all paths; on the video row
+    * `sample_rate` carries fps (frames per second IS the video
+    * stream's sampling rate) and `peak` the brightest sampled frame's
+    * mean luminance.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16,
                       batchSize: Int = 64): DataFrame = {
@@ -219,9 +452,16 @@ object Multimodal {
                   Row(r.getLong(0), nBytes, null, null,
                     Integer.valueOf(rate), Integer.valueOf(ch),
                     Integer.valueOf(ms), rms.toSeq, java.lang.Float.valueOf(peak))
-                case None =>
-                  Row(r.getLong(0), nBytes, null, null, null, null, null,
-                    stubDecode(payload, dim).toSeq, null)
+                case None => decodeAvi(payload, dim) match {
+                  case Some((w, h, fps, ms, env, peak)) =>
+                    Row(r.getLong(0), nBytes,
+                      Integer.valueOf(w), Integer.valueOf(h),
+                      Integer.valueOf(fps), null,
+                      Integer.valueOf(ms), env.toSeq, java.lang.Float.valueOf(peak))
+                  case None =>
+                    Row(r.getLong(0), nBytes, null, null, null, null, null,
+                      stubDecode(payload, dim).toSeq, null)
+                }
               }
             }
           }
@@ -317,9 +557,80 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Deterministic AVI fixture generator — the video sibling of
+    * [[syntheticPng]]/[[syntheticWav]]: one real RIFF/AVI payload per
+    * id, `frames` frames of REAL ImageIO-encoded JPEG bytes in an
+    * MJPEG `00dc` stream (or uncompressed DIB `00db` when
+    * `dib = true`, for bit-exact anchors — JPEG is lossy). Frame
+    * pixels are a pure function of (id, frame): the [[syntheticPng]]
+    * gradient keyed by `id mod 32`, phase-advanced per frame (so ids
+    * sharing a base render near-identical clips — the near-dup
+    * structure the signature ops mine) plus one (id, frame)-keyed
+    * noise pixel. Payload generation never shuffles.
+    */
+  def syntheticAvi(ids: DataFrame, idCol: String, frames: Int = 6,
+                   size: Int = 16, fps: Int = 10, dib: Boolean = false): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val base = (id % 32).toInt
+        val frameBytes = (0 until frames).map { f =>
+          val img = new java.awt.image.BufferedImage(size, size,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < size) {
+            var x = 0
+            while (x < size) {
+              val lum = (base * 37 + x * 11 + y * 23 + f * 29) % 256
+              img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+              x += 1
+            }
+            y += 1
+          }
+          val noisePos = ((id / 32 + f) % (size.toLong * size)).toInt
+          val noiseLum = ((id * 13 + f * 7) % 256).toInt
+          img.setRGB(noisePos % size, noisePos / size,
+            (noiseLum << 16) | (noiseLum << 8) | noiseLum)
+          if (dib) {
+            val stride = ((size * 3 + 3) / 4) * 4
+            val out = new Array[Byte](stride * size)
+            var yy = 0
+            while (yy < size) {
+              var xx = 0
+              while (xx < size) {
+                val rgb = img.getRGB(xx, size - 1 - yy) // DIB rows: bottom-up
+                val o = yy * stride + 3 * xx
+                out(o) = (rgb & 0xFF).toByte // BGR order
+                out(o + 1) = ((rgb >> 8) & 0xFF).toByte
+                out(o + 2) = ((rgb >> 16) & 0xFF).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            out
+          } else {
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", baos)
+            baos.toByteArray
+          }
+        }
+        Row(id, "video", buildAvi(frameBytes, size, size, fps, dib),
+          size, size, Integer.valueOf(frames * 1000 / fps))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Frame sampling for video payloads: emit `frames` evenly-spaced
-    * (frame_idx, frame_ts_ms, frame_feature) rows per video — the
-    * row-explosion plumbing a real frame decoder plugs into.
+    * (frame_idx, frame_ts_ms, frame_feature) rows per video. RIFF/AVI
+    * payloads take the REAL path — frame bytes located by the
+    * [[parseAvi]] container walk, per-frame `dim`-bucket luminance via
+    * the JDK frame decode, and frame_ts_ms from real container timing
+    * (original frame index × `avih` frame period). Other payloads keep
+    * the deterministic byte-slice stub (ts an even spread of
+    * `duration_ms`) so the row-explosion plumbing is total over opaque
+    * bytes.
     */
   def sampleFrames(media: DataFrame, frames: Int, dim: Int = 16): DataFrame = {
     val spark = media.sparkSession
@@ -336,23 +647,37 @@ object Multimodal {
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
           val dur = r.getInt(2)
-          (0 until frames).iterator.map { f =>
-            val tsMs = if (frames == 1) 0 else dur * f / (frames - 1)
-            // STUB frame decode: slice the payload deterministically
-            val lo = if (payload.isEmpty) 0 else (payload.length.toLong * f / frames).toInt
-            val hi = if (payload.isEmpty) 0 else (payload.length.toLong * (f + 1) / frames).toInt
-            Row(id, f, tsMs, stubDecode(payload.slice(lo, hi), dim).toSeq)
+          parseAvi(payload) match {
+            case Some(info) =>
+              val n = info.nFrames
+              (0 until frames).iterator.map { f =>
+                val fi =
+                  if (frames == 1) 0
+                  else math.min(n - 1, ((n - 1).toLong * f / (frames - 1)).toInt)
+                val (off, sz, isDib) = info.frames(fi)
+                val feat = frameLumBuckets(payload, off, sz, isDib, info.width,
+                  info.height, info.bitCount, dim, 1L << 26)
+                  .getOrElse(new Array[Float](dim))
+                Row(id, f, (fi.toLong * info.microSecPerFrame / 1000L).toInt,
+                  feat.toSeq)
+              }
+            case None =>
+              (0 until frames).iterator.map { f =>
+                val tsMs = if (frames == 1) 0 else dur * f / (frames - 1)
+                // STUB frame decode: slice the payload deterministically
+                val lo = if (payload.isEmpty) 0 else (payload.length.toLong * f / frames).toInt
+                val hi = if (payload.isEmpty) 0 else (payload.length.toLong * (f + 1) / frames).toInt
+                Row(id, f, tsMs, stubDecode(payload.slice(lo, hi), dim).toSeq)
+              }
           }
         }
       }
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Image resize: payload → re-encoded payload at (targetW, targetH),
-    * metadata updated in the same pass. STUB codec: the fake "resample"
-    * scales the byte budget by the pixel ratio deterministically; a real
-    * implementation swaps `stubResize` for a decoder+scaler+encoder
-    * without touching the mapPartitions shape.
+  /** Fallback "resample" for payloads ImageIO can't read: scales the
+    * byte budget by the pixel ratio deterministically via byte
+    * stride-sampling, keeping [[resize]] total over opaque bytes.
     */
   private[ops] def stubResize(payload: Array[Byte], srcW: Int, srcH: Int,
                               dstW: Int, dstH: Int): Array[Byte] = {
@@ -364,6 +689,42 @@ object Multimodal {
     Array.tabulate(n)(i => payload(((i.toLong * payload.length) / n).toInt))
   }
 
+  /** REAL resample for decodable payloads: ImageIO decode → bilinear
+    * Graphics2D scale → PNG re-encode. PNG, not JPEG, on the way out:
+    * lossless and encoder-deterministic, so resized fixtures stay
+    * byte-stable and re-decodable to exact geometry. Returns None when
+    * the bytes aren't a decodable image or exceed the `maxPixels`
+    * bomb guard, at which point [[resize]] falls back to
+    * [[stubResize]].
+    */
+  private[ops] def realResize(payload: Array[Byte], dstW: Int, dstH: Int,
+                              maxPixels: Long = 1L << 26): Option[Array[Byte]] = {
+    if (payload == null || payload.length < 8 || dstW <= 0 || dstH <= 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
+          img.getWidth.toLong * img.getHeight > maxPixels) return None
+      val out = new java.awt.image.BufferedImage(dstW, dstH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, dstW, dstH, null)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      Some(baos.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** Image resize: payload → re-encoded payload at (targetW, targetH),
+    * metadata updated in the same pass. Decodable images take the REAL
+    * decode → bilinear scale → PNG re-encode path ([[realResize]]);
+    * opaque bytes keep the deterministic stub so the operator is total.
+    * Same mapPartitions shape either way — payloads transform in place
+    * and never shuffle.
+    */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val spark = media.sparkSession
     val rdd = media
@@ -375,9 +736,9 @@ object Multimodal {
           val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
           val w = if (r.isNullAt(3)) 0 else r.getInt(3)
           val h = if (r.isNullAt(4)) 0 else r.getInt(4)
-          Row(r.getLong(0), r.getString(1),
-            stubResize(payload, w, h, targetW, targetH),
-            targetW, targetH,
+          val resized = realResize(payload, targetW, targetH)
+            .getOrElse(stubResize(payload, w, h, targetW, targetH))
+          Row(r.getLong(0), r.getString(1), resized, targetW, targetH,
             if (r.isNullAt(5)) null else Integer.valueOf(r.getInt(5)))
         }
       }

@@ -147,13 +147,14 @@ object SimilarityQueries {
       None),
 
     // ---- multimodal: batched feature extraction over binary payloads.
-    //      Image rows carry REAL PNG payloads (deterministic fixture
-    //      encoder) decoded by the REAL JDK ImageIO codec — true
-    //      geometry + luminance features; audio rows carry REAL WAV
-    //      payloads (deterministic fixture encoder) decoded by the REAL
-    //      JDK javax.sound.sampled codec — true sample rate / channels /
-    //      duration + RMS envelope + peak; video rows carry opaque
-    //      bytes on the deterministic stub path, one schema for all ----
+    //      ALL THREE modalities carry REAL payloads from deterministic
+    //      fixture encoders and decode through REAL JDK codecs: PNG via
+    //      ImageIO (true geometry + luminance buckets), WAV via
+    //      javax.sound.sampled (true rate / channels / duration + RMS
+    //      envelope + peak), and MJPEG-AVI via the RIFF container walk
+    //      + per-frame ImageIO decode (true geometry / fps / duration +
+    //      temporal luminance envelope + peak frame). One schema for
+    //      all paths ----
     Q("q44_multimodal_features",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
@@ -163,14 +164,19 @@ object SimilarityQueries {
         val wavs = graft.ops.Multimodal.syntheticWav(
           docs.where(col("doc_id") % 3 === 1), "doc_id")
           .select(col("media_id").as("__wav_id"), col("payload").as("__wav"))
+        val avis = graft.ops.Multimodal.syntheticAvi(
+          docs.where(col("doc_id") % 3 === 2), "doc_id",
+          frames = 4, size = 8, fps = 10)
+          .select(col("media_id").as("__avi_id"), col("payload").as("__avi"))
         val media = docs
           .join(pngs, col("doc_id") === col("__png_id"), "left")
           .join(wavs, col("doc_id") === col("__wav_id"), "left")
+          .join(avis, col("doc_id") === col("__avi_id"), "left")
           .select(
             col("doc_id").as("media_id"),
             when(col("doc_id") % 3 === 0, "image")
               .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
-            coalesce(col("__png"), col("__wav"), col("text").cast("binary")).as("payload"),
+            coalesce(col("__png"), col("__wav"), col("__avi")).as("payload"),
             lit(8).as("width"), lit(8).as("height"),
             (col("doc_id") % 10000).cast("int").as("duration_ms"))
         graft.ops.Multimodal.extractFeatures(media, dim = 8)
@@ -182,6 +188,48 @@ object SimilarityQueries {
             round(col("peak"), 5).as("peak"))
       },
       None),
+
+    // ---- video decode under the hash oracle: the Spark side derives
+    //      geometry / fps / duration by REALLY parsing RIFF/AVI bytes
+    //      and decoding MJPEG frames; the oracle predicts the same
+    //      values independently from the fixture-generator parameters.
+    //      A decoder that misreads the container (wrong header offset,
+    //      wrong frame period, dropped frames) hash-mismatches ----
+    Q("q151_video_decode",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 7 === 0)
+        val media = graft.ops.Multimodal.syntheticAvi(
+          docs, "doc_id", frames = 5, size = 8, fps = 25)
+        graft.ops.Multimodal.extractFeatures(media, dim = 4)
+          .select(col("media_id"),
+            col("width").as("decoded_w"), col("height").as("decoded_h"),
+            col("sample_rate").as("decoded_fps"),
+            col("duration_ms").as("decoded_ms"))
+      },
+      Some("""SELECT doc_id AS media_id, 8 AS decoded_w, 8 AS decoded_h,
+             |       25 AS decoded_fps, 200 AS decoded_ms
+             |FROM documents WHERE doc_id % 7 = 0""".stripMargin)),
+
+    // ---- frame sampling under the hash oracle: frame_ts_ms comes from
+    //      the REAL container walk (original frame index × the avih
+    //      frame period read back out of the payload bytes); the oracle
+    //      recomputes the even-spacing arithmetic independently. The
+    //      per-frame luminance leg is spec-covered (DIB-exact anchors
+    //      in MultimodalSpec) — floats stay out of the hash ----
+    Q("q152_video_frames",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 7 === 3)
+        val media = graft.ops.Multimodal.syntheticAvi(
+          docs, "doc_id", frames = 6, size = 8, fps = 10)
+        graft.ops.Multimodal.sampleFrames(media, frames = 4, dim = 4)
+          .select(col("media_id"), col("frame_idx"), col("frame_ts_ms"))
+      },
+      Some("""SELECT d.doc_id AS media_id, f.f AS frame_idx,
+             |       CAST(floor(5 * f.f / 3) AS INTEGER) * 100 AS frame_ts_ms
+             |FROM documents d CROSS JOIN (VALUES (0), (1), (2), (3)) AS f(f)
+             |WHERE d.doc_id % 7 = 3""".stripMargin)),
 
     // ---- multimodal perceptual near-dup (pHash shape): REAL PNG
     //      payloads → REAL ImageIO luminance decode → sign-bit

@@ -291,8 +291,11 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val batchState = Aggs.aggState(batch, keys, valueCol)
+        // Hadoop FS, not java.io.File: storeDir may live on HDFS/S3
+        val storePath = new org.apache.hadoop.fs.Path(storeDir)
+        val storeFs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
         val merged =
-          if (new java.io.File(storeDir).exists()) {
+          if (storeFs.exists(storePath)) {
             val store = spark.read.parquet(storeDir)
             // schema-aligned merge (decimal sums read back as decimal)
             Aggs.mergeAggState(store, batchState, keys)
@@ -335,10 +338,13 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val days = batch.select(col(dateCol).cast("string")).distinct()
           .collect().map(_.getString(0)).sorted
+        // Hadoop FS, not java.io.File: dimDir may live on HDFS/S3
+        val dimPath = new org.apache.hadoop.fs.Path(dimDir)
+        val dimFs = dimPath.getFileSystem(spark.sessionState.newHadoopConf())
         days.foreach { day =>
           val snap = batch.where(col(dateCol).cast("string") === day)
             .drop(dateCol)
-          if (!new java.io.File(dimDir).exists()) {
+          if (!dimFs.exists(dimPath)) {
             snap.withColumn(opts.startCol, to_date(lit(day)))
               .withColumn(opts.endCol, to_date(lit(opts.openEnd)))
               .withColumn(opts.deactivateCol, lit(false))

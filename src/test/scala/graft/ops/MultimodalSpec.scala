@@ -154,6 +154,116 @@ class MultimodalSpec extends SparkSpec {
     assert(diffs <= 2, s"same-base images differ in $diffs pixels, want <= 2")
   }
 
+  // independent hand-rolled AVI encoder (java.nio, sharing nothing with
+  // Multimodal.buildAvi) — guards parser/container compatibility, not
+  // just round-tripping our own writer; same role as tone_sq5_8k.wav
+  private def specAvi(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def ch(id: String, data: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + data.length + (data.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0).putInt(1).putInt(fps).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort).array()
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    def lst(typ: String, parts: Array[Byte]*): Array[Byte] =
+      ch("LIST", typ.getBytes("US-ASCII") ++ parts.flatten)
+    val hdrl = lst("hdrl", ch("avih", avih),
+      lst("strl", ch("strh", strh), ch("strf", strf)))
+    val movi = lst("movi", frames.map(fb => ch("00db", fb)): _*)
+    ch("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  // constant-gray 24-bit DIB frame: stride 12 at w=4 (already 4-aligned)
+  private def grayDib(w: Int, h: Int, lum: Int): Array[Byte] =
+    Array.fill(((w * 3 + 3) / 4) * 4 * h)(lum.toByte)
+
+  // Rec.601 luma of a pure gray pixel, via the decoder's own formula
+  private def grayLum(l: Int): Float =
+    ((0.299 * l + 0.587 * l + 0.114 * l) / 255.0).toFloat
+
+  test("decodeAvi reads an independently-encoded DIB AVI exactly") {
+    val white = grayLum(255)
+    val avi = specAvi(Seq(grayDib(4, 4, 0), grayDib(4, 4, 255),
+      grayDib(4, 4, 255), grayDib(4, 4, 0)), 4, 4, fps = 5)
+    val got = Multimodal.decodeAvi(avi, dim = 4)
+    assert(got.isDefined, "independently-encoded AVI did not decode")
+    val (w, h, fps, ms, env, peak) = got.get
+    assert(w == 4 && h == 4 && fps == 5 && ms == 800)
+    // one frame per window, each frame a constant gray — exact values
+    assert(env.toSeq == Seq(0f, white, white, 0f))
+    assert(peak == white)
+  }
+
+  test("decodeAvi survives truncated and non-AVI payloads") {
+    val avi = specAvi(Seq(grayDib(4, 4, 128)), 4, 4, fps = 10)
+    assert(Multimodal.decodeAvi(avi.take(40), dim = 2).isEmpty)  // truncated header
+    assert(Multimodal.decodeAvi(avi.dropRight(20), dim = 2).isEmpty) // truncated movi
+    assert(Multimodal.decodeAvi("notavideo".getBytes("UTF-8"), dim = 2).isEmpty)
+    assert(Multimodal.decodeAvi(null, dim = 2).isEmpty)
+  }
+
+  test("syntheticAvi emits decodable MJPEG AVIs with id-keyed near-dup structure") {
+    val ids = Seq(0L, 32L, 1L).toDF("doc_id")
+    val media = Multimodal.syntheticAvi(ids, "doc_id", frames = 6, size = 16, fps = 10)
+    assert(media.count() == 3)
+    val p0 = media.where($"media_id" === 0L).head().getAs[Array[Byte]]("payload")
+    assert(p0(0) == 'R'.toByte && p0(8) == 'A'.toByte) // RIFF/AVI magic
+    val d0 = Multimodal.decodeAvi(p0, dim = 4).get
+    assert(d0._1 == 16 && d0._2 == 16 && d0._3 == 10 && d0._4 == 600)
+    // MJPEG loss is small: the envelope tracks the lossless DIB twin
+    val dib0 = Multimodal.syntheticAvi(ids, "doc_id", frames = 6, size = 16,
+      fps = 10, dib = true).where($"media_id" === 0L).head()
+      .getAs[Array[Byte]]("payload")
+    val dDib = Multimodal.decodeAvi(dib0, dim = 4).get
+    val jpegErr = d0._5.zip(dDib._5).map { case (a, b) => math.abs(a - b) }.max
+    assert(jpegErr < 0.02, s"JPEG-vs-DIB envelope error $jpegErr")
+    // ids 0 and 32 share the base key: near-identical clips
+    val p32 = media.where($"media_id" === 32L).head().getAs[Array[Byte]]("payload")
+    val d32 = Multimodal.decodeAvi(p32, dim = 4).get
+    val baseErr = d0._5.zip(d32._5).map { case (a, b) => math.abs(a - b) }.max
+    assert(baseErr < 0.02, s"same-base envelope error $baseErr")
+  }
+
+  test("extractFeatures routes AVI payloads to the real video decode") {
+    val media = Multimodal.syntheticAvi(Seq(5L).toDF("doc_id"), "doc_id",
+      frames = 6, size = 16, fps = 10)
+    val r = Multimodal.extractFeatures(media, dim = 4).head()
+    assert(r.getInt(r.fieldIndex("width")) == 16)
+    assert(r.getInt(r.fieldIndex("height")) == 16)
+    assert(r.getInt(r.fieldIndex("sample_rate")) == 10) // fps in the rate slot
+    assert(r.isNullAt(r.fieldIndex("channels")))        // video ≠ audio
+    assert(r.getInt(r.fieldIndex("duration_ms")) == 600)
+    val peak = r.getFloat(r.fieldIndex("peak"))
+    assert(peak > 0f && peak <= 1f)
+  }
+
+  test("sampleFrames decodes real AVI frames with container timing") {
+    val avi = specAvi(Seq(grayDib(4, 4, 0), grayDib(4, 4, 128),
+      grayDib(4, 4, 255)), 4, 4, fps = 10)
+    val rows = Seq(Row(11L, "video", avi, 4, 4, Integer.valueOf(99999)))
+    val m = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1), Multimodal.mediaSchema)
+    val fr = Multimodal.sampleFrames(m, frames = 3, dim = 2).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getSeq[Float](3))).sortBy(_._1)
+    // container timing (100 ms/frame), NOT the bogus duration_ms column
+    assert(fr.map(t => (t._1, t._2)).toSeq == Seq((0, 0), (1, 100), (2, 200)))
+    assert(fr(0)._3 == Seq(0f, 0f))
+    assert(fr(1)._3 == Seq(grayLum(128), grayLum(128)))
+    assert(fr(2)._3 == Seq(grayLum(255), grayLum(255)))
+  }
+
   test("sampleFrames: N evenly-spaced frames per video only") {
     val fr = Multimodal.sampleFrames(media, frames = 5, dim = 4)
     assert(fr.count() == 5) // only media 3 is video
@@ -174,6 +284,25 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.resize(media, 32, 32)
       .where($"media_id" === 1).head().getAs[Array[Byte]]("payload")
     assert(again.toSeq == r.getAs[Array[Byte]]("payload").toSeq)
+  }
+
+  test("resize really resamples decodable images (decode → scale → PNG)") {
+    // constant-color image: bilinear of a constant is the same constant,
+    // so every output pixel is exact at any target size
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x336699)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val rows = Seq(Row(21L, "image", baos.toByteArray, 8, 8, null))
+    val m = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1), Multimodal.mediaSchema)
+    val out = Multimodal.resize(m, 4, 4).head().getAs[Array[Byte]]("payload")
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(dec != null, "resized payload is not a decodable image")
+    assert(dec.getWidth == 4 && dec.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((dec.getRGB(x, y) & 0xFFFFFF) == 0x336699)
   }
 
   test("metadata projection prunes the payload column from the scan") {
