@@ -244,6 +244,26 @@ object SimilarityQueries {
       },
       None),
 
+    // ---- perceptual near-dup over VIDEO — the video leg of q101's
+    //      image pHash shape, end-to-end through the REAL codec by
+    //      KEYFRAME ALIGNMENT: AVI container walk → per-keyframe JPEG
+    //      decode → spatial luminance signature per frame → banded
+    //      buckets joined on the aligned sample ordinal → per-frame
+    //      hamming verify → pairs matching ≥2 keyframes. Same-base
+    //      synthetic clips (id mod 32) are near-identical by
+    //      construction. Payload bytes never shuffle — only (id,
+    //      frame, 64-bit sig) rows do. Engine-specific hash family →
+    //      rows-only ----
+    Q("q153_video_neardup",
+      (s, dir) => {
+        val media = graft.ops.Multimodal.syntheticAvi(
+          Tables.load(s, dir, "documents").where(col("doc_id") < 2000),
+          "doc_id", frames = 4, size = 8, fps = 10)
+        graft.ops.Multimodal.nearDupVideo(media, keyframes = 3, dim = 16,
+          maxHamming = 3, minMatchFrames = 2)
+      },
+      None),
+
     // ---- label centroid norm: agg over vector columns. Elements are
     //      quantized to 1e-4 BEFORE summing (floor(x·1e4) as BIGINT) so
     //      every aggregate is integer-exact and order-independent —

@@ -264,6 +264,39 @@ class MultimodalSpec extends SparkSpec {
     assert(fr(2)._3 == Seq(grayLum(255), grayLum(255)))
   }
 
+  test("nearDupVideo pairs aligned near-identical clips, not different content") {
+    // 4x4 DIB frames with controlled spatial patterns (1 px per bucket
+    // at dim 16): A = left-half bright, B = A with one pixel nudged,
+    // C = top-half bright — A/C centered features are orthogonal, so
+    // their signatures differ in ~half the bits
+    def dib(f: (Int, Int) => Int): Array[Byte] = {
+      val stride = 12
+      val out = new Array[Byte](stride * 4)
+      for (y <- 0 until 4; x <- 0 until 4) {
+        val off = (3 - y) * stride + 3 * x // bottom-up
+        val l = f(x, y).toByte
+        out(off) = l; out(off + 1) = l; out(off + 2) = l
+      }
+      out
+    }
+    val a = dib((x, _) => if (x < 2) 255 else 0)
+    val b = dib((x, y) => if (x == 0 && y == 0) 250 else if (x < 2) 255 else 0)
+    val c = dib((_, y) => if (y < 2) 255 else 0)
+    val rows = Seq(
+      Row(1L, "video", specAvi(Seq(a, a, a), 4, 4, 10), 4, 4, Integer.valueOf(300)),
+      Row(2L, "video", specAvi(Seq(b, b, b), 4, 4, 10), 4, 4, Integer.valueOf(300)),
+      Row(3L, "video", specAvi(Seq(c, c, c), 4, 4, 10), 4, 4, Integer.valueOf(300)))
+    val m = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 2), Multimodal.mediaSchema)
+    val out = Multimodal.nearDupVideo(m, keyframes = 3, dim = 16,
+      maxHamming = 3, minMatchFrames = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.exists { case (ia, ib, fm) => ia == 1L && ib == 2L && fm == 3L },
+      s"near-identical clips did not pair: ${out.toSeq}")
+    assert(!out.exists { case (ia, ib, _) => ia == 3L || ib == 3L },
+      s"orthogonal-content clip paired: ${out.toSeq}")
+  }
+
   test("sampleFrames: N evenly-spaced frames per video only") {
     val fr = Multimodal.sampleFrames(media, frames = 5, dim = 4)
     assert(fr.count() == 5) // only media 3 is video

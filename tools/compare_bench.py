@@ -1,0 +1,25 @@
+#!/usr/bin/env python3
+"""Compare two Bench JSON lines (e.g. x1 vs x5 scale runs).
+
+Usage: compare_bench.py A.json B.json [ratio_threshold]
+Prints total ratio, median/p90 per-query ratio, and every query whose
+B/A ratio exceeds the threshold (default 3.0), sorted by ratio.
+"""
+import json, sys, statistics
+
+a = json.load(open(sys.argv[1]))
+b = json.load(open(sys.argv[2]))
+thr = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+qa, qb = a["queries"], b["queries"]
+common = [k for k in qa if k in qb and qa[k] > 0]
+ratios = {k: qb[k] / qa[k] for k in common}
+rs = sorted(ratios.values())
+print(f"total: {a['value']} -> {b['value']} ({b['value']/a['value']:.2f}x)  "
+      f"queries: {len(common)}  errors A={a['errors']} B={b['errors']}")
+print(f"per-query ratio: median {statistics.median(rs):.2f}x  "
+      f"p90 {rs[int(len(rs)*0.9)]:.2f}x  max {rs[-1]:.2f}x")
+over = sorted(((v, k) for k, v in ratios.items() if v > thr), reverse=True)
+for v, k in over:
+    print(f"  {k}: {qa[k]:.3f} -> {qb[k]:.3f}  ({v:.1f}x)")
+if not over:
+    print(f"  (no query above {thr}x)")
