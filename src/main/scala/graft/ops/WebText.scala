@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Web-text preparation operators: HTML main-content extraction
+  * (boilerplate removal), rule-based sentence segmentation, and
+  * encoding-damage (mojibake) scoring.
+  *
+  * These are the front of a Common-Crawl-style curation pipeline — the
+  * step between "raw crawled markup" and every downstream text operator
+  * in this engine (quality rules, dedup, chunking, packing). The
+  * reference pipeline ingests XML and treats markup structurally
+  * (R/_pull_data.R's XPath pulls); here the corresponding web-corpus
+  * need is markup REMOVAL at scale.
+  *
+  * Design rules shared by every function in this file:
+  *   - pure per-row `Column` chains over built-in functions — whole-stage
+  *     codegen'd, zero UDFs, zero shuffles: cleaning 100 TB of HTML is
+  *     an embarrassingly parallel scan, and these ops keep it one;
+  *   - every regex stays inside the RE2-compatible subset (no
+  *     backreferences, no lookaround) so an external engine (DuckDB /
+  *     Trino / BigQuery) reproduces the transform verbatim — which is
+  *     also what makes the hash-oracle checks possible;
+  *   - deterministic: no locale, no tz, no float.
+  */
+object WebText {
+
+  /** Tags whose entire CONTENT is boilerplate (not just the markup):
+    * scripts, styles, and the chrome containers of a page. Dropped
+    * with their bodies; every other tag is unwrapped (tag stripped,
+    * content kept). The list is the trafilatura/jusText consensus core.
+    */
+  val boilerplateTags: Seq[String] =
+    Seq("script", "style", "nav", "header", "footer", "aside", "noscript")
+
+  private def dropTagWithBody(c: Column, tag: String): Column =
+    regexp_replace(c, s"(?is)<$tag\\b[^>]*>.*?</$tag\\s*>", " ")
+
+  /** HTML → visible text. Order matters and is part of the contract:
+    *   1. comments dropped (`<!-- -->` may contain markup fragments
+    *      that would otherwise confuse tag stripping);
+    *   2. boilerplate tags dropped WITH their bodies (one pass per tag —
+    *      RE2-safe; a combined `</(script|style)>` close would need a
+    *      backreference to pair correctly);
+    *   3. every remaining tag unwrapped to a space (block structure is
+    *      surrendered deliberately: downstream segmentation is
+    *      sentence-based, not line-based);
+    *   4. the five HTML entities that appear in escaped text decoded,
+    *      `&amp;` LAST — decoding it first would turn `&amp;lt;` into
+    *      `&lt;` and then double-decode;
+    *   5. whitespace collapsed to single spaces and trimmed. The class
+    *      is written `[ \t\n\r]` explicitly because Java's `\s` and
+    *      RE2's `\s` disagree about `\x0B`.
+    */
+  def htmlToText(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noBoiler = boilerplateTags.foldLeft(noComments)(dropTagWithBody)
+    val noTags = regexp_replace(noBoiler, "(?s)<[^>]*>", " ")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(
+              replace(noTags, lit("&lt;"), lit("<")),
+              lit("&gt;"), lit(">")),
+            lit("&quot;"), lit("\"")),
+          lit("&#39;"), lit("'")),
+        lit("&nbsp;"), lit(" ")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
+
+  /** Rule-based sentence segmentation: maximal runs of non-terminator
+    * characters followed by a maximal run of terminators (`.!?`), plus
+    * a final unterminated fragment. Segments are trimmed and empties
+    * dropped. This is the deterministic, engine-portable 90% answer —
+    * deliberately NOT a locale-aware `BreakIterator` (not reproducible
+    * outside the JVM) and not abbreviation-aware (a lexicon is a config
+    * concern, not an operator concern).
+    */
+  def sentenceSplit(text: Column): Column = {
+    val raw = regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0))
+    filter(transform(raw, s => trim(s)), s => s =!= lit(""))
+  }
+
+  /** Occurrences of a literal marker in `s` — `(len(s) - len(s with
+    * marker removed)) / len(marker)`, the shuffle-free idiom every SQL
+    * engine shares.
+    */
+  def literalCount(s: Column, marker: String): Column =
+    ((length(s) - length(replace(s, lit(marker), lit("")))) /
+      marker.length).cast("long")
+
+  /** The classic UTF-8-read-as-Latin-1 sequences (each a common
+    * character's UTF-8 byte run mis-decoded): the accented-Latin
+    * digraph family (U+00C3 + continuation, e.g. "\u00C3\u00A9" is
+    * an e-acute mis-decode), the curly-punctuation trigraph family
+    * (U+00E2 U+20AC + tail, the right-single-quote mis-decode), plus
+    * the replacement character U+FFFD that lossy transcoding inserts
+    * directly. Spelled as escapes so this source file itself can never
+    * be mojibake'd by a build tool.
+    */
+  val mojibakeMarkers: Seq[String] = Seq(
+    "\u00C3\u00A9", "\u00C3\u00A8", "\u00C3\u00B1", // e-acute / e-grave / n-tilde
+    "\u00E2\u20AC\u2122", // right single quote
+    "\u00E2\u20AC\u0153", // left double quote
+    "\uFFFD") // replacement char
+
+  /** Mojibake marker count: total occurrences of any marker. */
+  def mojibakeCount(text: Column): Column =
+    mojibakeMarkers.map(literalCount(text, _)).reduce(_ + _)
+
+  /** Count of non-ASCII characters (code points above U+007F). */
+  def nonAsciiCount(text: Column): Column =
+    (length(text) -
+      length(regexp_replace(text, "[^\\x00-\\x7f]", ""))).cast("long")
+
+  /** Fraction of characters that are plain ASCII; 1.0 for empty text
+    * (vacuously clean — an empty doc should fail LENGTH rules, not
+    * encoding rules).
+    */
+  def asciiRatio(text: Column): Column =
+    when(length(text) === 0, lit(1.0))
+      .otherwise((length(text) - nonAsciiCount(text)).cast("double") /
+        length(text).cast("double"))
+}

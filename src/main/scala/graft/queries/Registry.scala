@@ -16,7 +16,8 @@ object Registry {
   def all: Seq[Q] =
     Relational.qs ++ TextQueries.qs ++ SimilarityQueries.qs ++
       ModelQueries.qs ++ CurationQueries.qs ++ QualityQueries.qs ++
-      WebCurationQueries.qs ++ PipelineQueries.qs ++ IndexQueries.qs
+      WebCurationQueries.qs ++ PipelineQueries.qs ++ IndexQueries.qs ++
+      WebTextQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

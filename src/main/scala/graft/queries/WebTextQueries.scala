@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.core.{Export, Tables}
+import graft.ops.{WebText => WT}
+
+/** Round-9 web-text front-of-pipeline operators: HTML boilerplate
+  * removal, sentence segmentation, encoding-damage scoring, and the
+  * sharded-JSONL training-data export exercised as a full write →
+  * read-back → audit round trip. All four carry full DuckDB oracles —
+  * the HTML/sentence/encoding transforms are RE2-subset regex and
+  * literal-replace chains that the oracle reproduces verbatim, and the
+  * export oracle predicts the round-tripped corpus from the source
+  * parquet (so any JSON-escaping loss, shard misassignment, or dropped
+  * row hash-mismatches).
+  */
+object WebTextQueries {
+
+  private def round(c: org.apache.spark.sql.Column, scale: Int) =
+    graft.ops.Numeric.roundAway(c, scale)
+
+  /** Deterministic page synthesis shared by q154's two sides: wrap each
+    * document in realistic chrome (title, style, script with a tag-like
+    * string literal, nav, comment, footer, entities). The fixture corpus
+    * has no raw HTML, so both engines derive the page from `text` the
+    * same way; the graded behavior is the EXTRACTION.
+    */
+  private val pagePrefix =
+    "<html><head><title>Doc "
+  private val pageMid =
+    "</title><style>p{margin:0}</style>" +
+      "<script>var t=\"<p>not text</p>\";</script></head>" +
+      "<body><nav>home | about | <b>search</b></nav><!-- begin -->" +
+      "<p>"
+  private val pageSuffix =
+    "</p><div>&quot;quoted&quot; &amp;amp; tail</div>" +
+      "<footer>&#39;footer&#39; boilerplate</footer></body></html>"
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- HTML -> visible text (boilerplate removal) ----
+    Q("q154_html_extract",
+      (s, dir) => {
+        val html = concat(lit(pagePrefix), col("doc_id").cast("string"),
+          lit(pageMid), col("text"), lit(pageSuffix))
+        val clean = WT.htmlToText(html)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), length(clean).as("n_chars_clean"),
+            md5(clean).as("clean_md5"))
+      },
+      Some(s"""WITH pg AS (
+                SELECT doc_id,
+                       '$pagePrefix' || CAST(doc_id AS VARCHAR) ||
+                       '${pageMid.replace("'", "''")}' || text ||
+                       '${pageSuffix.replace("'", "''")}' AS h
+                FROM documents),
+              a AS (SELECT doc_id,
+                      regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h
+                    FROM pg),
+              b AS (SELECT doc_id,
+                      regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(h,
+                        '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                        '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                        '(?is)<nav\\b[^>]*>.*?</nav\\s*>', ' ', 'g'),
+                        '(?is)<header\\b[^>]*>.*?</header\\s*>', ' ', 'g'),
+                        '(?is)<footer\\b[^>]*>.*?</footer\\s*>', ' ', 'g'),
+                        '(?is)<aside\\b[^>]*>.*?</aside\\s*>', ' ', 'g'),
+                        '(?is)<noscript\\b[^>]*>.*?</noscript\\s*>', ' ', 'g')
+                        AS h
+                    FROM a),
+              c AS (SELECT doc_id,
+                      regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h
+                    FROM b),
+              d AS (SELECT doc_id,
+                      replace(replace(replace(replace(replace(replace(h,
+                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS h
+                    FROM c),
+              e AS (SELECT doc_id,
+                      trim(regexp_replace(h, '[ \t\n\r]+', ' ', 'g')) AS h
+                    FROM d)
+              SELECT doc_id, CAST(length(h) AS INTEGER) AS n_chars_clean,
+                     md5(h) AS clean_md5
+              FROM e"""),
+    ),
+
+    // ---- rule-based sentence segmentation (exploded, per-sentence) ----
+    Q("q155_sentences",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(WT.sentenceSplit(col("text")))
+              .as(Seq("sent_idx", "sentence")))
+          .select(col("doc_id"), col("sent_idx"),
+            length(col("sentence")).as("n_chars"),
+            md5(col("sentence")).as("sent_md5"))
+      },
+      Some("""WITH sp AS (
+                SELECT doc_id,
+                       [trim(x) FOR x IN
+                         regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$')
+                         IF trim(x) <> ''] AS ss
+                FROM documents),
+              u AS (
+                SELECT doc_id,
+                       CAST(generate_subscripts(ss, 1) - 1 AS INTEGER)
+                         AS sent_idx,
+                       unnest(ss) AS sentence
+                FROM sp)
+              SELECT doc_id, sent_idx,
+                     CAST(length(sentence) AS INTEGER) AS n_chars,
+                     md5(sentence) AS sent_md5
+              FROM u"""),
+    ),
+
+    // ---- encoding-damage (mojibake) scoring; corpus corrupted
+    //      deterministically by doc_id so both engines score the same
+    //      damaged text (the fixture corpus itself is clean) ----
+    Q("q156_encoding_qa",
+      (s, dir) => {
+        val moji = lit("Ã©") // e-acute mis-decode digraph
+        val tail = lit(" �â€™") // U+FFFD + quote trigraph
+        val m = when(col("doc_id") % 7 === 0,
+            replace(col("text"), lit("e"), moji))
+          .when(col("doc_id") % 11 === 0, concat(col("text"), tail))
+          .otherwise(col("text"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), WT.mojibakeCount(m).as("moji_n"),
+            WT.nonAsciiCount(m).as("non_ascii"),
+            round(WT.asciiRatio(m), 6).as("ascii_ratio"),
+            (WT.mojibakeCount(m) > 0).as("damaged"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                              THEN replace(text, 'e', 'Ã©')
+                            WHEN doc_id % 11 = 0
+                              THEN text || ' �â€™'
+                            ELSE text END AS t
+                FROM documents),
+              c AS (
+                SELECT doc_id, t,
+                  CAST((length(t) - length(replace(t, 'Ã©', ''))) // 2
+                     + (length(t) - length(replace(t, 'Ã¨', ''))) // 2
+                     + (length(t) - length(replace(t, 'Ã±', ''))) // 2
+                     + (length(t) - length(replace(t, 'â€™', ''))) // 3
+                     + (length(t) - length(replace(t, 'â€œ', ''))) // 3
+                     + (length(t) - length(replace(t, '�', '')))
+                     AS BIGINT) AS moji_n,
+                  CAST(length(t) -
+                       length(regexp_replace(t, '[^\x00-\x7f]', '', 'g'))
+                     AS BIGINT) AS non_ascii
+                FROM m)
+              SELECT doc_id, moji_n, non_ascii,
+                     CASE WHEN length(t) = 0 THEN 1.0
+                          ELSE round((length(t) - non_ascii) /
+                                     CAST(length(t) AS DOUBLE), 6)
+                     END AS ascii_ratio,
+                     moji_n > 0 AS damaged
+              FROM c"""),
+    ),
+
+    // ---- sharded JSONL export: write -> read-back -> per-shard audit.
+    //      The oracle predicts the audit from the SOURCE parquet, so a
+    //      lossy JSON escape, a dropped row, or a shard misassignment
+    //      hash-mismatches. content_md5 folds per-row hashes in their
+    //      own sorted order (engine-portable: no row-order assumption
+    //      survives a distributed write). ----
+    Q("q157_jsonl_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_jsonl").toString
+        val ex = new Export(s, tmp)
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            (col("doc_id") % 8).as("shard"))
+        ex.writeJsonlShards(docs, "docs", "shard")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("shard", LongType)))
+        val rowH = md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("text")))
+        ex.readJsonlShards("docs", schema)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_chars"),
+            md5(array_join(array_sort(collect_list(rowH)), ""))
+              .as("content_md5"))
+      },
+      Some("""SELECT doc_id % 8 AS shard,
+                     count(*) AS n_docs,
+                     CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                     md5(string_agg(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                         '' ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text)))
+                       AS content_md5
+              FROM documents GROUP BY 1"""),
+    ),
+  )
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class WebTextSpec extends SparkSpec {
+
+  private def one(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(WebText.htmlToText(col("h")).as("t"))
+      .head().getString(0)
+  }
+
+  test("htmlToText strips tags, keeps content") {
+    assert(one("<p>Hello <b>world</b></p>") == "Hello world")
+  }
+
+  test("htmlToText drops script/style/nav/footer bodies entirely") {
+    val h = "<style>p{color:red}</style><script>var x='<p>hi</p>';" +
+      "</script><nav>menu</nav><p>real</p><footer>legal</footer>"
+    assert(one(h) == "real")
+  }
+
+  test("htmlToText is case-insensitive on boilerplate tags") {
+    assert(one("<SCRIPT>x</SCRIPT><P>kept</P><Footer>no</fOOTER>") == "kept")
+  }
+
+  test("htmlToText drops comments including tag-shaped payloads") {
+    assert(one("<!-- <p>ghost</p> -->body") == "body")
+  }
+
+  test("htmlToText decodes entities, amp last (no double decode)") {
+    assert(one("a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;x &amp;lt;") ==
+      "a <tag> \"q\" 's' x &lt;")
+  }
+
+  test("htmlToText collapses whitespace across removed blocks") {
+    assert(one("<div>a</div>\n\n<div>b</div>\t c") == "a b c")
+  }
+
+  test("sentenceSplit segments on terminator runs, keeps fragment") {
+    import spark.implicits._
+    val out = Seq("Hi there. How are you?? Fine... frag")
+      .toDF("t").select(WebText.sentenceSplit(col("t")).as("s"))
+      .head().getSeq[String](0)
+    assert(out == Seq("Hi there.", "How are you??", "Fine...", "frag"))
+  }
+
+  test("sentenceSplit drops whitespace-only segments, handles empty") {
+    import spark.implicits._
+    val out = Seq("A.   ", "", "   ").toDF("t")
+      .select(WebText.sentenceSplit(col("t")).as("s"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(out == Seq(Seq("A."), Seq.empty, Seq.empty))
+  }
+
+  test("mojibake count / non-ascii count / ascii ratio") {
+    import spark.implicits._
+    val damaged = "cafÃ© said â€™ twice" +
+      " Ã©�"
+    val row = Seq(damaged).toDF("t").select(
+      WebText.mojibakeCount(col("t")).as("m"),
+      WebText.nonAsciiCount(col("t")).as("n"),
+      WebText.asciiRatio(col("t")).as("r")).head()
+    // markers: 2x e-acute digraph, 1x quote trigraph, 1x replacement
+    assert(row.getLong(0) == 4L)
+    // non-ascii chars: 2 + 2 + 3 + 1 = 8
+    assert(row.getLong(1) == 8L)
+    val len = damaged.length
+    assert(math.abs(row.getDouble(2) - (len - 8).toDouble / len) < 1e-12)
+  }
+
+  test("clean ascii text scores zero damage, ratio 1; empty ratio 1") {
+    import spark.implicits._
+    val rows = Seq("plain text.", "").toDF("t").select(
+      WebText.mojibakeCount(col("t")).as("m"),
+      WebText.asciiRatio(col("t")).as("r")).collect()
+    assert(rows.forall(_.getLong(0) == 0L))
+    assert(rows.forall(_.getDouble(1) == 1.0))
+  }
+}
