@@ -441,6 +441,47 @@ object Streams {
       }
   }
 
+  /** Continuous-curation ingest: tail a sharded-JSONL directory (the
+    * `core.Export` sink's layout — the training-data interchange
+    * format) as a file-source stream. The schema is explicit for the
+    * same reason as `Export.readJsonlShards`: streaming inference is
+    * impossible and a JSONL corpus carries no schema. File-source
+    * semantics give exactly-once per FILE (the checkpoint records
+    * processed files), so a producer appending whole shards and a
+    * curation stream scoring them compose without an idempotence
+    * protocol of their own — which is why the Export side writes
+    * files atomically (task temp + rename).
+    *
+    * `maxFilesPerTrigger` bounds micro-batch width for backfill over a
+    * large existing corpus; transforms downstream are the same batch
+    * Column chains (`WebText.*`, quality rules) — per-row maps need no
+    * state, so a 100 TB backfill is just the batch scan metered into
+    * checkpointed chunks.
+    */
+  def jsonlIngestStream(spark: SparkSession, dir: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Drain a streaming frame as-is into an un-partitioned parquet sink,
+    * then stop — `Trigger.AvailableNow` + checkpoint, the generic
+    * sibling of [[drainToParquet]] for frames without the traffic
+    * schema's date column.
+    */
+  def drainPlain(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain everything currently available (the nightly-batch equivalent)
     * into a date-partitioned parquet sink, then stop — idempotent via
     * the checkpoint.
