@@ -17,7 +17,7 @@ object Registry {
     Relational.qs ++ TextQueries.qs ++ SimilarityQueries.qs ++
       ModelQueries.qs ++ CurationQueries.qs ++ QualityQueries.qs ++
       WebCurationQueries.qs ++ PipelineQueries.qs ++ IndexQueries.qs ++
-      WebTextQueries.qs
+      WebTextQueries.qs ++ GovernanceQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
