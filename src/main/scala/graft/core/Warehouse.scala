@@ -208,4 +208,102 @@ final class Warehouse(spark: SparkSession, root: String) {
     dropped.foreach(st => fs.delete(st.getPath, true))
     dropped.map(_.getPath.getName)
   }
+
+  // ---- versioned publish / time travel -------------------------------
+  //
+  // Poor-man's snapshot isolation for a parquet warehouse, the primitive
+  // a corpus-governance layer (graft.ops.Versioning) composes with:
+  // every publish writes an IMMUTABLE `v=NNNNN` directory and then swaps
+  // a one-line `_CURRENT` pointer file. Readers resolve the pointer once
+  // and then scan a directory no writer will ever touch again — so a
+  // publish never disturbs an in-flight 100 TB read, rollback is a
+  // pointer swap (zero data movement), time-travel reads are just
+  // version-dir scans, and expiry is directory deletion (no rewrite).
+  // Same single-writer assumption as [[forget]]; the only
+  // non-atomic window is the delete+rename pointer swap, and a reader
+  // that finds no pointer falls back to the NEWEST published version
+  // (the only state a lost pointer can represent).
+
+  private def versionDir(table: String, v: Int) =
+    new org.apache.hadoop.fs.Path(f"${path(table)}/v=$v%05d")
+  private def pointerPath(table: String) =
+    new org.apache.hadoop.fs.Path(s"${path(table)}/_CURRENT")
+
+  /** All published version numbers, ascending. */
+  def versions(table: String): Seq[Int] = {
+    val (fs, dir) = hadoopFs(path(table))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toInt).toOption)
+      .sorted
+  }
+
+  /** The pointer target; if the pointer is missing (pristine table or
+    * a crash inside the swap window) the newest published version.
+    */
+  def currentVersion(table: String): Option[Int] = {
+    val (fs, _) = hadoopFs(path(table))
+    val ptr = pointerPath(table)
+    val fromPtr =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        scala.util.Try(s.toInt).toOption
+      }
+    fromPtr.orElse(versions(table).lastOption)
+  }
+
+  /** Publish `df` as the next version and move the pointer to it.
+    * Returns the new version number.
+    */
+  def publishVersion(df: DataFrame, table: String): Int = {
+    val v = versions(table).lastOption.getOrElse(0) + 1
+    df.write.mode("overwrite").parquet(versionDir(table, v).toString)
+    setPointer(table, v)
+    v
+  }
+
+  private def setPointer(table: String, v: Int): Unit = {
+    val (fs, _) = hadoopFs(path(table))
+    val tmp = new org.apache.hadoop.fs.Path(s"${path(table)}/_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(pointerPath(table), false)
+    if (!fs.rename(tmp, pointerPath(table)))
+      throw new java.io.IOException(
+        s"publish: cannot move pointer for $table to v$v")
+  }
+
+  /** Time-travel read of a specific published version. */
+  def readVersion(table: String, v: Int): DataFrame =
+    spark.read.parquet(versionDir(table, v).toString)
+
+  /** Read whatever the pointer currently targets. */
+  def readCurrent(table: String): DataFrame =
+    readVersion(table, currentVersion(table).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no published version for $table")))
+
+  /** Rollback = pointer swap to an existing version; data untouched. */
+  def rollbackTo(table: String, v: Int): Unit = {
+    require(versions(table).contains(v),
+      s"rollbackTo: version $v of $table does not exist")
+    setPointer(table, v)
+  }
+
+  /** Drop all but the newest `keepLast` versions (the pointer target is
+    * always kept, wherever it points). Directory deletes only.
+    */
+  def expireVersions(table: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "expireVersions: keepLast must be >= 1")
+    val vs = versions(table)
+    val keep = vs.takeRight(keepLast).toSet ++ currentVersion(table)
+    val drop = vs.filterNot(keep)
+    val (fs, _) = hadoopFs(path(table))
+    drop.foreach(v => fs.delete(versionDir(table, v), true))
+    drop
+  }
 }

@@ -127,5 +127,54 @@ object GovernanceQueries {
                      len(valids) > 0 AS has_pan
               FROM v"""),
     ),
+
+    // ---- time-travel diff: two corpus versions PUBLISHED through the
+    //      warehouse's immutable-version + pointer-swap machinery, read
+    //      back by version number, diffed with Versioning.datasetDiff.
+    //      The oracle predicts the changeset straight from the source
+    //      parquet, so a publish that loses rows, a pointer that
+    //      resolves to the wrong version, or a lossy parquet round trip
+    //      all hash-mismatch. ----
+    Q("q161_snapshot_diff",
+      (s, dir) => {
+        val w = new graft.core.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft_tt").toString)
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        w.publishVersion(d.where(col("doc_id") % 31 =!= 0), "corpus")
+        w.publishVersion(
+          d.where(col("doc_id") % 29 =!= 0)
+            .withColumn("text",
+              when(col("doc_id") % 13 === 0, upper(col("text")))
+                .otherwise(col("text"))),
+          "corpus")
+        Versioning.datasetDiff(
+          w.readVersion("corpus", 1), w.readVersion("corpus", 2),
+          "doc_id", Seq("text", "lang", "source"))
+      },
+      Some("""WITH base AS (
+                SELECT doc_id, text, lang, source FROM documents),
+              v1 AS (
+                SELECT doc_id,
+                       md5(concat_ws(chr(1),
+                         coalesce(text, chr(2)), coalesce(lang, chr(2)),
+                         coalesce(source, chr(2)))) AS h
+                FROM base WHERE doc_id % 31 <> 0),
+              v2 AS (
+                SELECT doc_id,
+                       md5(concat_ws(chr(1),
+                         coalesce(CASE WHEN doc_id % 13 = 0
+                                       THEN upper(text) ELSE text END,
+                                  chr(2)),
+                         coalesce(lang, chr(2)),
+                         coalesce(source, chr(2)))) AS h
+                FROM base WHERE doc_id % 29 <> 0)
+              SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.h IS NULL THEN 'added'
+                          WHEN n.h IS NULL THEN 'removed'
+                          ELSE 'changed' END AS status
+              FROM v1 o FULL OUTER JOIN v2 n USING (doc_id)
+              WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h"""),
+    ),
   )
 }
