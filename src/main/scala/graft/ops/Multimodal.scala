@@ -174,6 +174,85 @@ object Multimodal {
 
   // ------------------------------------------------------------- video
 
+  /** Acoustic fingerprint decode: per-window RMS (loudness) AND
+    * zero-crossing rate (the cheap spectral proxy — ZCR of a periodic
+    * signal tracks its fundamental frequency). The RMS envelope alone
+    * is the audio version of the video-envelope trap measured for
+    * q153: the fixture corpus (and much real audio) is
+    * constant-loudness, so an RMS-only signature is a
+    * near-non-discriminator; ZCR separates same-loudness clips with
+    * different content. Returns `[rms_0..rms_{w−1}, zcr_0..zcr_{w−1}]`.
+    * Same streaming one-pass shape as [[decodeWav]] (the sample-read
+    * inner loop is duplicated deliberately: a per-sample visitor
+    * closure would box 16M samples on the hot decode path).
+    */
+  private[ops] def decodeWavFingerprint(payload: Array[Byte], windows: Int,
+                                        maxFrames: Long = 1L << 24)
+      : Option[Array[Float]] = {
+    if (payload == null || payload.length < 44) return None
+    if (!(payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+          payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+          payload(10) == 'V' && payload(11) == 'E')) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!signed && enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+          return None
+        val channels = fmt.getChannels
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
+        val nFrames = in.getFrameLength
+        if (channels < 1 || bytesPerSample < 1 || bytesPerSample > 2 ||
+            nFrames <= 0 || nFrames > maxFrames) return None
+        val bytes = in.readAllBytes()
+        val frameBytes = bytesPerSample * channels
+        val frames = math.min(nFrames, bytes.length / frameBytes).toInt
+        if (frames <= 0) return None
+        val sumsq = new Array[Double](windows)
+        val cross = new Array[Long](windows)
+        val cnts = new Array[Long](windows)
+        var prev = 0.0
+        var f = 0
+        while (f < frames) {
+          var c = 0
+          var acc = 0.0
+          while (c < channels) {
+            val off = f * frameBytes + c * bytesPerSample
+            val s =
+              if (bytesPerSample == 1) {
+                if (signed) bytes(off) / 128.0 else ((bytes(off) & 0xFF) - 128) / 128.0
+              } else {
+                val (b0, b1) =
+                  if (fmt.isBigEndian) (bytes(off + 1), bytes(off)) else (bytes(off), bytes(off + 1))
+                val raw = ((b1 << 8) | (b0 & 0xFF)).toShort.toInt
+                (if (signed) raw else ((raw & 0xFFFF) - 32768)) / 32768.0
+              }
+            acc += s
+            c += 1
+          }
+          val mono = acc / channels
+          val idx = ((f.toLong * windows) / frames).toInt
+          sumsq(idx) += mono * mono
+          cnts(idx) += 1
+          if (f > 0 && prev * mono < 0) cross(idx) += 1
+          prev = mono
+          f += 1
+        }
+        Some(Array.tabulate(2 * windows) { i =>
+          if (i < windows) {
+            if (cnts(i) == 0) 0f else math.sqrt(sumsq(i) / cnts(i)).toFloat
+          } else {
+            val w = i - windows
+            if (cnts(w) == 0) 0f else (cross(w).toDouble / cnts(w)).toFloat
+          }
+        })
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Parsed AVI container: geometry/timing from the `avih` main header
     * and the byte extent of every video frame chunk in `movi` order
     * (`isDib` = uncompressed `00db` frame vs MJPEG `00dc`). */
@@ -825,6 +904,76 @@ object Multimodal {
       .agg(count(lit(1)).as("frames_matched"),
         max(col("hamming")).as("max_hamming"))
       .where(col("frames_matched") >= minMatchFrames)
+  }
+
+  /** Acoustic fingerprints as a DataFrame: (media_id, afp) where `afp`
+    * is [[decodeWavFingerprint]]'s 2·`windows` RMS+ZCR vector. Rows
+    * whose payloads aren't decodable WAV are dropped (audio near-dup
+    * is only defined over audio). Payloads never shuffle — the
+    * mapPartitions projection collapses each clip to `2·windows`
+    * floats before any exchange.
+    */
+  def audioFingerprint(media: DataFrame, windows: Int = 8,
+                       batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+            decodeWavFingerprint(payload, windows)
+              .map(fp => Row(r.getLong(0), fp.toSeq))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("afp",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))))
+  }
+
+  /** Perceptual near-duplicate pairs over AUDIO payloads — the audio
+    * leg of the q101/q153 family, completing the image/video/audio
+    * triad. Signature input is the RMS+ZCR fingerprint; each HALF is
+    * centered on its own mean before sign-hashing (RMS and ZCR live on
+    * different scales — a joint mean would hand every bit to whichever
+    * half sits higher, which for constant-loudness corpora degenerates
+    * to the envelope trap q153's first cut measured). Banding,
+    * pigeonhole recall at `maxHamming` ≤ 3, and the payloads-never-
+    * shuffle shape are identical to [[nearDupMedia]].
+    */
+  def nearDupAudio(media: DataFrame, windows: Int = 8,
+                   maxHamming: Int = 3): DataFrame = {
+    val w = windows
+    val rmsHalf = slice(col("afp"), 1, w)
+    val zcrHalf = slice(col("afp"), w + 1, w)
+    def centered(half: org.apache.spark.sql.Column) = {
+      val m = aggregate(half, lit(0.0d), (a, x) => a + x) / lit(w)
+      transform(half, x => x - m)
+    }
+    val sigs = audioFingerprint(media, w)
+      .select(col("media_id"),
+        concat(centered(rmsHalf), centered(zcrHalf)).as("__cf"))
+      .select(col("media_id"),
+        graft.expressions.VectorExprs.lshSignBits(col("__cf"), 64).as("__sig"))
+      .localCheckpoint(false) // decode once: both join sides reuse it
+    val bands = sigs.select(col("media_id"), col("__sig"),
+        explode(sequence(lit(0), lit(3))).as("__b"))
+      .withColumn("__bv",
+        expr("shiftrightunsigned(__sig, __b * 16)").bitwiseAND(lit(0xFFFFL)))
+    val left = bands.select(col("media_id").as("id_a"),
+      col("__sig").as("__sa"), col("__b"), col("__bv"))
+    val right = bands.select(col("media_id").as("id_b"),
+      col("__sig").as("__sb"), col("__b"), col("__bv"))
+    left.join(right, Seq("__b", "__bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   def nearDupMedia(media: DataFrame, dim: Int = 16,

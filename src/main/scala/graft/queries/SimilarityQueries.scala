@@ -264,6 +264,25 @@ object SimilarityQueries {
       },
       None),
 
+    // ---- perceptual near-dup over AUDIO — completes the image (q101)
+    //      / video (q153) / audio triad, end-to-end through the REAL
+    //      WAV codec: one-pass PCM decode → per-window RMS + ZCR
+    //      fingerprint (ZCR is the spectral proxy; RMS alone is the
+    //      constant-loudness trap, see nearDupAudio scaladoc) →
+    //      per-half mean-centering → 64-bit sign signature → banded
+    //      buckets → hamming verify. Same-class synthetic tones
+    //      (id mod 32 half-period) are near-identical by construction.
+    //      Payload bytes never shuffle. Engine-specific hash family →
+    //      rows-only ----
+    Q("q162_audio_neardup",
+      (s, dir) => {
+        val media = graft.ops.Multimodal.syntheticWav(
+          Tables.load(s, dir, "documents").where(col("doc_id") < 2000),
+          "doc_id")
+        graft.ops.Multimodal.nearDupAudio(media, windows = 8, maxHamming = 3)
+      },
+      None),
+
     // ---- label centroid norm: agg over vector columns. Elements are
     //      quantized to 1e-4 BEFORE summing (floor(x·1e4) as BIGINT) so
     //      every aggregate is integer-exact and order-independent —

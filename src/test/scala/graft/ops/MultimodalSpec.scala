@@ -388,4 +388,49 @@ class MultimodalSpec extends SparkSpec {
     val pairs = out.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+  test("decodeWavFingerprint: RMS tracks amplitude, ZCR tracks frequency") {
+    // two square waves, SAME amplitude, different half-periods: RMS
+    // halves must agree, ZCR halves must differ by the period ratio
+    def sq(half: Int): Array[Byte] = {
+      val samples = 800
+      val pcm = new Array[Byte](samples * 2)
+      (0 until samples).foreach { f =>
+        val amp: Short = if ((f / half) % 2 == 0) 8192 else -8192
+        pcm(2 * f) = (amp & 0xFF).toByte
+        pcm(2 * f + 1) = ((amp >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val w = 4
+    val Some(a) = Multimodal.decodeWavFingerprint(sq(2), w)
+    val Some(b) = Multimodal.decodeWavFingerprint(sq(8), w)
+    val (aRms, aZcr) = (a.take(w), a.drop(w))
+    val (bRms, bZcr) = (b.take(w), b.drop(w))
+    // constant |amp| = 8192/32768 = 0.25 everywhere
+    (aRms ++ bRms).foreach(r => assert(math.abs(r - 0.25f) < 1e-3))
+    // a crossing every `half` frames: rate ~ 1/2 vs ~ 1/8
+    aZcr.foreach(z => assert(math.abs(z - 0.5f) < 0.05f))
+    bZcr.foreach(z => assert(math.abs(z - 0.125f) < 0.05f))
+  }
+
+  test("nearDupAudio: same-frequency-class clips pair, cross-class don't") {
+    // classes by id % 32 (syntheticWav half-period): 0,32,64 share a
+    // class; 5,37 share another; everything else in the sample is a
+    // singleton class and must stay unpaired
+    val ids = Seq(0L, 32L, 64L, 5L, 37L, 7L, 13L).toDF("id")
+    val media = Multimodal.syntheticWav(ids, "id")
+    val pairs = Multimodal.nearDupAudio(media, windows = 8, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 32L)) && pairs.contains((0L, 64L)) &&
+      pairs.contains((32L, 64L)))
+    assert(pairs.contains((5L, 37L)))
+    // no cross-class pair: every reported pair must share id % 32
+    assert(pairs.forall { case (x, y) => x % 32 == y % 32 })
+  }
 }
