@@ -84,6 +84,42 @@ object WebText {
     filter(transform(raw, s => trim(s)), s => s =!= lit(""))
   }
 
+  /** Corpus-wide SENTENCE-level dedup (the CCNet-style boilerplate
+    * killer: cookie banners and legal footers repeat across pages as
+    * whole sentences that document-level dedup never sees). Keeps the
+    * FIRST occurrence of every distinct sentence — ordered by
+    * (id, position), so the operator is deterministic and
+    * engine-portable — and reassembles each document from its kept
+    * sentences in original order.
+    *
+    * Returns (id, n_sents, n_kept, clean_md5). Scale shape: one
+    * shuffle partitioned by the sentence string (the first-occurrence
+    * window), one shuffle back on the id (reassembly) — both keyed,
+    * no self-join, no all-pairs anywhere; cost is linear in total
+    * sentence count.
+    */
+  def sentenceDedup(df: org.apache.spark.sql.DataFrame,
+                    textCol: String, idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sents = df.select(col(idCol),
+      posexplode(sentenceSplit(col(textCol))).as(Seq("sent_idx", "sentence")))
+    val ranked = sents.withColumn("__rn",
+      row_number().over(
+        Window.partitionBy(col("sentence"))
+          .orderBy(col(idCol), col("sent_idx"))))
+    ranked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rn") === 1,
+                struct(col("sent_idx"), col("sentence"))))),
+            x => x.getField("sentence")),
+          " ")).as("clean_md5"))
+  }
+
   /** Occurrences of a literal marker in `s` — `(len(s) - len(s with
     * marker removed)) / len(marker)`, the shuffle-free idiom every SQL
     * engine shares.

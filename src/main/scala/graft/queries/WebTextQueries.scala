@@ -163,6 +163,39 @@ object WebTextQueries {
               FROM c"""),
     ),
 
+    // ---- corpus-wide sentence dedup (CCNet-style boilerplate kill):
+    //      first occurrence of each distinct sentence wins, documents
+    //      reassembled from their kept sentences in original order ----
+    Q("q163_sentence_dedup",
+      (s, dir) => WT.sentenceDedup(
+        Tables.load(s, dir, "documents"), "text", "doc_id"),
+      Some("""WITH sp AS (
+                SELECT doc_id,
+                       [trim(x) FOR x IN
+                         regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$')
+                         IF trim(x) <> ''] AS ss
+                FROM documents),
+              u AS (
+                SELECT doc_id,
+                       CAST(generate_subscripts(ss, 1) - 1 AS INTEGER)
+                         AS sent_idx,
+                       unnest(ss) AS sentence
+                FROM sp),
+              r AS (
+                SELECT doc_id, sent_idx, sentence,
+                       row_number() OVER (PARTITION BY sentence
+                                          ORDER BY doc_id, sent_idx) AS rn
+                FROM u)
+              SELECT doc_id, count(*) AS n_sents,
+                     CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                     md5(coalesce(string_agg(
+                           CASE WHEN rn = 1 THEN sentence END,
+                           ' ' ORDER BY sent_idx), ''))
+                       AS clean_md5
+              FROM r GROUP BY doc_id"""),
+    ),
+
     // ---- sharded JSONL export: write -> read-back -> per-shard audit.
     //      The oracle predicts the audit from the SOURCE parquet, so a
     //      lossy JSON escape, a dropped row, or a shard misassignment

@@ -78,4 +78,22 @@ class WebTextSpec extends SparkSpec {
     assert(rows.forall(_.getLong(0) == 0L))
     assert(rows.forall(_.getDouble(1) == 1.0))
   }
+  test("sentenceDedup: first occurrence wins, docs reassemble in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Alpha beta. Accept cookies. Gamma!"),
+      (2L, "Accept cookies. Delta epsilon. Accept cookies."),
+      (3L, "Delta epsilon. Zeta")).toDF("doc_id", "text")
+    val out = WebText.sentenceDedup(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1: all three sentences first occurrences
+    assert(out(1L) == (3L, 3L, m("Alpha beta. Accept cookies. Gamma!")))
+    // doc 2: banner seen in doc 1; in-doc repeat also dropped
+    assert(out(2L) == (3L, 1L, m("Delta epsilon.")))
+    // doc 3: "Delta epsilon." taken by doc 2; fragment kept
+    assert(out(3L) == (2L, 1L, m("Zeta")))
+  }
 }
