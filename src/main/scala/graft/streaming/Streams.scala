@@ -363,6 +363,74 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming corpus publisher: fold each micro-batch of keyed
+    * arrivals into the current published corpus version and publish
+    * the result as the NEXT immutable version (`Warehouse
+    * .publishVersion`) — a streaming materialized view with snapshot
+    * isolation: downstream readers always see a complete, immutable
+    * version; a publish mid-read disturbs nobody; history is
+    * time-travelable and diffable (`Versioning.datasetDiff`).
+    *
+    * Fold semantics are insert-only by `keyCol` (arrivals whose key
+    * already exists in the current version are dropped), which makes
+    * the fold CONTENT-idempotent: a replayed batch adds nothing. On
+    * top of that, a `_BATCH` marker inside each version dir lets a
+    * replay skip publishing entirely; the only crash-window artifact
+    * is an extra version with identical content — never duplicate or
+    * lost rows.
+    *
+    * Scale shape: each fold is one broadcast-able anti-join of the
+    * (small) batch against the current version plus one append-style
+    * write of base ∪ fresh; state is the published corpus itself, and
+    * version retention is `expireVersions` (directory drops).
+    */
+  def publishStream(arrivals: DataFrame, keyCol: String, table: String,
+                    whRoot: String, checkpointDir: String): Unit = {
+    val spark = arrivals.sparkSession
+    val q = arrivals.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = new graft.core.Warehouse(spark, whRoot)
+        val conf = spark.sessionState.newHadoopConf()
+        def markerPath(v: Int) = new org.apache.hadoop.fs.Path(
+          f"$whRoot/$table/v=$v%05d/_BATCH")
+        val already = w.currentVersion(table).exists { v =>
+          val p = markerPath(v)
+          val fs = p.getFileSystem(conf)
+          fs.exists(p) && {
+            val in = fs.open(p)
+            val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim finally in.close()
+            s == batchId.toString
+          }
+        }
+        if (!already) {
+          val fresh = w.currentVersion(table) match {
+            case None => batch
+            case Some(v) =>
+              batch.join(w.readVersion(table, v).select(col(keyCol)),
+                Seq(keyCol), "left_anti")
+          }
+          // materialize: the union below reads the CURRENT version dir
+          // while the publish writes a NEW dir, so no read-under-write
+          val next = w.currentVersion(table) match {
+            case None => fresh
+            case Some(v) => w.readVersion(table, v).unionByName(fresh)
+          }
+          val v = w.publishVersion(next, table)
+          val p = markerPath(v)
+          val fs = p.getFileSystem(conf)
+          val out = fs.create(p, true)
+          try out.write(batchId.toString.getBytes("UTF-8"))
+          finally out.close()
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming drift monitor: per micro-batch, compare the batch's
     * bucket distribution against a STATIC baseline profile with the
     * batch-side drift op (`Profiling.drift` — q109) and append the
