@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.core.{Export, Tables}
-import graft.ops.{WebText => WT}
+import graft.ops.{TextAnalysis => TA, WebText => WT}
 
 /** Round-9 web-text front-of-pipeline operators: HTML boilerplate
   * removal, sentence segmentation, encoding-damage scoring, and the
@@ -194,6 +194,106 @@ object WebTextQueries {
                            ' ' ORDER BY sent_idx), ''))
                        AS clean_md5
               FROM r GROUP BY doc_id"""),
+    ),
+
+    // ---- the composite curation pipeline, end to end under ONE hash
+    //      oracle: synthesize chrome-wrapped pages -> htmlToText ->
+    //      quality gate on the CLEANED text (q31's scoring formula,
+    //      rounded before comparison so the gate can't flip on a
+    //      sub-6-dp float wobble) -> corpus-wide sentence dedup over
+    //      the surviving docs. Each stage is independently oracled
+    //      (q154/q31/q163); this query grades their COMPOSITION — the
+    //      shape a real crawl-to-corpus run has. ----
+    Q("q164_curation_pipeline",
+      (s, dir) => {
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+        val html = concat(lit(pagePrefix), col("doc_id").cast("string"),
+          lit(pageMid), col("text"), lit(pageSuffix))
+        val cleaned = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), WT.htmlToText(html).as("clean"))
+        val gated = cleaned.where(
+          round(TA.qualityScore(col("clean"), stop), 6) >= 0.5)
+        WT.sentenceDedup(gated, "clean", "doc_id")
+      },
+      Some(s"""WITH pg AS (
+                SELECT doc_id,
+                       '$pagePrefix' || CAST(doc_id AS VARCHAR) ||
+                       '${pageMid.replace("'", "''")}' || text ||
+                       '${pageSuffix.replace("'", "''")}' AS h
+                FROM documents),
+              a AS (SELECT doc_id,
+                      regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h
+                    FROM pg),
+              b AS (SELECT doc_id,
+                      regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(h,
+                        '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                        '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                        '(?is)<nav\\b[^>]*>.*?</nav\\s*>', ' ', 'g'),
+                        '(?is)<header\\b[^>]*>.*?</header\\s*>', ' ', 'g'),
+                        '(?is)<footer\\b[^>]*>.*?</footer\\s*>', ' ', 'g'),
+                        '(?is)<aside\\b[^>]*>.*?</aside\\s*>', ' ', 'g'),
+                        '(?is)<noscript\\b[^>]*>.*?</noscript\\s*>', ' ', 'g')
+                        AS h
+                    FROM a),
+              c AS (SELECT doc_id,
+                      regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h
+                    FROM b),
+              d AS (SELECT doc_id,
+                      replace(replace(replace(replace(replace(replace(h,
+                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS h
+                    FROM c),
+              e AS (SELECT doc_id,
+                      trim(regexp_replace(h, '[ \t\n\r]+', ' ', 'g')) AS h
+                    FROM d),
+              f AS (SELECT doc_id, h,
+                      regexp_split_to_array(trim(lower(h)), '\\s+') AS toks,
+                      len(regexp_split_to_array(trim(h), '\\s+')) AS n,
+                      length(h) AS nc,
+                      length(regexp_replace(h, '[^A-Za-z0-9 ]', '', 'g'))
+                        AS nstrip
+                    FROM e),
+              r AS (SELECT doc_id, h,
+                      CASE WHEN len(toks) > 0
+                           THEN CAST(len(list_filter(toks, t ->
+                                  list_contains(['the', 'a', 'of', 'and',
+                                    'to', 'in', 'is'], t))) AS DOUBLE)
+                                / len(toks)
+                           ELSE 0.0 END AS stop_ratio,
+                      CASE WHEN nc > 0
+                           THEN CAST(nc - nstrip AS DOUBLE) / nc
+                           ELSE 0.0 END AS punct_ratio,
+                      CAST(n AS DOUBLE) AS nd
+                    FROM f),
+              g AS (SELECT doc_id, h FROM r
+                    WHERE round(greatest(0.0, least(1.0,
+                            least(nd / 20.0, 1.0) * 0.4
+                            + least(stop_ratio * 5.0, 1.0) * 0.4
+                            + (1.0 - punct_ratio) * 0.2)), 6) >= 0.5),
+              sp AS (SELECT doc_id,
+                       [trim(x) FOR x IN regexp_extract_all(h,
+                          '[^.!?]+[.!?]+|[^.!?]+$$')
+                         IF trim(x) <> ''] AS ss
+                     FROM g),
+              u AS (SELECT doc_id,
+                       CAST(generate_subscripts(ss, 1) - 1 AS INTEGER)
+                         AS sent_idx,
+                       unnest(ss) AS sentence
+                     FROM sp),
+              rr AS (SELECT doc_id, sent_idx, sentence,
+                       row_number() OVER (PARTITION BY sentence
+                                          ORDER BY doc_id, sent_idx) AS rn
+                     FROM u)
+              SELECT doc_id, count(*) AS n_sents,
+                     CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                     md5(coalesce(string_agg(
+                           CASE WHEN rn = 1 THEN sentence END,
+                           ' ' ORDER BY sent_idx), ''))
+                       AS clean_md5
+              FROM rr GROUP BY doc_id"""),
     ),
 
     // ---- sharded JSONL export: write -> read-back -> per-shard audit.
