@@ -875,28 +875,10 @@ object Multimodal {
     * frame_idx, band) rows shuffle (4·keyframes per clip).
     */
   def nearDupVideo(media: DataFrame, keyframes: Int = 4, dim: Int = 16,
-                   maxHamming: Int = 3, minMatchFrames: Int = 2): DataFrame = {
-    val feats = sampleFrames(media, keyframes, dim)
-    val mean = aggregate(col("frame_feature"), lit(0.0d), (a, x) => a + x) /
-      greatest(size(col("frame_feature")), lit(1))
-    val sigs = feats
-      .select(col("media_id"), col("frame_idx"),
-        transform(col("frame_feature"), x => x - mean).as("__cf"))
-      .select(col("media_id"), col("frame_idx"),
-        graft.expressions.VectorExprs.lshSignBits(col("__cf"), 64).as("__sig"))
-      .localCheckpoint(false) // decode once: both join sides reuse it
-    val bands = sigs.select(col("media_id"), col("frame_idx"), col("__sig"),
-        explode(sequence(lit(0), lit(3))).as("__b"))
-      .withColumn("__bv",
-        expr("shiftrightunsigned(__sig, __b * 16)").bitwiseAND(lit(0xFFFFL)))
-    val left = bands.select(col("media_id").as("id_a"), col("frame_idx"),
-      col("__sig").as("__sa"), col("__b"), col("__bv"))
-    val right = bands.select(col("media_id").as("id_b"), col("frame_idx"),
-      col("__sig").as("__sb"), col("__b"), col("__bv"))
-    left.join(right, Seq("frame_idx", "__b", "__bv"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("frame_idx"), col("__sa"), col("__sb"))
-      .distinct() // several bands may collide for the same (pair, frame)
+                   maxHamming: Int = 3, minMatchFrames: Int = 2,
+                   maxBucketSize: Long = Long.MaxValue): DataFrame =
+    bandedCandidates(videoSigs(media, keyframes, dim), Seq("frame_idx"),
+        maxBucketSize)
       .select(col("id_a"), col("id_b"), col("frame_idx"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -904,7 +886,6 @@ object Multimodal {
       .agg(count(lit(1)).as("frames_matched"),
         max(col("hamming")).as("max_hamming"))
       .where(col("frames_matched") >= minMatchFrames)
-  }
 
   /** Acoustic fingerprints as a DataFrame: (media_id, afp) where `afp`
     * is [[decodeWavFingerprint]]'s 2·`windows` RMS+ZCR vector. Rows
@@ -945,68 +926,150 @@ object Multimodal {
     * shuffle shape are identical to [[nearDupMedia]].
     */
   def nearDupAudio(media: DataFrame, windows: Int = 8,
-                   maxHamming: Int = 3): DataFrame = {
-    val w = windows
-    val rmsHalf = slice(col("afp"), 1, w)
-    val zcrHalf = slice(col("afp"), w + 1, w)
-    def centered(half: org.apache.spark.sql.Column) = {
-      val m = aggregate(half, lit(0.0d), (a, x) => a + x) / lit(w)
-      transform(half, x => x - m)
-    }
-    val sigs = audioFingerprint(media, w)
-      .select(col("media_id"),
-        concat(centered(rmsHalf), centered(zcrHalf)).as("__cf"))
-      .select(col("media_id"),
-        graft.expressions.VectorExprs.lshSignBits(col("__cf"), 64).as("__sig"))
-      .localCheckpoint(false) // decode once: both join sides reuse it
-    val bands = sigs.select(col("media_id"), col("__sig"),
-        explode(sequence(lit(0), lit(3))).as("__b"))
-      .withColumn("__bv",
-        expr("shiftrightunsigned(__sig, __b * 16)").bitwiseAND(lit(0xFFFFL)))
-    val left = bands.select(col("media_id").as("id_a"),
-      col("__sig").as("__sa"), col("__b"), col("__bv"))
-    val right = bands.select(col("media_id").as("id_b"),
-      col("__sig").as("__sb"), col("__b"), col("__bv"))
-    left.join(right, Seq("__b", "__bv"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
-      .distinct()
+                   maxHamming: Int = 3,
+                   maxBucketSize: Long = Long.MaxValue): DataFrame =
+    bandedCandidates(audioSigs(media, windows), Nil, maxBucketSize)
       .select(col("id_a"), col("id_b"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-  }
 
+  /** Perceptual near-duplicate pairs over arbitrary media payloads
+    * (the image pHash path; see family scaladoc above). */
   def nearDupMedia(media: DataFrame, dim: Int = 16,
-                   maxHamming: Int = 3): DataFrame = {
-    // center each feature on its own mean before sign-hashing — the
-    // pHash construction (bits = coefficient vs median): raw byte
-    // histograms are near-constant vectors, and sign-LSH is
-    // scale-invariant, so WITHOUT centering every bland payload hashes
-    // identically and candidate generation goes quadratic. The centered
-    // vector captures the payload's position pattern instead.
-    val feats = extractFeatures(media, dim)
+                   maxHamming: Int = 3,
+                   maxBucketSize: Long = Long.MaxValue): DataFrame =
+    bandedCandidates(mediaSigs(media, dim), Nil, maxBucketSize)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+
+  // ---- shared signature machinery for the near-dup triad ------------
+
+  /** Image-path signatures: feature centered on its own mean before
+    * sign-hashing — the pHash construction (bits = coefficient vs
+    * median): raw byte histograms are near-constant vectors and
+    * sign-LSH is scale-invariant, so WITHOUT centering every bland
+    * payload hashes identically and candidate generation goes
+    * quadratic.
+    */
+  private def mediaSigs(media: DataFrame, dim: Int): DataFrame = {
     val mean = aggregate(col("feature"), lit(0.0d), (a, x) => a + x) /
       greatest(size(col("feature")), lit(1))
-    val sigs = feats
+    extractFeatures(media, dim)
       .select(col("media_id"),
         transform(col("feature"), x => x - mean).as("__cf"))
       .select(col("media_id"),
         graft.expressions.VectorExprs.lshSignBits(col("__cf"), 64).as("__sig"))
       .localCheckpoint(false) // decode once: both join sides reuse it
-    val bands = sigs.select(col("media_id"), col("__sig"),
-        explode(sequence(lit(0), lit(3))).as("__b"))
+  }
+
+  /** Video-path signatures: one spatial signature per aligned keyframe. */
+  private def videoSigs(media: DataFrame, keyframes: Int, dim: Int): DataFrame = {
+    val mean = aggregate(col("frame_feature"), lit(0.0d), (a, x) => a + x) /
+      greatest(size(col("frame_feature")), lit(1))
+    sampleFrames(media, keyframes, dim)
+      .select(col("media_id"), col("frame_idx"),
+        transform(col("frame_feature"), x => x - mean).as("__cf"))
+      .select(col("media_id"), col("frame_idx"),
+        graft.expressions.VectorExprs.lshSignBits(col("__cf"), 64).as("__sig"))
+      .localCheckpoint(false)
+  }
+
+  /** Audio-path signatures: RMS and ZCR halves centered independently. */
+  private def audioSigs(media: DataFrame, windows: Int): DataFrame = {
+    val w = windows
+    def centered(half: org.apache.spark.sql.Column) = {
+      val m = aggregate(half, lit(0.0d), (a, x) => a + x) / lit(w)
+      transform(half, x => x - m)
+    }
+    audioFingerprint(media, w)
+      .select(col("media_id"),
+        concat(centered(slice(col("afp"), 1, w)),
+          centered(slice(col("afp"), w + 1, w))).as("__cf"))
+      .select(col("media_id"),
+        graft.expressions.VectorExprs.lshSignBits(col("__cf"), 64).as("__sig"))
+      .localCheckpoint(false)
+  }
+
+  /** 16-bit band expansion of 64-bit signatures: 4 (band, value) keys
+    * per signature, the pigeonhole construction behind the hamming ≤ 3
+    * recall guarantee.
+    */
+  private def sigBands(sigs: DataFrame): DataFrame =
+    sigs.withColumn("__b", explode(sequence(lit(0), lit(3))))
       .withColumn("__bv",
         expr("shiftrightunsigned(__sig, __b * 16)").bitwiseAND(lit(0xFFFFL)))
-    val left = bands.select(col("media_id").as("id_a"),
-      col("__sig").as("__sa"), col("__b"), col("__bv"))
-    val right = bands.select(col("media_id").as("id_b"),
-      col("__sig").as("__sb"), col("__b"), col("__bv"))
-    left.join(right, Seq("__b", "__bv"))
+
+  /** Candidate pairs via band buckets, with the family's drop-and-
+    * report bucket cap (the same contract as `Dedup.minhashNearDups`):
+    * a degenerate bucket — thousands of byte-identical or blank
+    * payloads landing on one (band, value) — would otherwise go
+    * quadratic silently. Capped buckets drop WHOLE and are enumerable
+    * via the paired `*DroppedBuckets` audit; pairs that also share a
+    * non-degenerate band still surface (the LSH recall contract: any
+    * one band hit suffices). Uncapped calls skip the counting pass
+    * entirely.
+    */
+  private def bandedCandidates(sigs: DataFrame, extraKeys: Seq[String],
+                               maxBucketSize: Long): DataFrame = {
+    require(maxBucketSize >= 2,
+      s"maxBucketSize must be >= 2, got $maxBucketSize")
+    val bands0 = sigBands(sigs)
+    val keys = extraKeys ++ Seq("__b", "__bv")
+    val bands =
+      if (maxBucketSize == Long.MaxValue) bands0
+      else bands0.join(
+        bands0.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
+          .where(col("__bn") <= maxBucketSize).drop("__bn"),
+        keys)
+    val extra = extraKeys.map(col)
+    val left = bands.select(
+      (Seq(col("media_id").as("id_a"), col("__sig").as("__sa"),
+        col("__b"), col("__bv")) ++ extra): _*)
+    val right = bands.select(
+      (Seq(col("media_id").as("id_b"), col("__sig").as("__sb"),
+        col("__b"), col("__bv")) ++ extra): _*)
+    left.join(right, keys)
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .select((Seq(col("id_a"), col("id_b"), col("__sa"), col("__sb")) ++
+        extra): _*)
       .distinct() // a pair may collide in several bands
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
   }
+
+  private def droppedBuckets(sigs: DataFrame, extraKeys: Seq[String],
+                             maxBucketSize: Long): DataFrame = {
+    // no default and no MaxValue: an unsatisfiable cap would make the
+    // audit a silent no-op that reads as "nothing dropped"
+    require(maxBucketSize >= 2 && maxBucketSize < Long.MaxValue,
+      s"maxBucketSize must be a real cap in [2, Long.MaxValue), got $maxBucketSize")
+    val keys = extraKeys ++ Seq("__b", "__bv")
+    sigBands(sigs)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") > maxBucketSize)
+      .select((extraKeys.map(col) ++ Seq(col("__b").as("band"),
+        col("__bv").as("bucket"), col("n_rows"))): _*)
+  }
+
+  /** Audit leg of [[nearDupMedia]]'s bucket cap: the (band, bucket)
+    * keys whose buckets exceeded `maxBucketSize` and were dropped
+    * whole, with row counts. Run with the same `dim` as the paired
+    * call. A non-empty result at a generous cap means the corpus has
+    * a degenerate payload mass (blank/identical media) worth scrubbing
+    * before near-dup, not that the cap should be raised.
+    */
+  def mediaDroppedBuckets(media: DataFrame, dim: Int = 16,
+                          maxBucketSize: Long): DataFrame =
+    droppedBuckets(mediaSigs(media, dim), Nil, maxBucketSize)
+
+  /** Audit leg of [[nearDupVideo]]'s bucket cap (buckets are per
+    * aligned keyframe ordinal). */
+  def videoDroppedBuckets(media: DataFrame, keyframes: Int = 4,
+                          dim: Int = 16, maxBucketSize: Long): DataFrame =
+    droppedBuckets(videoSigs(media, keyframes, dim), Seq("frame_idx"),
+      maxBucketSize)
+
+  /** Audit leg of [[nearDupAudio]]'s bucket cap. */
+  def audioDroppedBuckets(media: DataFrame, windows: Int = 8,
+                          maxBucketSize: Long): DataFrame =
+    droppedBuckets(audioSigs(media, windows), Nil, maxBucketSize)
 }

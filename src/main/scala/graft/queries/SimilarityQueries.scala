@@ -283,6 +283,39 @@ object SimilarityQueries {
       },
       None),
 
+    // ---- q101 with the family's drop-and-report bucket cap ARMED
+    //      (the q149/q147 pattern for the media triad): a generous cap
+    //      on a slice where the fixture's 32 pattern classes stay far
+    //      under it — result must equal the uncapped operator's on the
+    //      same slice, which the audit (q166) proves by reporting zero
+    //      drops UNDER THE HASH ORACLE. Engine-specific hash family →
+    //      rows-only for the pairs leg ----
+    Q("q165_media_capped",
+      (s, dir) => {
+        val media = graft.ops.Multimodal.syntheticPng(
+          Tables.load(s, dir, "documents").where(col("doc_id") < 2000),
+          "doc_id")
+        graft.ops.Multimodal.nearDupMedia(media, dim = 16, maxHamming = 3,
+          maxBucketSize = 2000L)
+      },
+      None),
+
+    // ---- the audit leg of q165's armed cap: (band, bucket) keys whose
+    //      buckets exceeded the cap. The oracle asserts EMPTY — on this
+    //      corpus (≤ 63 images per pattern class at the q165 slice)
+    //      nothing may drop, and a hash-oracle row would appear the
+    //      moment signature degeneration collapses classes ----
+    Q("q166_media_audit",
+      (s, dir) => graft.ops.Multimodal.mediaDroppedBuckets(
+        graft.ops.Multimodal.syntheticPng(
+          Tables.load(s, dir, "documents").where(col("doc_id") < 2000),
+          "doc_id"),
+        dim = 16, maxBucketSize = 2000L),
+      Some("""SELECT CAST(NULL AS INTEGER) AS band,
+                     CAST(NULL AS BIGINT) AS bucket,
+                     CAST(NULL AS BIGINT) AS n_rows
+              WHERE 1 = 0""")),
+
     // ---- label centroid norm: agg over vector columns. Elements are
     //      quantized to 1e-4 BEFORE summing (floor(x·1e4) as BIGINT) so
     //      every aggregate is integer-exact and order-independent —

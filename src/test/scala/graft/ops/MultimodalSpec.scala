@@ -433,4 +433,26 @@ class MultimodalSpec extends SparkSpec {
     // no cross-class pair: every reported pair must share id % 32
     assert(pairs.forall { case (x, y) => x % 32 == y % 32 })
   }
+  test("media bucket cap: degenerate payload mass drops whole with audit") {
+    import spark.implicits._
+    // 12 byte-identical payloads: every (band, value) bucket holds all
+    // 12 signatures -> 66 pairs uncapped; a cap of 8 drops them all and
+    // the audit reports the buckets
+    val blank = (1L to 12L).map(i => (i, "image", "same-bytes".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "payload")
+    assert(Multimodal.nearDupMedia(blank, dim = 4).count() == 66)
+    assert(Multimodal.nearDupMedia(blank, dim = 4, maxBucketSize = 8L).count() == 0)
+    val audit = Multimodal.mediaDroppedBuckets(blank, dim = 4, maxBucketSize = 8L)
+    assert(audit.count() == 4) // all four bands degenerate
+    assert(audit.select("n_rows").collect().forall(_.getLong(0) == 12L))
+    // a generous cap is a no-op: capped == uncapped on a healthy corpus
+    val healthy = Multimodal.syntheticPng((0L until 40L).toDF("id"), "id")
+    assert(rows(Multimodal.nearDupMedia(healthy, dim = 16, maxBucketSize = 1000L)) ==
+      rows(Multimodal.nearDupMedia(healthy, dim = 16)))
+    // audio/video audits share the machinery and the real-cap contract
+    intercept[IllegalArgumentException] {
+      Multimodal.audioDroppedBuckets(blank, windows = 4,
+        maxBucketSize = Long.MaxValue)
+    }
+  }
 }
