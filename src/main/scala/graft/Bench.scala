@@ -69,10 +69,17 @@ object Bench {
       val times = if (first.nonEmpty && first.min < 0.5) first ++ pass() else first
       (name, if (times.nonEmpty) times.min else 0.0, times.nonEmpty)
     }
-    // 3-decimal times + qNN-prefix keys keep the whole line under the
-    // harness's 2000-byte output tail even as the query count grows
+    // The whole line must survive the harness's 2000-byte output tail
+    // (with the trailing sbt "[success]" line inside the same window).
+    // At 166 queries the round-8 format (3-decimal times, qNN keys)
+    // measured 2,156 bytes — over budget — so per-query keys drop the
+    // redundant "q" prefix ("104" for q104, "29b" for q29b) and
+    // per-query times carry 2 decimals (10 ms resolution; the total
+    // keeps 3). Measured: 1,824 bytes at 166 queries, ~100 bytes of
+    // headroom for growth.
     def f3(v: Double): String = "%.3f".format(v)
-    def short(k: String): String = k.takeWhile(_ != '_')
+    def f2(v: Double): String = "%.2f".format(v)
+    def short(k: String): String = k.takeWhile(_ != '_').stripPrefix("q")
     // a collided short name would merge two distinct queries into one
     // indistinguishable key: keep the full name for any prefix that is
     // not unique across the registry
@@ -80,7 +87,7 @@ object Bench {
       case (s, g) if g.size > 1 => s
     }.toSet
     def key(k: String): String = if (ambiguous(short(k))) k else short(k)
-    val qs = results.map { case (k, v, _) => s"\"" + key(k) + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + key(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     // full names here: failures should be rare, and an ambiguous short
     // name in the error list would hide WHICH variant failed
