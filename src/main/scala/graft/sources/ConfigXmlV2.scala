@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -74,10 +75,11 @@ private[v2] class ConfigXmlTable(path: String) extends Table with SupportsRead {
 
 private[v2] class ConfigXmlScanBuilder(path: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = ConfigXml.schema
   private var retained: Array[Filter] = Array.empty
+  private var aggMaxFlags: Option[Seq[Boolean]] = None // true=MAX false=MIN
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -92,7 +94,48 @@ private[v2] class ConfigXmlScanBuilder(path: String)
   }
   override def pushedFilters(): Array[Filter] = retained
 
-  override def build(): Scan = new ConfigXmlScan(path, required, retained)
+  /** Aggregate pushdown for the one aggregation this source can answer
+    * WITHOUT READING A SINGLE XML BYTE: ungrouped MIN/MAX of
+    * LAST_CHANGE_DATE. Every row in a snapshot file carries the file's
+    * own date (the parser stamps it from the file name), so the
+    * min/max over rows IS the min/max over file names — the file
+    * LISTING is a sufficient statistic. The payoff is the watermark
+    * probe (`SELECT max(LAST_CHANGE_DATE)`), the query every nightly
+    * incremental run issues first: O(listing) instead of a full-corpus
+    * parse. Complete pushdown (the scan returns the FINAL one-row
+    * answer); anything grouped, any other column, or any other
+    * function is declined and planned normally.
+    */
+  private def pushableMaxFlags(agg: Aggregation): Option[Seq[Boolean]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    def dateRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case nr: NamedReference =>
+          nr.fieldNames.sameElements(Array("LAST_CHANGE_DATE"))
+        case _ => false
+      }
+    val flags = agg.aggregateExpressions.toSeq.map {
+      case m: Max if dateRef(m.column) => Some(true)
+      case m: Min if dateRef(m.column) => Some(false)
+      case _ => None
+    }
+    if (flags.nonEmpty && flags.forall(_.isDefined)) Some(flags.map(_.get))
+    else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    pushableMaxFlags(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    pushableMaxFlags(agg) match {
+      case Some(flags) => aggMaxFlags = Some(flags); true
+      case None => false
+    }
+
+  override def build(): Scan = aggMaxFlags match {
+    case Some(flags) => new ConfigXmlAggScan(path, retained, flags)
+    case None => new ConfigXmlScan(path, required, retained)
+  }
 }
 
 private[v2] object ConfigXmlScan {
@@ -118,6 +161,29 @@ private[v2] object ConfigXmlScan {
     case s: String => java.time.LocalDate.parse(s).toEpochDay
     case other => throw new IllegalArgumentException(
       s"unexpected date literal ${other.getClass}: $other")
+  }
+
+  /** Driver-side snapshot listing + date pruning, shared by the row
+    * scan and the listing-only aggregate scan. */
+  def listParts(path: String, filters: Array[Filter]): Array[ConfigXmlPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val stats =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+          (s.getPath.getName.endsWith(".xml") ||
+            s.getPath.getName.endsWith(".xml.gz")))
+      else Array(fs.getFileStatus(p))
+    stats
+      .map { s =>
+        val d = ConfigXml.dateFromPath(s.getPath.toString)
+        ConfigXmlPartition(s.getPath.toString,
+          d.toLocalDate.toEpochDay.toInt, s.getLen)
+      }
+      .filter(part => filters.forall(f =>
+        ConfigXmlScan.keep(f, part.dateDays.toLong)))
+      .sortBy(_.path)
   }
 
   /** Evaluate a prunable filter against one snapshot's date. */
@@ -148,26 +214,8 @@ private[v2] class ConfigXmlScan(path: String, required: StructType,
     s"graft-config-xml $path, PrunedBy: [${filters.mkString(", ")}]"
 
   /** Driver-side listing + date pruning. */
-  private lazy val partitions: Array[ConfigXmlPartition] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val stats =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile &&
-          (s.getPath.getName.endsWith(".xml") ||
-            s.getPath.getName.endsWith(".xml.gz")))
-      else Array(fs.getFileStatus(p))
-    stats
-      .map { s =>
-        val d = ConfigXml.dateFromPath(s.getPath.toString)
-        ConfigXmlPartition(s.getPath.toString,
-          d.toLocalDate.toEpochDay.toInt, s.getLen)
-      }
-      .filter(part => filters.forall(f =>
-        ConfigXmlScan.keep(f, part.dateDays.toLong)))
-      .sortBy(_.path)
-  }
+  private lazy val partitions: Array[ConfigXmlPartition] =
+    ConfigXmlScan.listParts(path, filters)
 
   override def planInputPartitions(): Array[InputPartition] =
     partitions.toArray[InputPartition]
@@ -192,6 +240,53 @@ private[v2] class ConfigXmlScan(path: String, required: StructType,
       .map(e => e.getKey -> e.getValue).toMap
     new ConfigXmlReaderFactory(required, fsConf)
   }
+}
+
+/** The listing-only aggregate scan: the final one-row MIN/MAX answer is
+  * computed on the DRIVER from the (pruned) file listing and shipped
+  * inside the single InputPartition — no executor opens any file. Empty
+  * listing → the SQL-correct one row of NULLs (ungrouped aggregate over
+  * empty input).
+  */
+private[v2] case class ConfigXmlAggPartition(values: Array[Option[Int]])
+  extends InputPartition
+
+private[v2] class ConfigXmlAggScan(path: String, filters: Array[Filter],
+                                   maxFlags: Seq[Boolean])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(maxFlags.map { isMax =>
+    StructField(if (isMax) "max(LAST_CHANGE_DATE)" else "min(LAST_CHANGE_DATE)",
+      DateType)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-config-xml $path, PushedAggregates: [" +
+      maxFlags.map(m => if (m) "MAX(LAST_CHANGE_DATE)" else "MIN(LAST_CHANGE_DATE)")
+        .mkString(", ") + "]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val days = ConfigXmlScan.listParts(path, filters).map(_.dateDays)
+    val values = maxFlags.map { isMax =>
+      if (days.isEmpty) None else Some(if (isMax) days.max else days.min)
+    }.toArray
+    Array(ConfigXmlAggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val vals = partition.asInstanceOf[ConfigXmlAggPartition].values
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(
+              vals.map(_.map(Int.box).orNull): Array[Any])
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 private[v2] class ConfigXmlReaderFactory(required: StructType,

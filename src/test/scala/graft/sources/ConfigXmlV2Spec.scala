@@ -43,8 +43,21 @@ class ConfigXmlV2Spec extends SparkSpec {
     dir.toString
   }
 
-  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+    // reach through AQE: an aggregate plan wraps in AdaptiveSparkPlanExec,
+    // whose collect() does not traverse into the inner plan
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case other => other
+    }
+    unwrap(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+      .headOption.getOrElse(
+        unwrap(df.queryExecution.executedPlan).collectLeaves()
+          .collectFirst { case b: BatchScanExec => b }.get)
+  }
 
   test("format resolves via DataSourceRegister; matches readSnapshots") {
     val dir = mkSnapshots()
@@ -85,5 +98,39 @@ class ConfigXmlV2Spec extends SparkSpec {
     val side = spark.read.format("graft-config-xml").load(dir)
       .select($"NODE_ATTACH_SIDE")
     assert(side.collect().forall(_.isNullAt(0)))
+  }
+  test("ungrouped MIN/MAX(LAST_CHANGE_DATE) pushes to the file listing") {
+    val dir = mkSnapshots()
+    val df = spark.read.format("graft-config-xml").load(dir)
+      .agg(min("LAST_CHANGE_DATE").as("lo"), max("LAST_CHANGE_DATE").as("hi"))
+    // the plan must be the listing-only aggregate scan, no final agg
+    // over parsed rows: its description advertises the pushed aggregates
+    assert(scanOf(df).scan.description().contains("PushedAggregates"))
+    val row = df.head()
+    assert(row.getDate(0).toString == "2023-01-15")
+    assert(row.getDate(1).toString == "2023-01-20")
+    // composes with pruning filters: watermark over a date range
+    val bounded = spark.read.format("graft-config-xml").load(dir)
+      .where(col("LAST_CHANGE_DATE") < lit(java.sql.Date.valueOf("2023-01-20")))
+      .agg(max("LAST_CHANGE_DATE").as("hi"))
+    assert(bounded.head().getDate(0).toString == "2023-01-16")
+    // declined shapes still answer correctly through the row scan:
+    // grouped aggregation and non-date aggregates plan normally
+    val grouped = spark.read.format("graft-config-xml").load(dir)
+      .groupBy("LAST_CHANGE_DATE").count()
+    assert(!scanOf(grouped).scan.description().contains("PushedAggregates"))
+    assert(grouped.count() == 3)
+    val cnt = spark.read.format("graft-config-xml").load(dir)
+      .agg(count(lit(1)).as("n"), max("LAST_CHANGE_DATE").as("hi"))
+    assert(!scanOf(cnt).scan.description().contains("PushedAggregates"))
+    assert(cnt.head().getLong(0) == 6L) // 2 detectors x 3 snapshots
+  }
+
+  test("pushed aggregate over an empty listing yields one NULL row") {
+    val dir = java.nio.file.Files.createTempDirectory("cfgv2_empty").toString
+    val df = spark.read.format("graft-config-xml").load(dir)
+      .agg(max("LAST_CHANGE_DATE").as("hi"))
+    val row = df.head()
+    assert(row.isNullAt(0))
   }
 }
