@@ -176,5 +176,29 @@ object GovernanceQueries {
               FROM v1 o FULL OUTER JOIN v2 n USING (doc_id)
               WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h"""),
     ),
+
+    // ---- the dataset card: the per-source summary a corpus release
+    //      ships with — sizes, language spread, exact-dup rate, id
+    //      range. One hash-aggregate over a narrow projection; at
+    //      100 TB this is a single map-side-combined pass. ----
+    Q("q167_dataset_card",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("total_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            (count(lit(1)) - countDistinct(col("text"))).as("n_dup_texts"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+                     CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                     CAST(count(*) - count(DISTINCT text) AS BIGINT)
+                       AS n_dup_texts,
+                     min(doc_id) AS min_id, max(doc_id) AS max_id
+              FROM documents GROUP BY source"""),
+    ),
   )
 }
