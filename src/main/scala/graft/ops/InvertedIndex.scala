@@ -104,4 +104,32 @@ object InvertedIndex {
         col("__c._3").as("postings"))
       .where(col("df") >= minDf)
   }
+  /** Exact positional phrase search: documents containing `phrase` as
+    * CONSECUTIVE whitespace tokens, with occurrence count and first
+    * position. Implemented index-free as windowed adjacency — one scan
+    * plus one keyed shuffle (the per-document position window): the
+    * token stream is the positional index, read in place. An
+    * index-backed deployment intersects positional postings of the
+    * phrase's rarest terms instead (same answers; pays off when the
+    * corpus is static and queries are many) — this operator is the
+    * one-pass form a curation run wants, linear in corpus tokens and
+    * independent of phrase frequency.
+    */
+  def phraseSearch(df: DataFrame, textCol: String, idCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val toks = df.select(col(idCol),
+      posexplode(split(trim(lower(col(textCol))), "\\s+"))
+        .as(Seq("pos", "w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val window = (1 until phrase.length).foldLeft(col("w")) { (acc, i) =>
+      concat(acc, lit(" "), lead(col("w"), i).over(win))
+    }
+    toks.withColumn("__win", window)
+      .where(col("__win") === phrase.mkString(" "))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("pos")).as("first_pos"))
+  }
 }

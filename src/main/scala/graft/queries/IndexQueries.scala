@@ -15,6 +15,30 @@ object IndexQueries {
 
   val qs: Seq[Q] = Seq(
 
+    // ---- exact positional phrase search: one scan + one keyed
+    //      position window; the oracle recomputes positions with list
+    //      comprehension, so tokenization, adjacency, occurrence
+    //      count, AND the 0-based first position must all agree ----
+    Q("q168_phrase_search",
+      (s, dir) => InvertedIndex.phraseSearch(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        Seq("stream", "table", "hash")),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                FROM documents),
+              hits AS (
+                SELECT doc_id,
+                       [p FOR p IN generate_series(1, len(ws) - 2)
+                         IF ws[CAST(p AS INTEGER)] = 'stream'
+                        AND ws[CAST(p + 1 AS INTEGER)] = 'table'
+                        AND ws[CAST(p + 2 AS INTEGER)] = 'hash'] AS ps
+                FROM t)
+              SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_occurrences,
+                     CAST(ps[1] - 1 AS INTEGER) AS first_pos
+              FROM hits WHERE len(ps) > 0"""),
+    ),
+
     // ---- champion-list inverted index: per term df/cf + the top-5
     //      postings by tf (impact-ordered index pruning). The tf table
     //      shuffles keyed by (term, doc); champion selection is the

@@ -132,4 +132,21 @@ class IndexOpsSpec extends SparkSpec {
       col("t"), Seq(8))
     assert(rows(a) == rows(b))
   }
+  test("phraseSearch: consecutive tokens only, counts + 0-based first position") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "stream table hash x stream table hash"),
+      (2L, "table stream hash"), // right words, wrong order
+      (3L, "stream table"), // incomplete
+      (4L, "pre stream  table hash")) // multi-space still adjacent
+      .toDF("doc_id", "text")
+    val out = InvertedIndex.phraseSearch(docs, "text", "doc_id",
+      Seq("stream", "table", "hash"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out == Map(1L -> (2L, 0), 4L -> (1L, 1)))
+    // single-word phrase degenerates to term lookup
+    val one = InvertedIndex.phraseSearch(docs, "text", "doc_id", Seq("hash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 2L, 2L -> 1L, 4L -> 1L))
+  }
 }
