@@ -60,4 +60,24 @@ class ExportSpec extends SparkSpec {
     assert(m.size == 1 && m.head.getLong(1) == 3L)
     assert(ex.readJsonlShards("t", schema).count() == 30L)
   }
+  test("schema evolution: old shards lacking a new column read as nulls") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("exp4").toString
+    val ex = new Export(spark, tmp)
+    // generation 1: no quality column
+    ex.writeJsonlShards(
+      Seq((1L, "old")).toDF("id", "text").withColumn("shard", lit(0L)),
+      "t", "shard")
+    // generation 2 appends shards WITH the new column
+    Seq((2L, "new", 0.9)).toDF("id", "text", "quality")
+      .withColumn("shard", lit(1L))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("append").json(tmp + "/t")
+    val evolved = StructType(schema.fields.patch(2,
+      Seq(StructField("quality", org.apache.spark.sql.types.DoubleType)), 0))
+    val back = ex.readJsonlShards("t", evolved).orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getLong(0) == 1L && back(0).isNullAt(2)) // old row: null
+    assert(back(1).getLong(0) == 2L && back(1).getDouble(2) == 0.9)
+  }
 }

@@ -52,4 +52,33 @@ class GovernanceSpec extends SparkSpec {
       .select(nc.as("a"), nv.as("b"), flag.as("f")).head()
     assert(row.getLong(0) == 3L && row.getLong(1) == 1L && row.getBoolean(2))
   }
+  test("datasetDiff changeset replays v1 into v2 (prop)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i =>
+        g.apply(Gen.Parameters.default, Seed(4200L + i)).toSeq)
+    val stateGen = for {
+      keys <- Gen.someOf(1L to 30L)
+      vals <- Gen.listOfN(keys.size, Gen.oneOf("a", "b", "c"))
+    } yield keys.toSeq.sorted.zip(vals)
+    val cases = samples(Gen.zip(stateGen, stateGen), 25)
+    cases.zipWithIndex.foreach { case ((v1, v2), i) =>
+      val d1 = v1.toDF("id", "t")
+      val d2 = v2.toDF("id", "t")
+      val diff = Versioning.datasetDiff(d1, d2, "id", Seq("t"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // replay law: v1 minus removed/changed keys, plus v2's rows for
+      // added/changed keys, equals v2 exactly
+      val m1 = v1.toMap; val m2 = v2.toMap
+      val replayed = m1.filterNot { case (k, _) =>
+        diff.get(k).exists(s => s == "removed" || s == "changed") } ++
+        m2.filter { case (k, _) =>
+          diff.get(k).exists(s => s == "added" || s == "changed") }
+      assert(replayed == m2, s"case $i: diff=$diff v1=$v1 v2=$v2")
+      // minimality: no unchanged key appears in the changeset
+      assert(diff.keys.forall(k => m1.get(k) != m2.get(k)))
+    }
+  }
 }
