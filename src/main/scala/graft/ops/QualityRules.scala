@@ -76,4 +76,54 @@ object QualityRules {
         col("pass_words") && col("pass_word_len") && col("pass_stopwords") &&
           col("pass_alpha") && col("pass_symbols"))
   }
+  /** Blocklist phrase matching — the safety-scrub primitive: which
+    * documents contain which banned phrases, as WHOLE consecutive
+    * whitespace tokens (never substrings: banning "ass" must not flag
+    * "assembly", so matching is token-aligned by construction).
+    *
+    * Shape for a 100 TB corpus with a 10⁴-phrase dictionary: the
+    * dictionary broadcasts (it is bounded and tiny next to the
+    * corpus); the corpus pays ONE tokenizing scan plus `maxLen − 1`
+    * `lead` windows keyed by document (one shuffle), and the
+    * candidate join fans out only on dictionary FIRST words — a token
+    * that begins no banned phrase joins nothing. Linear in corpus
+    * tokens, independent of dictionary hit rate.
+    *
+    * Returns (id, n_hits, n_phrases) for documents with ≥ 1 match;
+    * join back `left_anti` to scrub, or `left` + null-check to flag.
+    */
+  def blocklistHits(df: DataFrame, textCol: String, idCol: String,
+                    phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklistHits: empty dictionary")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dict = phrases.map { p =>
+      val ws = p.trim.toLowerCase.split("\\s+").toSeq
+      (ws.head, ws.size, ws.mkString(" "))
+    }
+    val maxLen = dict.map(_._2).max
+    require(maxLen <= 8, s"blocklistHits: phrases longer than 8 tokens ($maxLen)")
+    val dictDf = broadcast(dict.toDF("__w0", "__len", "__phrase"))
+    val toks = df.select(col(idCol),
+      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("pos", "w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    // window columns w1..wmaxLen: the phrase-sized token windows
+    val windows = (1 to maxLen).scanLeft(Option.empty[Column]) {
+      case (None, _) => Some(col("w"))
+      case (Some(prev), k) =>
+        Some(concat(prev, lit(" "), lead(col("w"), k - 1).over(win)))
+    }.flatten
+    val withWins = windows.zipWithIndex.foldLeft(toks) {
+      case (d, (c, i)) => d.withColumn(s"__w${i + 1}", c)
+    }
+    val matchCol = (1 to maxLen).foldLeft(lit(null).cast("string")) {
+      (acc, k) => when(col("__len") === k, col(s"__w$k")).otherwise(acc)
+    }
+    withWins.join(dictDf, col("w") === col("__w0"))
+      .where(matchCol === col("__phrase"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("__phrase")).as("n_phrases"))
+  }
 }

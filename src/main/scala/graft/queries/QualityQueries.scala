@@ -14,6 +14,40 @@ object QualityQueries {
 
   val qs: Seq[Q] = Seq(
 
+    // ---- blocklist phrase matching (safety scrub): token-aligned
+    //      dictionary hits via broadcast dict + phrase-sized token
+    //      windows; the oracle recomputes every hit with list slicing,
+    //      so tokenization, alignment, and per-phrase lengths must all
+    //      agree. Dictionary mixes 3/2/2-token phrases plus one absent
+    //      phrase (must contribute nothing). ----
+    Q("q169_blocklist",
+      (s, dir) => QualityRules.blocklistHits(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        Seq("slow hash batch", "merge group", "table hash", "zz qq")),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                FROM documents),
+              d(phrase, l) AS (VALUES ('slow hash batch', 3),
+                                      ('merge group', 2),
+                                      ('table hash', 2),
+                                      ('zz qq', 2)),
+              dd AS (SELECT phrase, l,
+                            regexp_split_to_array(phrase, ' ') AS pw
+                     FROM d),
+              u AS (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws))) AS p
+                    FROM t),
+              m AS (SELECT doc_id, phrase
+                    FROM u JOIN dd
+                      ON CAST(p AS INTEGER) + l - 1 <= len(ws)
+                     AND ws[CAST(p AS INTEGER):
+                            CAST(p AS INTEGER) + CAST(l AS INTEGER) - 1] = pw)
+              SELECT doc_id, count(*) AS n_hits,
+                     CAST(count(DISTINCT phrase) AS BIGINT) AS n_phrases
+              FROM m GROUP BY doc_id"""),
+    ),
+
     // ---- Gopher/C4 rule battery: integer/ppm metrics + hard-threshold
     //      verdicts, one map-only pass (the deterministic pre-filter in
     //      front of the learned classifier q84) ----

@@ -319,4 +319,19 @@ class QualityOpsSpec extends SparkSpec {
     assert(r.forall { case (id, root) => id == root },
       s"boilerplate must not link docs under the postings cap: $r")
   }
+  test("blocklistHits: token-aligned, never substrings, counts per phrase") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the assembly line"), // must NOT match banned "ass"
+      (2L, "bad ass phrase bad ass"), // 2 hits of one phrase
+      (3L, "totally clean text"),
+      (4L, "Bad  Ass plus more bad content here")) // case+spacing, 2 phrases
+      .toDF("doc_id", "text")
+    val out = QualityRules.blocklistHits(docs, "text", "doc_id",
+      Seq("bad ass", "ass", "bad content here"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains(1L) && !out.contains(3L))
+    assert(out(2L) == (4L, 2L)) // "bad ass" x2 + "ass" x2
+    assert(out(4L) == (3L, 3L)) // "bad ass", "ass", "bad content here"
+  }
 }
