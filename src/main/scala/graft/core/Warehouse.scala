@@ -220,9 +220,12 @@ final class Warehouse(spark: SparkSession, root: String) {
   // pointer swap (zero data movement), time-travel reads are just
   // version-dir scans, and expiry is directory deletion (no rewrite).
   // Same single-writer assumption as [[forget]]; the only
-  // non-atomic window is the delete+rename pointer swap, and a reader
-  // that finds no pointer falls back to the NEWEST published version
-  // (the only state a lost pointer can represent).
+  // non-atomic window is the delete+rename pointer swap. A reader that
+  // finds no pointer first consults the surviving `_CURRENT.tmp` (a
+  // crash inside the swap window leaves it holding the intended target
+  // — which after a `rollbackTo` is NOT the newest version) and only
+  // then falls back to the newest published version (a pristine table
+  // or a pre-tmp crash).
 
   private def versionDir(table: String, v: Int) =
     new org.apache.hadoop.fs.Path(f"${path(table)}/v=$v%05d")
@@ -239,21 +242,26 @@ final class Warehouse(spark: SparkSession, root: String) {
       .sorted
   }
 
-  /** The pointer target; if the pointer is missing (pristine table or
-    * a crash inside the swap window) the newest published version.
+  /** The pointer target; if the pointer is missing, the intended target
+    * recovered from a surviving `_CURRENT.tmp` (crash inside the swap
+    * window — after a rollback that target is an OLDER version, so
+    * jumping to newest would silently undo the rollback); failing both,
+    * the newest published version (pristine table / pre-tmp crash).
     */
   def currentVersion(table: String): Option[Int] = {
     val (fs, _) = hadoopFs(path(table))
-    val ptr = pointerPath(table)
-    val fromPtr =
-      if (!fs.exists(ptr)) None
+    def readInt(p: org.apache.hadoop.fs.Path): Option[Int] =
+      if (!fs.exists(p)) None
       else {
-        val in = fs.open(ptr)
+        val in = fs.open(p)
         val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
         scala.util.Try(s.toInt).toOption
       }
-    fromPtr.orElse(versions(table).lastOption)
+    val tmp = new org.apache.hadoop.fs.Path(s"${path(table)}/_CURRENT.tmp")
+    readInt(pointerPath(table))
+      .orElse(readInt(tmp).filter(versions(table).contains))
+      .orElse(versions(table).lastOption)
   }
 
   /** Publish `df` as the next version and move the pointer to it.

@@ -95,6 +95,8 @@ object QualityRules {
   def blocklistHits(df: DataFrame, textCol: String, idCol: String,
                     phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "blocklistHits: empty dictionary")
+    require(phrases.forall(_.trim.nonEmpty),
+      "blocklistHits: blank phrase in dictionary (would token-join empty strings)")
     val spark = df.sparkSession
     import spark.implicits._
     val dict = phrases.map { p =>

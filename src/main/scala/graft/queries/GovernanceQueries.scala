@@ -138,7 +138,7 @@ object GovernanceQueries {
     Q("q161_snapshot_diff",
       (s, dir) => {
         val w = new graft.core.Warehouse(s,
-          java.nio.file.Files.createTempDirectory("graft_tt").toString)
+          graft.core.Scratch.dir("q161_snapshot_diff"))
         val d = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text"), col("lang"), col("source"))
         w.publishVersion(d.where(col("doc_id") % 31 =!= 0), "corpus")

@@ -304,8 +304,7 @@ object WebTextQueries {
     //      survives a distributed write). ----
     Q("q157_jsonl_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_jsonl").toString
+        val tmp = graft.core.Scratch.dir("q157_jsonl_roundtrip")
         val ex = new Export(s, tmp)
         val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text"),

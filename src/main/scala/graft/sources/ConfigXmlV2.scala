@@ -95,16 +95,18 @@ private[v2] class ConfigXmlScanBuilder(path: String)
   override def pushedFilters(): Array[Filter] = retained
 
   /** Aggregate pushdown for the one aggregation this source can answer
-    * WITHOUT READING A SINGLE XML BYTE: ungrouped MIN/MAX of
-    * LAST_CHANGE_DATE. Every row in a snapshot file carries the file's
-    * own date (the parser stamps it from the file name), so the
-    * min/max over rows IS the min/max over file names — the file
-    * LISTING is a sufficient statistic. The payoff is the watermark
-    * probe (`SELECT max(LAST_CHANGE_DATE)`), the query every nightly
-    * incremental run issues first: O(listing) instead of a full-corpus
-    * parse. Complete pushdown (the scan returns the FINAL one-row
-    * answer); anything grouped, any other column, or any other
-    * function is declined and planned normally.
+    * from its file LISTING: ungrouped MIN/MAX of LAST_CHANGE_DATE.
+    * Every row in a snapshot file carries the file's own date (the
+    * parser stamps it from the file name), so the min/max over rows is
+    * the min/max over NON-EMPTY file names; the driver confirms the
+    * boundary file actually yields a row with an early-exit probe (see
+    * [[ConfigXmlAggScan]]) so the pushed answer never diverges from the
+    * row-scan plan. The payoff is the watermark probe
+    * (`SELECT max(LAST_CHANGE_DATE)`), the query every nightly
+    * incremental run issues first: O(listing) + a few KB of boundary
+    * probe instead of a full-corpus parse. Complete pushdown (the scan
+    * returns the FINAL one-row answer); anything grouped, any other
+    * column, or any other function is declined and planned normally.
     */
   private def pushableMaxFlags(agg: Aggregation): Option[Seq[Boolean]] = {
     if (agg.groupByExpressions.nonEmpty) return None
@@ -244,9 +246,14 @@ private[v2] class ConfigXmlScan(path: String, required: StructType,
 
 /** The listing-only aggregate scan: the final one-row MIN/MAX answer is
   * computed on the DRIVER from the (pruned) file listing and shipped
-  * inside the single InputPartition — no executor opens any file. Empty
-  * listing → the SQL-correct one row of NULLs (ungrouped aggregate over
-  * empty input).
+  * inside the single InputPartition — executors open no file. The
+  * boundary candidate IS verified (round-9 advice): a listed snapshot
+  * that parses to zero detector rows (empty or element-free XML) must
+  * not contribute its date, so the driver probes the extreme file with
+  * an early-exit parse (first `<detector>` wins — a few KB for a normal
+  * snapshot) and walks inward past empty files. Common case: one probe,
+  * O(KB); worst case (all files empty): a full verification pass, and
+  * the SQL-correct one row of NULLs. Empty listing → NULLs too.
   */
 private[v2] case class ConfigXmlAggPartition(values: Array[Option[Int]])
   extends InputPartition
@@ -266,9 +273,24 @@ private[v2] class ConfigXmlAggScan(path: String, filters: Array[Filter],
         .mkString(", ") + "]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val days = ConfigXmlScan.listParts(path, filters).map(_.dateDays)
+    val parts = ConfigXmlScan.listParts(path, filters)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    // memoized so MIN and MAX in one query share probes
+    val yields = scala.collection.mutable.Map.empty[String, Boolean]
+    def nonEmpty(p: ConfigXmlPartition): Boolean =
+      yields.getOrElseUpdate(p.path, {
+        val hp = new Path(p.path)
+        val raw = hp.getFileSystem(conf).open(hp)
+        val in =
+          if (p.path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+          else raw
+        try ConfigXml.hasDetectorRow(in) finally in.close()
+      })
+    val byDay = parts.groupBy(_.dateDays)
+    val daysAsc = byDay.keys.toSeq.sorted
     val values = maxFlags.map { isMax =>
-      if (days.isEmpty) None else Some(if (isMax) days.max else days.min)
+      (if (isMax) daysAsc.reverse else daysAsc)
+        .find(d => byDay(d).exists(nonEmpty))
     }.toArray
     Array(ConfigXmlAggPartition(values))
   }

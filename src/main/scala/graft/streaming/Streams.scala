@@ -407,10 +407,14 @@ object Streams {
           }
         }
         if (!already) {
+          // insert-only must hold WITHIN the batch too: two arrivals
+          // sharing a key in one micro-batch would both survive the
+          // anti-join against the current version (r9 advice)
+          val batchOnce = batch.dropDuplicates(keyCol)
           val fresh = w.currentVersion(table) match {
-            case None => batch
+            case None => batchOnce
             case Some(v) =>
-              batch.join(w.readVersion(table, v).select(col(keyCol)),
+              batchOnce.join(w.readVersion(table, v).select(col(keyCol)),
                 Seq(keyCol), "left_anti")
           }
           // materialize: the union below reads the CURRENT version dir

@@ -47,6 +47,26 @@ class WarehouseVersionSpec extends SparkSpec {
     assert(w.readCurrent("t").count() == 2)
   }
 
+  test("crash inside a rollback's swap window recovers the rollback target") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("whv").toString
+    val w = new Warehouse(spark, root)
+    w.publishVersion(Seq(1L).toDF("id"), "t")
+    w.publishVersion(Seq(1L, 2L).toDF("id"), "t")
+    // simulate the delete+rename window of rollbackTo("t", 1): the tmp
+    // pointer holds the INTENDED (older) target, _CURRENT is gone —
+    // jumping to newest here would silently undo the rollback (r9 advice)
+    val out = new java.io.FileOutputStream(s"$root/t/_CURRENT.tmp")
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    new java.io.File(s"$root/t/_CURRENT").delete()
+    assert(w.currentVersion("t").contains(1))
+    assert(w.readCurrent("t").count() == 1)
+    // a tmp pointing at a nonexistent version is ignored, not trusted
+    val out2 = new java.io.FileOutputStream(s"$root/t/_CURRENT.tmp")
+    try out2.write("99".getBytes("UTF-8")) finally out2.close()
+    assert(w.currentVersion("t").contains(2))
+  }
+
   test("expireVersions keeps the newest K and the pointer target") {
     import spark.implicits._
     val w = wh()

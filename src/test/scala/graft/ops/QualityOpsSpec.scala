@@ -333,5 +333,9 @@ class QualityOpsSpec extends SparkSpec {
     assert(!out.contains(1L) && !out.contains(3L))
     assert(out(2L) == (4L, 2L)) // "bad ass" x2 + "ass" x2
     assert(out(4L) == (3L, 3L)) // "bad ass", "ass", "bad content here"
+    // a blank phrase would join against tokens of blank documents
+    intercept[IllegalArgumentException] {
+      QualityRules.blocklistHits(docs, "text", "doc_id", Seq("bad ass", "  "))
+    }
   }
 }

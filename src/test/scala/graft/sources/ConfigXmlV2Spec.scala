@@ -126,6 +126,32 @@ class ConfigXmlV2Spec extends SparkSpec {
     assert(cnt.head().getLong(0) == 6L) // 2 detectors x 3 snapshots
   }
 
+  test("pushed aggregate skips zero-row boundary files (r9 advice)") {
+    val dir = mkSnapshots()
+    // an element-free snapshot at BOTH extremes: its dates must not leak
+    // into the pushed answer, because no row carries them
+    val empty = """<?xml version="1.0"?><tms_config></tms_config>"""
+    writeGz(java.nio.file.Paths.get(dir), "metro_config_20230110.xml.gz", empty)
+    writeGz(java.nio.file.Paths.get(dir), "metro_config_20230125.xml.gz", empty)
+    val df = spark.read.format("graft-config-xml").load(dir)
+      .agg(min("LAST_CHANGE_DATE").as("lo"), max("LAST_CHANGE_DATE").as("hi"))
+    assert(scanOf(df).scan.description().contains("PushedAggregates"))
+    val row = df.head()
+    assert(row.getDate(0).toString == "2023-01-15")
+    assert(row.getDate(1).toString == "2023-01-20")
+    // agreement with the row-scan plan Spark would otherwise produce
+    val viaRows = ConfigXml.readSnapshots(spark, dir)
+      .agg(min("LAST_CHANGE_DATE"), max("LAST_CHANGE_DATE")).head()
+    assert(row.getDate(0) == viaRows.getDate(0) &&
+      row.getDate(1) == viaRows.getDate(1))
+    // all files empty -> SQL-correct NULLs, not a phantom file date
+    val dir2 = Files.createTempDirectory("cfgv2_allempty")
+    writeGz(dir2, "metro_config_20230101.xml.gz", empty)
+    val allEmpty = spark.read.format("graft-config-xml").load(dir2.toString)
+      .agg(max("LAST_CHANGE_DATE").as("hi"))
+    assert(allEmpty.head().isNullAt(0))
+  }
+
   test("pushed aggregate over an empty listing yields one NULL row") {
     val dir = java.nio.file.Files.createTempDirectory("cfgv2_empty").toString
     val df = spark.read.format("graft-config-xml").load(dir)

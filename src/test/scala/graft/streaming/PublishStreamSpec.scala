@@ -42,6 +42,15 @@ class PublishStreamSpec extends SparkSpec {
     stream()
     assert(w.versions("corpus") == Seq(1, 2))
 
+    // wave 3 duplicates a key WITHIN one batch: insert-only must hold
+    // intra-batch too — exactly one survivor for id 20 (r9 advice)
+    Seq((20L, "first"), (20L, "second"), (21L, "doc 21"))
+      .toDF("id", "text").coalesce(1).write.mode("append").json(srcDir)
+    stream()
+    assert(w.versions("corpus") == Seq(1, 2, 3))
+    assert(w.readCurrent("corpus").count() == 17)
+    assert(w.readCurrent("corpus").where($"id" === 20L).count() == 1)
+
     // the published history is diffable
     val diff = graft.ops.Versioning.datasetDiff(
       w.readVersion("corpus", 1), w.readVersion("corpus", 2),
