@@ -549,16 +549,44 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** SplitMix64 finalizer (public-domain constants, Steele/Lea/Flood
+    * 2014) — the per-cluster pattern hash behind the synthetic media
+    * fixtures below. Cheap, stateless, and avalanche-complete: two
+    * different cluster ids yield statistically independent patterns.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** The fixtures' duplicate-cluster key: 32 CONSECUTIVE ids form one
+    * near-dup cluster. Keying the cluster on the id's high bits (not
+    * `id mod 32`, the round-9 construction) makes duplicate-cluster
+    * COUNT scale with the id range while cluster SIZE stays fixed —
+    * the growth law a real corpus follows (a 10× crawl has ~10× the
+    * duplicate clusters, not 10×-larger clusters). Under the old
+    * mod-32 key the class space was 32 FOREVER, so near-dup output
+    * grew quadratically at any corpus scale — measured: ×2 corpus →
+    * 4.08× pairs regardless of the replica id offset (the round-9
+    * verdict's offset hypothesis; disproven in PLANS.md). With the
+    * high-bit key, disjoint id ranges (e.g. ScaleUp replicas) get
+    * entirely fresh clusters via [[mix64]], and output scales ~R×.
+    */
+  private def mediaCluster(id: Long): Long = id >>> 5
+
   /** Deterministic PNG fixture generator: one real `size`×`size` PNG
     * payload per id, REAL bytes from the JDK's PNG encoder — the
     * container ships no media fixtures, so this op is how the ImageIO
     * decode path gets exercised end-to-end at fixture scale. The pixel
-    * pattern is a pure function of the id: a base gradient keyed by
-    * `id mod 32` (so ids sharing a base render near-identical images —
-    * the near-dup structure [[nearDupMedia]] mines) plus one id-keyed
-    * "noise" pixel (so same-base images are close, not equal). Same
-    * mapPartitions shape as every other codec op; payload generation
-    * never shuffles.
+    * pattern is a pure function of the id: a per-cluster hashed pixel
+    * field keyed by [[mediaCluster]] (32 consecutive ids render
+    * near-identical images — the near-dup structure [[nearDupMedia]]
+    * mines, with cluster count scaling with the id range) plus one
+    * id-keyed "noise" pixel (so same-cluster images are close, not
+    * equal). Same mapPartitions shape as every other codec op; payload
+    * generation never shuffles.
     */
   def syntheticPng(ids: DataFrame, idCol: String, size: Int = 8): DataFrame = {
     val spark = ids.sparkSession
@@ -567,19 +595,21 @@ object Multimodal {
         val id = r.getLong(0)
         val img = new java.awt.image.BufferedImage(
           size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val base = (id % 32).toInt
+        val cluster = mediaCluster(id)
+        val px = size.toLong * size
         var y = 0
         while (y < size) {
           var x = 0
           while (x < size) {
-            val lum = (base * 37 + x * 11 + y * 23) % 256
+            val lum = (mix64(cluster * px + y * size + x) & 0xFF).toInt
             img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
             x += 1
           }
           y += 1
         }
-        val noisePos = ((id / 32) % (size.toLong * size)).toInt
-        val noiseLum = ((id * 13) % 256).toInt
+        val nz = mix64(~id) // noise stream disjoint from the pattern hash
+        val noisePos = ((nz >>> 8) % px).toInt
+        val noiseLum = (nz & 0xFF).toInt
         img.setRGB(noisePos % size, noisePos / size,
           (noiseLum << 16) | (noiseLum << 8) | noiseLum)
         val baos = new java.io.ByteArrayOutputStream()
@@ -595,30 +625,49 @@ object Multimodal {
     * signed PCM mono, 8 kHz, `samples` frames), REAL bytes from the
     * JDK's `AudioSystem` WAVE writer, so the `javax.sound.sampled`
     * decode path is exercised end-to-end at fixture scale. The signal
-    * is a pure function of the id: a ±0.25 full-scale square wave
-    * whose half-period is keyed by `id mod 32` (ids sharing a base
-    * sound near-identical — the near-dup structure the signature ops
-    * mine) plus one id-keyed spike sample (so same-base clips are
-    * close, not equal). ±8192/32768 = ±0.25 is exact in binary
-    * floating point, so windowed RMS and peak decode to exactly 0.25 —
-    * the spec anchors on that. Payload generation never shuffles.
+    * is a pure function of the id: a square wave whose half-period AND
+    * amplitude both vary PER SEGMENT, keyed by one [[mediaCluster]]
+    * hash per segment (32 consecutive ids sound near-identical — the
+    * near-dup structure the signature ops mine, with cluster count
+    * scaling with the id range) plus one id-keyed spike sample (so
+    * same-cluster clips are close, not equal). BOTH fingerprint halves
+    * are informative: the ZCR envelope varies via the half-period
+    * (2..33) and the RMS envelope via the amplitude (constant
+    * amplitude would be the "constant-loudness trap" [[nearDupAudio]]'s
+    * scaladoc warns about — measured: it left only ~8 effective
+    * signature dims and a 0.23% accidental cross-cluster collision
+    * rate, a quadratic term at corpus scale; with amplitude modulation
+    * the singleton-cluster false-pair rate drops to ~0). Amplitudes are
+    * 2048-multiples (4096..10240), so windowed RMS decodes to exact
+    * binary fractions (0.125..0.3125 of full scale). Payload
+    * generation never shuffles.
     */
   def syntheticWav(ids: DataFrame, idCol: String, samples: Int = 400,
                    sampleRate: Int = 8000): DataFrame = {
     val spark = ids.sparkSession
+    val segs = 8
     val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val half = 2 + (id % 32).toInt // square-wave half-period in frames
+        val cluster = mediaCluster(id)
+        // one hash per segment, two fields: half-period 2..33 from the
+        // low bits, amplitude 4096/6144/8192/10240 from bits 8-9
+        val seed = Array.tabulate(segs)(s => mix64(cluster * segs + s))
+        val halves = seed.map(m => 2 + (m & 31L).toInt)
+        val amps = seed.map(m => (2048 * (2 + ((m >>> 8) & 3L))).toInt)
         val pcm = new Array[Byte](samples * 2)
         var f = 0
         while (f < samples) {
-          val amp: Short = if ((f / half) % 2 == 0) 8192 else -8192
+          val seg = f * segs / samples
+          val half = halves(seg)
+          val amp: Short =
+            (if ((f / half) % 2 == 0) amps(seg) else -amps(seg)).toShort
           pcm(2 * f) = (amp & 0xFF).toByte          // little-endian
           pcm(2 * f + 1) = ((amp >> 8) & 0xFF).toByte
           f += 1
         }
-        val spikePos = ((id / 32) % samples).toInt  // id-keyed uniqueness
+        val nz = mix64(~id) // id-keyed uniqueness
+        val spikePos = ((nz >>> 8) % samples).toInt
         val spike: Short = (4096 + (id * 13) % 4096).toShort
         pcm(2 * spikePos) = (spike & 0xFF).toByte
         pcm(2 * spikePos + 1) = ((spike >> 8) & 0xFF).toByte
@@ -642,10 +691,11 @@ object Multimodal {
     * MJPEG `00dc` stream (or uncompressed DIB `00db` when
     * `dib = true`, for bit-exact anchors — JPEG is lossy). Frame
     * pixels are a pure function of (id, frame): the [[syntheticPng]]
-    * gradient keyed by `id mod 32`, phase-advanced per frame (so ids
-    * sharing a base render near-identical clips — the near-dup
-    * structure the signature ops mine) plus one (id, frame)-keyed
-    * noise pixel. Payload generation never shuffles.
+    * per-cluster hashed pixel field keyed by [[mediaCluster]],
+    * phase-advanced per frame (so 32 consecutive ids render
+    * near-identical clips — the near-dup structure the signature ops
+    * mine, with cluster count scaling with the id range) plus one
+    * (id, frame)-keyed noise pixel. Payload generation never shuffles.
     */
   def syntheticAvi(ids: DataFrame, idCol: String, frames: Int = 6,
                    size: Int = 16, fps: Int = 10, dib: Boolean = false): DataFrame = {
@@ -653,7 +703,9 @@ object Multimodal {
     val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val base = (id % 32).toInt
+        val cluster = mediaCluster(id)
+        val px = size.toLong * size
+        val nz = mix64(~id)
         val frameBytes = (0 until frames).map { f =>
           val img = new java.awt.image.BufferedImage(size, size,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -661,14 +713,15 @@ object Multimodal {
           while (y < size) {
             var x = 0
             while (x < size) {
-              val lum = (base * 37 + x * 11 + y * 23 + f * 29) % 256
+              val lum =
+                ((mix64(cluster * px + y * size + x) & 0xFF) + f * 29).toInt % 256
               img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
               x += 1
             }
             y += 1
           }
-          val noisePos = ((id / 32 + f) % (size.toLong * size)).toInt
-          val noiseLum = ((id * 13 + f * 7) % 256).toInt
+          val noisePos = (((nz >>> 8) + f) % px).toInt
+          val noiseLum = ((nz & 0xFF) + f * 7).toInt % 256
           img.setRGB(noisePos % size, noisePos / size,
             (noiseLum << 16) | (noiseLum << 8) | noiseLum)
           if (dib) {

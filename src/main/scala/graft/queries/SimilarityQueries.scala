@@ -249,15 +249,20 @@ object SimilarityQueries {
     //      KEYFRAME ALIGNMENT: AVI container walk → per-keyframe JPEG
     //      decode → spatial luminance signature per frame → banded
     //      buckets joined on the aligned sample ordinal → per-frame
-    //      hamming verify → pairs matching ≥2 keyframes. Same-base
-    //      synthetic clips (id mod 32) are near-identical by
-    //      construction. Payload bytes never shuffle — only (id,
-    //      frame, 64-bit sig) rows do. Engine-specific hash family →
-    //      rows-only ----
+    //      hamming verify → pairs matching ≥2 keyframes. Same-cluster
+    //      synthetic clips (id >>> 5) are near-identical by
+    //      construction. The slice is CLUSTER-ALIGNED ((doc_id/32) % 2
+    //      = 0: whole 32-id duplicate clusters, half of them) so it
+    //      keeps the near-dup structure intact AND scales linearly
+    //      with the corpus — an absolute `doc_id < K` slice would stop
+    //      growing past K and measure nothing at ×10. Payload bytes
+    //      never shuffle — only (id, frame, 64-bit sig) rows do.
+    //      Engine-specific hash family → rows-only ----
     Q("q153_video_neardup",
       (s, dir) => {
         val media = graft.ops.Multimodal.syntheticAvi(
-          Tables.load(s, dir, "documents").where(col("doc_id") < 2000),
+          Tables.load(s, dir, "documents")
+            .where((col("doc_id") / 32).cast("long") % 2 === 0),
           "doc_id", frames = 4, size = 8, fps = 10)
         graft.ops.Multimodal.nearDupVideo(media, keyframes = 3, dim = 16,
           maxHamming = 3, minMatchFrames = 2)
@@ -270,26 +275,26 @@ object SimilarityQueries {
     //      fingerprint (ZCR is the spectral proxy; RMS alone is the
     //      constant-loudness trap, see nearDupAudio scaladoc) →
     //      per-half mean-centering → 64-bit sign signature → banded
-    //      buckets → hamming verify. Same-class synthetic tones
-    //      (id mod 32 half-period) are near-identical by construction.
-    //      Payload bytes never shuffle. Engine-specific hash family →
-    //      rows-only ----
+    //      buckets → hamming verify. Same-cluster synthetic tones
+    //      (id >>> 5 ZCR-envelope key) are near-identical by
+    //      construction. Runs the FULL corpus — WAV decode is one
+    //      cheap PCM pass and cluster buckets are bounded (~32), so
+    //      cost and output scale linearly ----
     Q("q162_audio_neardup",
       (s, dir) => {
         val media = graft.ops.Multimodal.syntheticWav(
-          Tables.load(s, dir, "documents").where(col("doc_id") < 2000),
-          "doc_id")
+          Tables.load(s, dir, "documents"), "doc_id")
         graft.ops.Multimodal.nearDupAudio(media, windows = 8, maxHamming = 3)
       },
       None),
 
     // ---- q101 with the family's drop-and-report bucket cap ARMED
     //      (the q149/q147 pattern for the media triad): a generous cap
-    //      on a slice where the fixture's 32 pattern classes stay far
-    //      under it — result must equal the uncapped operator's on the
-    //      same slice, which the audit (q166) proves by reporting zero
-    //      drops UNDER THE HASH ORACLE. Engine-specific hash family →
-    //      rows-only for the pairs leg ----
+    //      on a slice where the fixture's 32-id duplicate clusters stay
+    //      far under it — result must equal the uncapped operator's on
+    //      the same slice, which the audit (q166) proves by reporting
+    //      zero drops UNDER THE HASH ORACLE. Engine-specific hash
+    //      family → rows-only for the pairs leg ----
     Q("q165_media_capped",
       (s, dir) => {
         val media = graft.ops.Multimodal.syntheticPng(
@@ -302,9 +307,9 @@ object SimilarityQueries {
 
     // ---- the audit leg of q165's armed cap: (band, bucket) keys whose
     //      buckets exceeded the cap. The oracle asserts EMPTY — on this
-    //      corpus (≤ 63 images per pattern class at the q165 slice)
-    //      nothing may drop, and a hash-oracle row would appear the
-    //      moment signature degeneration collapses classes ----
+    //      corpus (≤ 32 images per duplicate cluster) nothing may drop,
+    //      and a hash-oracle row would appear the moment signature
+    //      degeneration collapses clusters ----
     Q("q166_media_audit",
       (s, dir) => graft.ops.Multimodal.mediaDroppedBuckets(
         graft.ops.Multimodal.syntheticPng(

@@ -114,7 +114,7 @@ class MultimodalSpec extends SparkSpec {
     assert(rms.toSeq == Seq(0.25f, 0.25f, 0.25f, 0.25f) && peak == 0.25f)
   }
 
-  test("syntheticWav emits decodable WAVs with id-keyed near-dup structure") {
+  test("syntheticWav emits decodable WAVs with cluster-keyed near-dup structure") {
     val ids = Seq(0L, 32L, 1L).toDF("doc_id")
     val media = Multimodal.syntheticWav(ids, "doc_id")
     assert(media.count() == 3)
@@ -122,15 +122,17 @@ class MultimodalSpec extends SparkSpec {
     assert(p0(0) == 'R'.toByte && p0(8) == 'W'.toByte) // RIFF/WAVE magic
     val d0 = Multimodal.decodeWav(p0, dim = 4).get
     assert(d0._1 == 8000 && d0._2 == 1 && d0._3 == 50)
-    assert(d0._5 == 0.25f) // the spike is below the square-wave amplitude
-    // ids 0 and 32 share the half-period key: same clip except each
+    // cluster 0's loudest segment: amp 10240/32768 = 0.3125 exactly
+    // (spike ≤ 8191 stays below it)
+    assert(d0._5 == 0.3125f)
+    // ids 0 and 1 share the cluster (id >>> 5): same clip except each
     // one's spike sample
-    val p32 = media.where($"media_id" === 32L).head().getAs[Array[Byte]]("payload")
-    val diffs = p0.zip(p32).count { case (a, b) => a != b }
-    assert(diffs <= 4, s"same-base clips differ in $diffs bytes, want <= 4")
-    // a different half-period key yields a genuinely different clip
     val p1 = media.where($"media_id" === 1L).head().getAs[Array[Byte]]("payload")
-    assert(p0.zip(p1).count { case (a, b) => a != b } > 100)
+    val diffs = p0.zip(p1).count { case (a, b) => a != b }
+    assert(diffs <= 4, s"same-cluster clips differ in $diffs bytes, want <= 4")
+    // a different cluster yields a genuinely different clip
+    val p32 = media.where($"media_id" === 32L).head().getAs[Array[Byte]]("payload")
+    assert(p0.zip(p32).count { case (a, b) => a != b } > 100)
   }
 
   test("syntheticPng emits decodable PNGs whose luminance matches the pattern") {
@@ -143,15 +145,21 @@ class MultimodalSpec extends SparkSpec {
     assert((payload(0) & 0xFF) == 0x89 && payload(1) == 'P'.toByte)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     assert(img.getWidth == 8 && img.getHeight == 8)
-    // id 0: base 0, noise pixel at (0,0) with lum 0 — pixel (1,0) is
-    // untouched base gradient: lum = (0*37 + 1*11 + 0*23) % 256 = 11
-    assert((img.getRGB(1, 0) & 0xFF) == 11)
-    // ids 0 and 32 share base 0: identical except each one's noise pixel
+    // id 0: cluster 0, noise pixel at index 44 — pixel (1,0) (index 1)
+    // is the untouched cluster pattern: lum = mix64(1) & 0xFF = 193
+    assert((img.getRGB(1, 0) & 0xFF) == 193)
+    // ids 0 and 1 share cluster 0: identical except each one's noise pixel
+    val p1 = media.where($"media_id" === 1L).head().getAs[Array[Byte]]("payload")
+    val img1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p1))
+    val diffs = (for { y <- 0 until 8; x <- 0 until 8
+      if img.getRGB(x, y) != img1.getRGB(x, y) } yield (x, y)).size
+    assert(diffs <= 2, s"same-cluster images differ in $diffs pixels, want <= 2")
+    // id 32 opens cluster 1: a hash-fresh pattern sharing nothing
     val p32 = media.where($"media_id" === 32L).head().getAs[Array[Byte]]("payload")
     val img32 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p32))
-    val diffs = (for { y <- 0 until 8; x <- 0 until 8
+    val crossDiffs = (for { y <- 0 until 8; x <- 0 until 8
       if img.getRGB(x, y) != img32.getRGB(x, y) } yield (x, y)).size
-    assert(diffs <= 2, s"same-base images differ in $diffs pixels, want <= 2")
+    assert(crossDiffs > 32, s"cross-cluster images differ in only $crossDiffs pixels")
   }
 
   // independent hand-rolled AVI encoder (java.nio, sharing nothing with
@@ -229,11 +237,11 @@ class MultimodalSpec extends SparkSpec {
     val dDib = Multimodal.decodeAvi(dib0, dim = 4).get
     val jpegErr = d0._5.zip(dDib._5).map { case (a, b) => math.abs(a - b) }.max
     assert(jpegErr < 0.02, s"JPEG-vs-DIB envelope error $jpegErr")
-    // ids 0 and 32 share the base key: near-identical clips
-    val p32 = media.where($"media_id" === 32L).head().getAs[Array[Byte]]("payload")
-    val d32 = Multimodal.decodeAvi(p32, dim = 4).get
-    val baseErr = d0._5.zip(d32._5).map { case (a, b) => math.abs(a - b) }.max
-    assert(baseErr < 0.02, s"same-base envelope error $baseErr")
+    // ids 0 and 1 share the cluster key: near-identical clips
+    val p1 = media.where($"media_id" === 1L).head().getAs[Array[Byte]]("payload")
+    val d1 = Multimodal.decodeAvi(p1, dim = 4).get
+    val baseErr = d0._5.zip(d1._5).map { case (a, b) => math.abs(a - b) }.max
+    assert(baseErr < 0.02, s"same-cluster envelope error $baseErr")
   }
 
   test("extractFeatures routes AVI payloads to the real video decode") {
@@ -419,19 +427,19 @@ class MultimodalSpec extends SparkSpec {
     bZcr.foreach(z => assert(math.abs(z - 0.125f) < 0.05f))
   }
 
-  test("nearDupAudio: same-frequency-class clips pair, cross-class don't") {
-    // classes by id % 32 (syntheticWav half-period): 0,32,64 share a
-    // class; 5,37 share another; everything else in the sample is a
-    // singleton class and must stay unpaired
-    val ids = Seq(0L, 32L, 64L, 5L, 37L, 7L, 13L).toDF("id")
+  test("nearDupAudio: same-cluster clips pair, cross-cluster don't") {
+    // clusters by id >>> 5 (syntheticWav ZCR-envelope key): 0,5,7 share
+    // cluster 0; 32,37 share cluster 1; 64 and 96 open singleton
+    // clusters and must stay unpaired
+    val ids = Seq(0L, 5L, 7L, 32L, 37L, 64L, 96L).toDF("id")
     val media = Multimodal.syntheticWav(ids, "id")
     val pairs = Multimodal.nearDupAudio(media, windows = 8, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((0L, 32L)) && pairs.contains((0L, 64L)) &&
-      pairs.contains((32L, 64L)))
-    assert(pairs.contains((5L, 37L)))
-    // no cross-class pair: every reported pair must share id % 32
-    assert(pairs.forall { case (x, y) => x % 32 == y % 32 })
+    assert(pairs.contains((0L, 5L)) && pairs.contains((0L, 7L)) &&
+      pairs.contains((5L, 7L)))
+    assert(pairs.contains((32L, 37L)))
+    // no cross-cluster pair: every reported pair must share id >>> 5
+    assert(pairs.forall { case (x, y) => (x >> 5) == (y >> 5) })
   }
   test("media bucket cap: degenerate payload mass drops whole with audit") {
     import spark.implicits._

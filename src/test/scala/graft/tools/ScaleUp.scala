@@ -20,7 +20,21 @@ import org.apache.spark.sql.functions._
   * Usage: Test/runMain graft.tools.ScaleUp <srcDir> <outDir> <R>
   */
 object ScaleUp {
-  private val IdOff = 100000000L // keeps q104's supp = key + 10M disjoint
+  /** Per-replica id offset. Two constraints: (a) large enough that
+    * replica id ranges stay disjoint even after q104's `supp = key +
+    * 10M` derivation; (b) a MULTIPLE of 32, so each replica's ids stay
+    * aligned to the media fixtures' 32-id duplicate clusters
+    * (`Multimodal.mediaCluster = id >>> 5`) — aligned replicas carry an
+    * exact copy of the base corpus's cluster-size structure, and their
+    * cluster IDS are fresh integers whose hashed patterns share nothing
+    * with any other replica, so media near-dup output scales ~R× like a
+    * genuinely larger crawl. (The round-9 verdict hypothesized the old
+    * quadratic media growth was an offset-congruence artifact; measured
+    * ×2 runs disproved that — pairs grew 4.08× under a class-rotating
+    * offset too. The actual cause was the generators' fixed 32-class
+    * `id mod 32` key, fixed generator-side; see PLANS.md.)
+    */
+  val IdOff = 100000000L
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
 

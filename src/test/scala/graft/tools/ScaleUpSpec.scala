@@ -44,11 +44,32 @@ class ScaleUpSpec extends SparkSpec {
     assert(x3.count() == 9)
     assert(rows(x3.groupBy().agg(countDistinct($"doc_id"))) == Seq(Seq(9L)))
     // letter words from different replicas never coincide
-    val words = x3.select(($"doc_id" / 100000000L).cast("long").as("rep"),
+    val words = x3.select(($"doc_id" / ScaleUp.IdOff).cast("long").as("rep"),
         explode(split($"text", " ")).as("w"))
       .where($"w".rlike("^[a-zA-Z]+$"))
     val crossRep = words.as("a").join(words.as("b"),
       $"a.w" === $"b.w" && $"a.rep" =!= $"b.rep")
     assert(crossRep.count() == 0)
+  }
+
+  test("id offset keeps replicas aligned to the 32-id media clusters") {
+    // the synthetic media generators key their near-dup cluster on the
+    // id's HIGH bits (id >>> 5, 32 consecutive ids per cluster). A
+    // 32-multiple offset means every replica block maps onto whole
+    // fresh clusters — same cluster-size structure as the base corpus,
+    // hash-fresh patterns — so media near-dup output scales ~R×, not
+    // quadratically (the round-9 ×10 artifact). r = 0 is the identity:
+    // ×1 results are untouched by the offset choice.
+    assert(ScaleUp.IdOff % 32 == 0)
+    assert(ScaleUp.IdOff > 10000000L + 1000000L) // q104 supp-offset headroom
+    val x1 = ScaleUp.replicate(docs, 1, idCols = Seq("doc_id"))
+    assert(rows(x1.orderBy($"doc_id")) == rows(docs.orderBy($"doc_id")))
+    // replica clusters never coincide with base clusters
+    val x2 = ScaleUp.replicate(docs, 2, idCols = Seq("doc_id"))
+    val clusters = x2.select((($"doc_id" / 32).cast("long")).as("c"),
+      ($"doc_id" / ScaleUp.IdOff).cast("long").as("rep"))
+    val shared = clusters.as("a").join(clusters.as("b"),
+      $"a.c" === $"b.c" && $"a.rep" =!= $"b.rep")
+    assert(shared.count() == 0)
   }
 }
