@@ -517,12 +517,18 @@ object Dedup {
   /** SimHash 64-bit fingerprint over token hashes: per bit, the sign of
     * the ±1 vote sum across tokens. Implemented with explode + 64
     * conditional sums (pure codegen aggregation, one shuffle on id).
+    * `portable = true` swaps the XXH64 token hash for
+    * [[TextAnalysis.portableHash64]] (md5-derived), making the
+    * fingerprints reproducible from any md5-capable engine — the q36
+    * hash oracle runs the identical computation in DuckDB.
     */
   def simhash(df: DataFrame, textCol: String, idCol: String,
-              out: String = "simhash"): DataFrame = {
+              out: String = "simhash", portable: Boolean = false): DataFrame = {
     val tok = df.select(col(idCol),
       explode_outer(TextAnalysis.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
+      .withColumn("__h",
+        if (portable) TextAnalysis.portableHash64(col("__t"))
+        else xxhash64(col("__t")))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b")
     }

@@ -103,6 +103,44 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.expressions.MinHashExprs.fingerprint(tokens(text))
 
+  // ---- oracle-portable hash family -------------------------------------
+  // The engine's native hash family is XXH64 (fastest; used by the hot
+  // dedup paths). These md5-derived variants trade speed for CROSS-ENGINE
+  // REPRODUCIBILITY: any system with md5 — DuckDB, Postgres, Go, a data
+  // partner's audit notebook — recomputes the identical fingerprints, so
+  // hash-valued results can sit under an external oracle or a contractual
+  // audit instead of a rows-only check. All built-ins, fully codegen'd.
+
+  /** 64-bit portable hash: the two leading 32-bit halves of md5(bytes)
+    * assembled into one signed long — bit-for-bit reproducible from SQL
+    * (`('0x' || substr(md5(x),1,8))::UBIGINT` etc.).
+    */
+  def portableHash64(s: Column): Column = {
+    val hex = md5(s.cast("binary"))
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** 48-bit portable hash: always positive, so SIGNED and UNSIGNED
+    * comparisons agree — the variant for cross-engine min/ordering
+    * (minhash signatures), where a sign-flipped 64-bit value would sort
+    * differently in engines without unsigned longs.
+    */
+  def portableHash48(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** [[fingerprint]]'s oracle-portable twin: same rolling fold
+    * `acc = (acc<<5) ^ (acc>>59) ^ h(t)` with [[portableHash64]] tokens.
+    * Long shifts wrap and `>>` is arithmetic in both Spark and the
+    * oracle's UBIGINT emulation, so the result is bit-identical across
+    * engines (q37's hash oracle proves it end-to-end).
+    */
+  def portableFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      shiftleft(acc, 5).bitwiseXOR(shiftright(acc, 59))
+        .bitwiseXOR(portableHash64(t)))
+
   // ---- PII redaction (training-data hygiene) ----
   // Patterns are deliberately conservative and dialect-portable: they
   // mean the same thing in Java regex (Spark) and RE2 (DuckDB/Go), so

@@ -14,6 +14,53 @@ object TextQueries {
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopSqlList = stop.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** q36's oracle, generated: per-token md5-derived 64-bit hash split
+    * into 32-bit halves (BIGINT-safe), 64 ±1 vote sums, signed
+    * fingerprint assembly with bit 63 as the negative weight —
+    * validated bit-for-bit against the Spark side (PLANS.md round-10).
+    */
+  private val simhashOracle: String = {
+    val bitSums = (0 until 64).map { b =>
+      val bit = if (b < 32) s"(lo >> $b) & 1" else s"(hi >> ${b - 32}) & 1"
+      s"sum(CASE WHEN (($bit)) = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n                ")
+    val fp = (0 until 63).map { b =>
+      s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END"
+    }.mkString("\n                + ") +
+      "\n                + CASE WHEN b63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END"
+    s"""WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT) AS hi,
+                 CAST(CAST(('0x' || substr(md5(t), 9, 8)) AS UBIGINT) AS BIGINT) AS lo
+          FROM tok),
+        s AS (
+          SELECT doc_id, $bitSums
+          FROM h GROUP BY doc_id)
+        SELECT doc_id, $fp AS simhash FROM s"""
+  }
+
+  /** q150's oracle, generated: 16 minhash families over char 3-gram
+    * shingles, each slot the min of a 48-bit md5-derived hash of
+    * shingle + chr(1) + family index (always positive → signed and
+    * unsigned min orders agree across engines).
+    */
+  private val minhashSigOracle: String = {
+    val cols = (0 until 16).map { k =>
+      f"CAST(min(CAST(('0x' || substr(md5(sh || chr(1) || '$k%d'), 1, 12)) AS UBIGINT)) AS BIGINT) AS mh$k%02d"
+    }.mkString(",\n               ")
+    s"""WITH g AS (
+          SELECT doc_id, substr(text, CAST(i.i AS INTEGER), 3) AS sh
+          FROM documents, LATERAL (
+            SELECT unnest(generate_series(1, length(text) - 2)) AS i) i
+          WHERE length(text) >= 3)
+        SELECT doc_id,
+               $cols
+        FROM g GROUP BY doc_id"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- token counting (whitespace) + char stats ----
@@ -179,20 +226,69 @@ object TextQueries {
       Some("""SELECT CAST(NULL AS BIGINT) AS band, CAST(NULL AS BIGINT) AS n_rows
               WHERE 1 = 0""")),
 
-    // ---- SimHash fingerprints + near-pairs (rows-only) ----
+    // ---- SimHash fingerprints UNDER THE HASH ORACLE (round-10): the
+    //      portable md5-derived token-hash family lets DuckDB recompute
+    //      the identical ±1 bit votes and fingerprint assembly — a
+    //      sign-bit error, a vote-tie mishandling, or a token-split
+    //      divergence all hash-mismatch. The XXH64-native family stays
+    //      available (portable = false) for hot paths ----
     Q("q36_simhash",
       (s, dir) => {
-        Dedup.simhash(Tables.load(s, dir, "documents"), "text", "doc_id")
+        Dedup.simhash(Tables.load(s, dir, "documents"), "text", "doc_id",
+          portable = true)
       },
-      None),
+      Some(simhashOracle)),
 
-    // ---- order-sensitive rolling fingerprint (rows-only) ----
+    // ---- order-sensitive rolling fingerprint UNDER THE HASH ORACLE
+    //      (round-10): the same (acc<<5) ^ (acc>>59) ^ h(t) fold with
+    //      portable token hashes; the oracle emulates Java's wrapping
+    //      shifts and arithmetic >> in UBIGINT space, so every bit of
+    //      every fingerprint is independently recomputed ----
     Q("q37_fingerprint",
       (s, dir) => {
         Tables.load(s, dir, "documents")
-          .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+          .select(col("doc_id"), TA.portableFingerprint(col("text")).as("fp"))
       },
-      None),
+      Some("""WITH tok AS (
+                SELECT doc_id,
+                       list_transform(regexp_split_to_array(trim(text), '\s+'),
+                         t -> CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT)) AS hs
+                FROM documents)
+              SELECT doc_id,
+                CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+                     THEN CAST(u - CAST(9223372036854775808 AS UBIGINT) AS BIGINT)
+                          - 9223372036854775807 - 1
+                     ELSE CAST(u AS BIGINT) END AS fp
+              FROM (
+                SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS UBIGINT), hs),
+                    (acc, h) -> xor(xor(
+                        (acc % CAST(576460752303423488 AS UBIGINT)) * CAST(32 AS UBIGINT),
+                        CASE WHEN acc >= CAST(9223372036854775808 AS UBIGINT)
+                             THEN xor(acc >> 59, CAST(18446744073709551584 AS UBIGINT))
+                             ELSE acc >> 59 END),
+                      h)) AS u
+                FROM tok) f""")),
+
+    // ---- the q35 signature leg UNDER THE HASH ORACLE (round-10, fills
+    //      the q150 numbering gap): 16 minhash families over char
+    //      3-gram shingles with the portable 48-bit hash (always
+    //      positive → signed/unsigned min agree across engines). The
+    //      oracle recomputes every signature slot from scratch; q35's
+    //      banding/jaccard DECISION leg stays XXH64-native for speed,
+    //      but the signature math itself is now externally proven ----
+    Q("q150_minhash_signature",
+      (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .where(length(col("text")) >= 3)
+          .select(col("doc_id"), explode(TA.charNgrams(col("text"), 3)).as("__sh"))
+        val aggs = (0 until 16).map { k =>
+          min(TA.portableHash48(concat(col("__sh"), lit("\u0001" + k.toString))))
+            .as(f"mh$k%02d")
+        }
+        sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      },
+      Some(minhashSigOracle)),
 
     // ---- exact token frequencies: the heavy-hitter ground truth
     //      (explode + groupBy — the full-shuffle baseline) ----
