@@ -147,6 +147,35 @@ object Joins {
         attr(lp.output, leftTs), attr(rOut, rightTs)))
   }
 
+  /** Runtime partition pruning for join shapes Spark's dynamic partition
+    * pruning (DPP) cannot cover. DPP fires on EQUI-joins against a
+    * partition column (measured on the warehouse path — see PLANS.md
+    * round-10: dim-filtered date equi-join reads only the dim's
+    * partitions); it does NOT fire when the partition column sits inside
+    * a range/interval residual ([[intervalJoin]]'s
+    * `point BETWEEN lo AND hi`, J10/J11). For those shapes this helper
+    * pre-resolves the SMALL dim side's distinct dates on the driver and
+    * pushes them onto the fact's partition column as a literal IN list —
+    * static partition pruning the file index applies at planning time,
+    * collapsing a decade-wide scan to the dim's dates exactly like DPP
+    * would.
+    *
+    * The collect is bounded by `maxDates` (a date dim is days, not
+    * rows): past the guard the fact returns UNFILTERED — pruning is an
+    * optimization, never a correctness dependency (same contract as the
+    * DSv2 source's residual filters), so an unexpectedly huge dim
+    * degrades to the unpruned plan instead of a driver OOM.
+    */
+  def datePruneFromDim(fact: DataFrame, factDateCol: String,
+                       dim: DataFrame, dimDateCol: Column,
+                       maxDates: Int = 10000): DataFrame = {
+    val dates = dim.select(dimDateCol.cast("date").as("__d"))
+      .where(col("__d").isNotNull).distinct()
+      .limit(maxDates + 1).collect().map(_.getDate(0))
+    if (dates.length > maxDates) fact
+    else fact.where(col(factDateCol).isin(dates.toIndexedSeq: _*))
+  }
+
   /** Band join: all (left, right) pairs with |leftCol − rightCol| ≤ eps.
     * The naive plan is a BroadcastNestedLoopJoin (O(n·m) comparisons —
     * the classic Spark range-join trap); this form buckets both sides

@@ -111,4 +111,21 @@ class JoinsSpec extends SparkSpec {
     // boundary pairs ARE present: |-3.0 - -3.5| == eps, |2.5 - 3.0| == eps
     assert(got.contains(Seq(1L, 10L)) && got.contains(Seq(3L, 13L)))
   }
+
+  test("datePruneFromDim: prunes to the dim's dates; over-guard is identity") {
+    val fact = Seq((d("2020-01-01"), 1), (d("2020-01-02"), 2),
+      (d("2020-01-03"), 3), (d("2020-02-01"), 4)).toDF("dt", "v")
+    val dim = Seq((d("2020-01-02"), "x"), (d("2020-01-03"), "y"),
+      (d("2020-01-03"), "z")).toDF("dt", "tag")
+    val pruned = Joins.datePruneFromDim(fact, "dt", dim, $"dt")
+    assert(rows(pruned.select($"v")) == rows(fact.where(
+      $"dt".isin(d("2020-01-02"), d("2020-01-03"))).select($"v")))
+    // pruning is an optimization: past the guard the fact is UNFILTERED
+    val huge = Joins.datePruneFromDim(fact, "dt", dim, $"dt", maxDates = 1)
+    assert(rows(huge.select($"v")) == rows(fact.select($"v")))
+    // null dim dates never poison the IN list
+    val withNull = dim.union(Seq((null.asInstanceOf[java.sql.Date], "n"))
+      .toDF("dt", "tag"))
+    assert(Joins.datePruneFromDim(fact, "dt", withNull, $"dt").count() == 2)
+  }
 }
