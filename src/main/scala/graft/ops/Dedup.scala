@@ -497,17 +497,27 @@ object Dedup {
     * flat.
     */
   private def propagate(direct: DataFrame, idCol: String, rounds: Int): DataFrame = {
-    var cur = direct.localCheckpoint(false)
+    var (cur, relCur) = graft.core.Checkpoints.localCk(direct)
     var round = 1
     var moved = true
     // pointer doubling halves chain depth per round: 64 rounds covers
     // chains of ~2^64 — a safety bound, never the stop condition
     val maxRounds = if (rounds == -1) 64 else rounds - 1
     while (moved && round <= maxRounds) {
-      val next = propagateStep(cur, idCol).localCheckpoint(false)
-      moved =
-        if (rounds == -1) !next.where(col("__moved")).isEmpty
-        else true
+      val (next, relNext) = graft.core.Checkpoints.localCk(
+        propagateStep(cur, idCol))
+      if (rounds == -1) {
+        // the fixpoint probe materializes `next` — the previous round's
+        // snapshot is unreachable; release it (fixpoint runs otherwise
+        // pin O(rounds) snapshots). Fixed-round runs stay a fully-lazy
+        // chain (no per-round action), so their snapshots must stay
+        // pinned until the caller's terminal action.
+        moved = !next.where(col("__moved")).isEmpty
+        relCur(); relCur = relNext
+      } else {
+        moved = true
+        relCur = graft.core.Checkpoints.noRelease
+      }
       cur = next.drop("__moved")
       round += 1
     }

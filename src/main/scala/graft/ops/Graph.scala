@@ -100,6 +100,7 @@ object Graph {
     // distinct and the init join entirely
     var ranks: DataFrame = null
     var lastCk: DataFrame = null // previous checkpointed snapshot (tol mode)
+    var lastRel: () => Unit = graft.core.Checkpoints.noRelease
     var converged = false
     var it = 0
     while (it < iterations && !converged) {
@@ -134,7 +135,7 @@ object Graph {
       // fuses into one job, each intermediate rank table living only as
       // shuffle output between its two stages
       if (it % checkpointEvery == 0 && it < iterations) {
-        val ck = next.localCheckpoint(false)
+        val (ck, rel) = graft.core.Checkpoints.localCk(next)
         if (tolScaled > 0 && lastCk != null) {
           // both sides are materialized checkpoints: the delta join
           // re-executes no lineage, and the max is a 1-row action
@@ -144,7 +145,14 @@ object Graph {
             .agg(max(abs(col("rank_scaled") - col("__prev"))).as("__d"))
             .head()
           converged = !row.isNullAt(0) && row.getLong(0) <= tolScaled
+          // the delta action materialized `ck`; the snapshot `lastCk`
+          // replaces is unreachable now — release it (tol-mode long
+          // runs otherwise pin every cadence's ranks). In non-tol mode
+          // the chain is lazy until the caller's terminal action, so
+          // nothing may be released (no action has pinned a successor).
+          lastRel()
         }
+        lastRel = rel
         lastCk = ck
         ranks = ck
       } else ranks = next
@@ -188,6 +196,7 @@ object Graph {
     // a pure projection of the checkpointed node table — both per-round
     // references hit those blocks, so its own checkpoint would be waste
     var reps = nodes.select(col("node"), col("node").as("comp"))
+    var relPrev: () => Unit = graft.core.Checkpoints.noRelease
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -201,13 +210,16 @@ object Graph {
       // The previous label rides along as __old so convergence is a
       // filter-count on this round's ALREADY-materialized checkpoint —
       // no per-round join back to `reps`.
-      val doubled = stepped.alias("s")
+      val (doubled, rel) = graft.core.Checkpoints.localCk(stepped.alias("s")
         .join(stepped.select(col("node").as("__cn"), col("comp").as("__cc"))
           .alias("c"), col("s.comp") === col("__cn"), "left")
         .select(col("s.node").as("node"), col("s.__old").as("__old"),
-          least(col("s.comp"), coalesce(col("__cc"), col("s.comp"))).as("comp"))
-        .localCheckpoint(false)
+          least(col("s.comp"), coalesce(col("__cc"), col("s.comp"))).as("comp")))
       val changed = doubled.where(col("comp") =!= col("__old")).count()
+      // the count materialized this round's snapshot — the previous
+      // round's blocks are now unreachable; release instead of pinning
+      // O(rounds) snapshots for the life of the query
+      relPrev(); relPrev = rel
       reps = doubled.select(col("node"), col("comp"))
       converged = changed == 0L
       round += 1

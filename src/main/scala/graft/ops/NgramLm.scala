@@ -115,7 +115,11 @@ object NgramLm {
       .select(col("__wc"),
         transform(sequence(lit(1), length(col("__word"))),
           i => col("__word").substr(i, lit(1))).as("__toks"))
-    var cur = words.localCheckpoint(false)
+    var (cur, relCur) = graft.core.Checkpoints.localCk(words)
+    // release handle for cur's PREDECESSOR: safe to call only once a
+    // collect() has materialized cur (a local checkpoint cannot be
+    // recomputed, so a still-lazy successor forbids release)
+    var relPrev = graft.core.Checkpoints.noRelease
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var exhausted = false
     while (merges.size < rounds && !exhausted) {
@@ -132,6 +136,10 @@ object NgramLm {
         .agg(sum(col("__wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
         .limit(want * 4).collect()
+      // the collect materialized cur — its predecessor's snapshot (round
+      // before last) is unreachable now; without this, a long training
+      // run pins one corpus-sized snapshot PER MERGE ROUND
+      relPrev(); relPrev = graft.core.Checkpoints.noRelease
       if (top.isEmpty) exhausted = true
       else {
         val used = scala.collection.mutable.Set.empty[String]
@@ -158,8 +166,11 @@ object NgramLm {
                 array(concat(element_at(acc, -1), t))))
               .otherwise(concat(acc, array(t))))
         }
-        cur = cur.select(col("__wc"), mergedToks.as("__toks"))
-          .localCheckpoint(false)
+        val (nx, rel) = graft.core.Checkpoints.localCk(
+          cur.select(col("__wc"), mergedToks.as("__toks")))
+        relPrev = relCur // cur becomes releasable once nx materializes
+        relCur = rel
+        cur = nx
       }
     }
     (merges.toSeq, cur)

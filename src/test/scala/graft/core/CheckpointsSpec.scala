@@ -1,0 +1,62 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The snapshot-release contract behind the iteration loops (PageRank,
+  * connected components, rep propagation, BPE): a localCheckpoint's
+  * blocks are NOT released by Dataset.unpersist, so loops must release
+  * superseded snapshots through the [[Checkpoints.localCk]] handle —
+  * and only after a successor has been materialized.
+  */
+class CheckpointsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("localCk handle releases exactly the pinned checkpoint blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val (ck, rel) = Checkpoints.localCk(Seq(1L, 2L, 3L).toDF("x"))
+    assert(sc.getPersistentRDDs.size == before + 1)
+    assert(ck.count() == 3) // materialize
+    rel()
+    assert(sc.getPersistentRDDs.size == before)
+    // releasing a predecessor AFTER its successor materialized keeps
+    // the successor fully usable (its own blocks are the data source)
+    val (a, relA) = Checkpoints.localCk(Seq(1L, 2L).toDF("x"))
+    val (b, relB) = Checkpoints.localCk(a.withColumn("y", $"x" * 2))
+    assert(b.count() == 2) // materializes b (pulling a's blocks once)
+    relA()
+    assert(rows(b) == Seq(Seq(1L, 2L), Seq(2L, 4L)))
+    relB()
+    assert(sc.getPersistentRDDs.size == before)
+  }
+
+  test("connected components releases superseded round snapshots") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    // a 40-node chain forces several doubling rounds — each round
+    // checkpoints, and every superseded snapshot must be released
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = graft.ops.Graph.connectedComponents(edges, "a", "b")
+    assert(comp.select(countDistinct($"comp")).head().getLong(0) == 1L)
+    assert(comp.count() == 40L)
+    // live: edge table + node table + final round's snapshot (+ slack),
+    // NOT one snapshot per round
+    val live = sc.getPersistentRDDs.size - before
+    assert(live <= 4, s"round snapshots leaked: $live persistent RDDs")
+  }
+
+  test("minhash fixpoint propagation releases superseded rounds") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    // long duplicate chains exercise propagate(rounds = -1)
+    val docs = (0L until 24L).map(i => (i, s"dup dup dup shared text body ${i / 12}"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.minhashDedup(docs, "text", "doc_id",
+      shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5,
+      propagationRounds = -1)
+    assert(out.count() == 24L)
+    val live = sc.getPersistentRDDs.size - before
+    assert(live <= 6, s"propagation snapshots leaked: $live persistent RDDs")
+  }
+}

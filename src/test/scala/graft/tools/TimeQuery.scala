@@ -21,8 +21,12 @@ object TimeQuery {
       .filterNot(a => a.forall(_.isDigit))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      // SPARK_GRAFT_SHUFFLE: the partitions-proportional-to-data lever
+      // for large-scale probes (AQE coalesces the excess away on small
+      // inputs, so oversizing is safe — the 100-TB posture)
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
