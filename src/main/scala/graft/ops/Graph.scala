@@ -16,6 +16,32 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Storage policy for the big, loop-invariant tables (edge lists,
+    * node universes) the iteration loops reuse every round.
+    *
+    * Default (`false`): `localCheckpoint` — deserialized row blocks,
+    * fastest per-round reuse, but PINNED (a local checkpoint has no
+    * lineage to recompute from, so its blocks can never be evicted).
+    * With `graft.graph.compactStorage = true`: an evictable columnar
+    * cache (MEMORY_AND_DISK) — several times more compact, and under
+    * memory pressure Spark drops partitions and re-derives them from
+    * the scan instead of dying.
+    *
+    * Measured tradeoff (PLANS.md round-10): at ×1 the checkpoint is
+    * ~1.5–2× faster per query (abundant memory, decompression is pure
+    * overhead); at ×100 on an 8 GiB harness the pinned 120M-edge
+    * checkpoint kills PageRank with UNABLE_TO_ACQUIRE_MEMORY while the
+    * compact mode completes in 37 s — 3× faster than even a 48 GiB
+    * heap running the pinned default. Set the conf whenever the edge
+    * list is a nontrivial fraction of executor storage memory; at
+    * 100 TB that is always.
+    */
+  private def stableBig(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("graft.graph.compactStorage")
+        .exists(_.trim.equalsIgnoreCase("true")))
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df.localCheckpoint(false)
+
   /** Fixed-point PageRank. `edges` must have (srcCol, dstCol) columns;
     * parallel edges are collapsed before iterating. Returns one row per
     * node: (node, rank_scaled) where rank_scaled is the integer rank in
@@ -82,17 +108,19 @@ object Graph {
     // one exchange total, where groupBy-outdeg + join would pay a
     // second shuffle of the full edge list. Every round's rank join
     // then meets this fixed layout (only narrow rank rows move).
-    val e = e0.repartition(col("__src"))
+    // storage: see [[stableBig]] — lineage depth is fixed (scan →
+    // repartition → window), so checkpoint-style truncation buys
+    // nothing; the policy choice is purely pinned-fast vs
+    // compact-evictable, and `graft.graph.compactStorage` decides
+    val e = stableBig(e0.repartition(col("__src"))
       .withColumn("__outdeg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__src"))))
-      .localCheckpoint(false)
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__src")))))
     // node universe: needed per round for dangling-rank carry unless
     // every node receives mass (symmetrized graph), where it would feed
     // only the constant rank init — which round 1 folds away below
-    lazy val nodes = e.select(col("__src").as("node"))
+    lazy val nodes = stableBig(e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node")))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct())
     if (iterations <= 0)
       return nodes.select(col("node"), lit(scale).as("rank_scaled"))
     // null ⇒ the implicit constant-`scale` init: round 1 reads contribs
@@ -188,11 +216,11 @@ object Graph {
                           maxRounds: Int = 20): DataFrame = {
     val dir = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       .where(col("__a").isNotNull && col("__b").isNotNull && col("__a") =!= col("__b"))
-    val e = dir.unionAll(dir.select(col("__b").as("__a"), col("__a").as("__b")))
+    val e = stableBig(dir
+      .unionAll(dir.select(col("__b").as("__a"), col("__a").as("__b")))
       .distinct()
-      .repartition(col("__a"))
-      .localCheckpoint(false)
-    val nodes = e.select(col("__a").as("node")).distinct().localCheckpoint(false)
+      .repartition(col("__a")))
+    val nodes = stableBig(e.select(col("__a").as("node")).distinct())
     // a pure projection of the checkpointed node table — both per-round
     // references hit those blocks, so its own checkpoint would be waste
     var reps = nodes.select(col("node"), col("node").as("comp"))

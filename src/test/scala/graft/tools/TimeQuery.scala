@@ -34,6 +34,13 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new graft.GraftExtensions().registerOn(spark)
+    // SPARK_GRAFT_CONF="k=v,k2=v2" — runtime confs for probe variants
+    // (e.g. graft.graph.compactStorage=true for memory-bound scales)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     def reset(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
