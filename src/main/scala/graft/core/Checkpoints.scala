@@ -28,15 +28,25 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
 
   /** `df.localCheckpoint(eager = false)` plus a handle that unpersists
-    * exactly the blocks this checkpoint pinned. Driver-loop use only
-    * (the persistent-RDD id-set diff is not concurrency-safe).
+    * exactly the checkpoint's own RDD. The id is read off the returned
+    * plan's LogicalRDD — NOT a persistent-RDD id-set diff: building the
+    * checkpoint compiles the input plan, and that compilation lazily
+    * registers any OTHER persistence the plan uses (e.g. the evictable
+    * columnar caches of `Graph.stableBig` under
+    * `graft.graph.compactStorage=true`), so a set diff would capture
+    * those loop-invariant caches and the first release would silently
+    * destroy them (review finding, round-10). If a future Spark stops
+    * exposing the plan as LogicalRDD the handle degrades to a no-op —
+    * a bounded leak, never a wrong release.
     */
   def localCk(df: DataFrame): (DataFrame, () => Unit) = {
     val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val ck = df.localCheckpoint(false)
-    val mine = (sc.getPersistentRDDs.keySet -- before).toSeq
-    (ck, () => mine.foreach(id =>
+    val rddId = ck.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd.id)
+      case _ => None
+    }
+    (ck, () => rddId.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
   }
 

@@ -9,12 +9,21 @@ package graft.core
   * nothing accumulates.
   */
 object Scratch {
+  /** A fresh, empty directory under the tag's fixed slot. Prior runs'
+    * contents are wiped best-effort first, but correctness never rests
+    * on the wipe: the returned directory is a NEWLY CREATED unique
+    * subdir, so an undeletable stale file (open handle elsewhere, NFS
+    * silly-rename) or a concurrent process on the same tag can neither
+    * leak into this run's results nor race its reads — the slot bounds
+    * accumulation, the unique subdir guarantees isolation (review
+    * finding, round-10).
+    */
   def dir(tag: String): String = synchronized {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_scratch", tag)
-    delete(root.toFile)
+    delete(root.toFile) // best-effort reclaim of previous runs
     java.nio.file.Files.createDirectories(root)
-    root.toString
+    java.nio.file.Files.createTempDirectory(root, "run").toString
   }
 
   private def delete(f: java.io.File): Unit = {

@@ -30,7 +30,7 @@ object TextQueries {
       "\n                + CASE WHEN b63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END"
     s"""WITH tok AS (
           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
-          FROM documents),
+          FROM documents WHERE text IS NOT NULL),
         h AS (
           SELECT doc_id,
                  CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT) AS hi,
@@ -39,13 +39,26 @@ object TextQueries {
         s AS (
           SELECT doc_id, $bitSums
           FROM h GROUP BY doc_id)
-        SELECT doc_id, $fp AS simhash FROM s"""
+        SELECT doc_id, $fp AS simhash FROM s
+        UNION ALL
+        -- Spark's explode_outer keeps a NULL-text doc as one null-token
+        -- row whose 64 votes all fall to the -1 branch => fingerprint 0;
+        -- unnest(NULL) would drop the doc instead, so emit the 0 branch
+        -- explicitly (review finding, round-10)
+        SELECT doc_id, 0 AS simhash FROM documents WHERE text IS NULL"""
   }
 
   /** q150's oracle, generated: 16 minhash families over char 3-gram
     * shingles, each slot the min of a 48-bit md5-derived hash of
     * shingle + chr(1) + family index (always positive → signed and
     * unsigned min orders agree across engines).
+    *
+    * Caveat (shared with q34, whose oracle pairs the same shingle
+    * machinery with DuckDB substr): CharNgramsExpr windows UTF-16 code
+    * units while DuckDB's substr windows code points, so the equality
+    * holds for BMP text — the fixture contract (ASCII documents)
+    * guarantees it; a non-BMP corpus would need a code-point shingler
+    * on the Spark side first.
     */
   private val minhashSigOracle: String = {
     val cols = (0 until 16).map { k =>

@@ -46,6 +46,42 @@ class CheckpointsSpec extends SparkSpec {
     assert(live <= 4, s"round snapshots leaked: $live persistent RDDs")
   }
 
+  test("localCk release never captures OTHER persistence in the plan") {
+    // the round-10 review bug: building a checkpoint compiles its input
+    // plan, which lazily REGISTERS any caches that plan uses (e.g.
+    // Graph.stableBig's columnar caches under compactStorage) — a
+    // persistent-RDD set-diff handle captured those and the first
+    // release destroyed the loop-invariant caches. The handle must
+    // release exactly the checkpoint's own RDD.
+    val sc = spark.sparkContext
+    val base = Seq(1L, 2L, 3L).toDF("x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ck, rel) = Checkpoints.localCk(base.withColumn("y", $"x" + 1))
+    val ckId = ck.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      case other => fail(s"checkpoint plan is not a LogicalRDD: $other")
+    }
+    assert(ck.count() == 3) // materializes the checkpoint AND the cache
+    val beforeRel = sc.getPersistentRDDs.keySet
+    rel()
+    val released = beforeRel -- sc.getPersistentRDDs.keySet
+    assert(released == Set(ckId),
+      s"release touched $released, expected exactly the checkpoint $ckId")
+    // the cache is intact and still computes
+    assert(base.count() == 3)
+    base.unpersist()
+  }
+
+  test("compact-storage mode: CC stays correct end to end") {
+    spark.conf.set("graft.graph.compactStorage", "true")
+    try {
+      val edges = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+      val comp = graft.ops.Graph.connectedComponents(edges, "a", "b")
+      assert(comp.select(countDistinct($"comp")).head().getLong(0) == 1L)
+      assert(comp.count() == 40L)
+    } finally spark.conf.unset("graft.graph.compactStorage")
+  }
+
   test("minhash fixpoint propagation releases superseded rounds") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
