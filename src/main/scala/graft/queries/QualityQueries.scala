@@ -270,7 +270,9 @@ object QualityQueries {
         Tables.load(s, dir, "documents"), "text", "doc_id",
         shingleN = 3, sampleMod = 20L),
       Some("""WITH d AS (SELECT doc_id, text FROM documents
-                         WHERE doc_id % 20 = 0),
+                         WHERE doc_id % 20 = 0
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         LIMIT 500),
               sh AS (
                 SELECT doc_id,
                   list_distinct([substr(text, CAST(i AS INTEGER), 3)
