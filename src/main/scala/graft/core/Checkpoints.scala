@@ -42,13 +42,39 @@ object Checkpoints {
   def localCk(df: DataFrame): (DataFrame, () => Unit) = {
     val sc = df.sparkSession.sparkContext
     val ck = df.localCheckpoint(false)
-    val rddId = ck.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd.id)
-      case _ => None
-    }
-    (ck, () => rddId.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+    (ck, releaseHandle(ck))
   }
+
+  /** Release handle for an ALREADY-checkpointed frame: unpersists exactly
+    * the checkpoint's own RDD. Degrading to a no-op is never silent —
+    * [[noopHandleCount]] increments and the first occurrence logs a
+    * warning, so a Spark upgrade that changes the checkpoint plan shape
+    * is noticed instead of quietly re-introducing the O(rounds)
+    * pinned-snapshot leak this object exists to fix (round-10 advice).
+    */
+  private[graft] def releaseHandle(ck: DataFrame): () => Unit = {
+    val sc = ck.sparkSession.sparkContext
+    ck.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val id = l.rdd.id
+        () => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))
+      case other =>
+        noops.incrementAndGet()
+        if (warned.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"localCk handle degraded to no-op: checkpoint plan is " +
+            s"${other.getClass.getSimpleName}, not LogicalRDD — superseded " +
+            "loop snapshots will stay pinned (bounded leak, never a wrong release)")
+        noRelease
+    }
+  }
+
+  private val noops = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** How many release handles degraded to no-ops this JVM (0 on every
+    * supported Spark; observable leak signal otherwise). */
+  def noopHandleCount: Long = noops.get()
 
   /** No-op release handle (loop seed state that was never checkpointed). */
   val noRelease: () => Unit = () => ()

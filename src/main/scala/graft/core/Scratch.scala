@@ -4,26 +4,46 @@ package graft.core
   * materialize through a filesystem round trip (publish / export legs).
   * A fresh `Files.createTempDirectory` per invocation leaks one corpus
   * copy under /tmp on EVERY bench/verify pass (round-9 advice); here
-  * each tag maps to ONE fixed slot under `java.io.tmpdir` that is wiped
-  * and recreated on each call — repeated runs reuse bounded space, and
-  * nothing accumulates.
+  * each tag maps to ONE fixed slot under `java.io.tmpdir` whose prior
+  * run subdirs are reclaimed once provably abandoned — repeated runs
+  * reuse bounded space, and nothing accumulates past the grace window.
   */
 object Scratch {
-  /** A fresh, empty directory under the tag's fixed slot. Prior runs'
-    * contents are wiped best-effort first, but correctness never rests
-    * on the wipe: the returned directory is a NEWLY CREATED unique
-    * subdir, so an undeletable stale file (open handle elsewhere, NFS
-    * silly-rename) or a concurrent process on the same tag can neither
-    * leak into this run's results nor race its reads — the slot bounds
-    * accumulation, the unique subdir guarantees isolation (review
-    * finding, round-10).
+  /** Grace window: a prior run younger than this is never reclaimed,
+    * even if its owner cannot be confirmed alive — covers the create →
+    * owner-file write gap of a concurrent process, and owner files a
+    * caller's own overwrite-mode write may have clobbered. */
+  private val MaxAgeMs = 2L * 60 * 60 * 1000
+
+  /** A fresh, empty directory under the tag's fixed slot. Prior runs
+    * are reclaimed only when BOTH (a) their owner JVM is not alive
+    * (a pid recorded in `.owner` at creation; unreadable counts as
+    * dead) and (b) they are older than the grace window — so a
+    * CONCURRENT process on the same tag can never have its active run
+    * wiped mid-read (round-10 advice: `synchronized` is JVM-local, a
+    * whole-slot wipe raced other JVMs). Correctness never rests on
+    * reclaim: the returned directory is a NEWLY CREATED unique subdir,
+    * so stale files can neither leak into this run's results nor race
+    * its reads — reclaim bounds accumulation (≤ one grace window of
+    * dead runs), the unique subdir guarantees isolation.
     */
   def dir(tag: String): String = synchronized {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_scratch", tag)
-    delete(root.toFile) // best-effort reclaim of previous runs
     java.nio.file.Files.createDirectories(root)
-    java.nio.file.Files.createTempDirectory(root, "run").toString
+    val cutoff = System.currentTimeMillis() - MaxAgeMs
+    Option(root.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val alive = try {
+        val pid = new String(java.nio.file.Files.readAllBytes(
+          f.toPath.resolve(".owner"))).trim.toLong
+        ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+      } catch { case _: Exception => false }
+      if (!alive && f.lastModified() < cutoff) delete(f)
+    }
+    val run = java.nio.file.Files.createTempDirectory(root, "run")
+    java.nio.file.Files.write(run.resolve(".owner"),
+      ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+    run.toString
   }
 
   private def delete(f: java.io.File): Unit = {

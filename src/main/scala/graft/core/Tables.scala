@@ -33,6 +33,23 @@ object Tables {
     }
   }
 
+  /** Media fixture table: read the dir's MATERIALIZED payload parquet
+    * when it ships one, else synthesize deterministically. The driver
+    * fixtures ship no media, so correctness runs always synthesize;
+    * `graft.tools.ScaleUp` writes these tables into scaled corpora so
+    * scale benches measure decode + join, not generator synthesis
+    * (round-10 verdict: q162's ×20 row conflated the two). Both paths
+    * are byte-identical — the generators are pure functions of id
+    * (ScaleUpSpec proves the equivalence). The `_SUCCESS` marker is
+    * required so a crashed partial materialization degrades to
+    * synthesis instead of silently reading half a corpus.
+    */
+  def media(spark: SparkSession, dir: String, name: String)
+           (synth: => DataFrame): DataFrame =
+    if (new java.io.File(s"$dir/$name.parquet/_SUCCESS").exists())
+      spark.read.parquet(s"$dir/$name.parquet")
+    else synth
+
   /** Warehouse-style read (directory, possibly hive-partitioned). */
   def loadDir(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name")

@@ -65,6 +65,31 @@ object Dedup {
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     graft.expressions.MinHashExprs.bandKeys(signature, bands, rowsPerBand)
 
+  /** Oracle-portable minhash signature: slot k is the min over shingles
+    * of the 48-bit md5-derived [[TextAnalysis.portableHash48]] of
+    * `shingle + chr(1) + k` — always positive, so signed and unsigned
+    * mins agree across engines (the q150 family, here as an array
+    * column). Trades XXH64's speed for md5 reproducibility: any
+    * md5-capable engine recomputes identical signatures.
+    */
+  def portableMinhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { k =>
+      array_min(transform(shingles, s =>
+        TextAnalysis.portableHash48(concat(s, lit("\u0001" + k.toString)))))
+    }: _*)
+
+  /** Oracle-portable LSH band keys: the band IDENTITY is the literal
+    * slot values (`b,mh_i,...` as a string), not a hash of them —
+    * bucket equality is all LSH needs, and literal keys are what an
+    * external engine can reproduce exactly. Slightly wider shuffle rows
+    * than the hashed native keys; same join shape.
+    */
+  def portableBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws(",", (lit(b.toString) +: (0 until rowsPerBand).map(r =>
+        element_at(signature, b * rowsPerBand + r + 1).cast("string"))): _*)
+    }: _*)
+
   /** Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
     * bucket self-join → exact-Jaccard verification at `threshold`.
     * Returns candidate pairs (id_a < id_b) with their exact Jaccard.
@@ -417,17 +442,34 @@ object Dedup {
                    shingleN: Int = 3, numHashes: Int = 32,
                    bands: Int = 8, threshold: Double = 0.6,
                    propagationRounds: Int = 2,
-                   verifyCandidates: Int = 3): DataFrame = {
+                   verifyCandidates: Int = 3,
+                   portable: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     // referenced by the banding pipeline and twice per verify tier:
     // shingle once, serve everyone (a durable intermediate at cluster scale)
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
       .localCheckpoint(false)
-    val banded = sh
+    // `portable = true` swaps BOTH hash legs for their md5-derived
+    // engine-portable twins ([[portableMinhashSignature]] literal-value
+    // band keys) so the whole candidate/decision pipeline — not just
+    // the signature math — is reproducible by an external engine (the
+    // q35 hash oracle). Shingle-less docs are dropped from banding
+    // explicitly: their portable signature would be all-NULL and alias
+    // into one giant spurious bucket. (Known mode divergence on
+    // DEGENERATE input: the native expression gives empty docs an
+    // all-MaxValue signature, so empties dedup to each other —
+    // jaccard(∅,∅) = 1; portable mode leaves them singletons. Both are
+    // defensible; no fixture doc is shingle-less.)
+    val banded = (if (portable)
+      sh.where(size(col("__sh")) > 0)
+        .select(col(idCol), explode(
+          portableBandKeys(portableMinhashSignature(col("__sh"), numHashes),
+            bands, rowsPerBand)).as("__band"))
+    else sh
       .select(col(idCol), explode(
         lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))
-        .as("__band"))
+        .as("__band")))
     val bandMin = banded.groupBy(col("__band")).agg(min(col(idCol)).as("__bmin"))
     // the k smallest distinct lower-id candidates per doc (collect_set
     // bounded by `bands`); narrow (id, ≤k longs) frame referenced by

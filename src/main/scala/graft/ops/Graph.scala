@@ -19,28 +19,103 @@ object Graph {
   /** Storage policy for the big, loop-invariant tables (edge lists,
     * node universes) the iteration loops reuse every round.
     *
-    * Default (`false`): `localCheckpoint` — deserialized row blocks,
-    * fastest per-round reuse, but PINNED (a local checkpoint has no
-    * lineage to recompute from, so its blocks can never be evicted).
-    * With `graft.graph.compactStorage = true`: an evictable columnar
-    * cache (MEMORY_AND_DISK) — several times more compact, and under
-    * memory pressure Spark drops partitions and re-derives them from
-    * the scan instead of dying.
+    * Pinned (`localCheckpoint`): deserialized row blocks, fastest
+    * per-round reuse, but PINNED — a local checkpoint has no lineage
+    * to recompute from, so its blocks can never be evicted, and at
+    * corpus scale they compete with execution memory until the query
+    * dies. Compact (`MEMORY_AND_DISK` cache): an evictable columnar
+    * cache — several times smaller, and under memory pressure Spark
+    * drops partitions and re-derives them from the scan instead of
+    * dying.
     *
     * Measured tradeoff (PLANS.md round-10): at ×1 the checkpoint is
     * ~1.5–2× faster per query (abundant memory, decompression is pure
     * overhead); at ×100 on an 8 GiB harness the pinned 120M-edge
     * checkpoint kills PageRank with UNABLE_TO_ACQUIRE_MEMORY while the
     * compact mode completes in 37 s — 3× faster than even a 48 GiB
-    * heap running the pinned default. Set the conf whenever the edge
-    * list is a nontrivial fraction of executor storage memory; at
-    * 100 TB that is always.
+    * heap running the pinned default.
+    *
+    * THE POLICY IS SELF-SELECTING (round-10 verdict: a manual knob is
+    * a 100-TB footgun). The table is cached compact first and counted —
+    * the count is NOT an extra pass: the loop's first action would have
+    * materialized the cache anyway, and it yields the exact row count.
+    * If the deserialized footprint estimate (rows × unsafe-row width)
+    * fits comfortably inside the executors' storage pool
+    * ([[PinFraction]] of it, headroom for the loop's other invariants
+    * and per-round snapshots), the warm cache is upgraded to a pinned
+    * checkpoint (an eager `localCheckpoint` reads the just-built
+    * columnar blocks, then the cache is dropped — a cheap local copy,
+    * and only ever of a SMALL table); otherwise it stays compact and
+    * evictable. `graft.graph.compactStorage = true|false` remains the
+    * explicit override for both directions.
+    *
+    * `rel` collects a release handle per table so loops with a terminal
+    * driver action can drop their invariants once the final snapshot is
+    * materialized (round-10 advice: repeated graph calls otherwise
+    * accumulate spilled cache blocks for the session's life).
     */
-  private def stableBig(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption("graft.graph.compactStorage")
-        .exists(_.trim.equalsIgnoreCase("true")))
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else df.localCheckpoint(false)
+  private def stableBig(df: DataFrame,
+      rel: scala.collection.mutable.ListBuffer[() => Unit]): DataFrame =
+    df.sparkSession.conf.getOption("graft.graph.compactStorage")
+        .map(_.trim.toLowerCase) match {
+      case Some("true")  => compactCache(df, rel)
+      case Some("false") => pinnedCk(df, rel)
+      case _ =>
+        val c = compactCache(df, rel)
+        val rows = c.count() // materializes the cache; the loop reuses it
+        if (estRowBytes(c.schema) * rows <= (storageBudget(df) * PinFraction).toLong) {
+          val ck = c.localCheckpoint(true) // copies from the warm cache
+          rel.remove(rel.length - 1)
+          c.unpersist(false)
+          rel += graft.core.Checkpoints.releaseHandle(ck)
+          lastDecision = s"pinned rows=$rows"
+          ck
+        } else { lastDecision = s"compact rows=$rows"; c }
+    }
+
+  private def compactCache(df: DataFrame,
+      rel: scala.collection.mutable.ListBuffer[() => Unit]): DataFrame = {
+    val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rel += (() => { c.unpersist(false); () })
+    c
+  }
+
+  private def pinnedCk(df: DataFrame,
+      rel: scala.collection.mutable.ListBuffer[() => Unit]): DataFrame = {
+    val ck = df.localCheckpoint(false)
+    rel += graft.core.Checkpoints.releaseHandle(ck)
+    ck
+  }
+
+  /** Deserialized UnsafeRow width estimate: 16B header + 8B/field slot,
+    * variable-length fields billed a nominal payload. Graph tables are
+    * all fixed-width longs, where this is near-exact. */
+  private[ops] def estRowBytes(schema: org.apache.spark.sql.types.StructType): Long =
+    16L + schema.fields.map(_.dataType match {
+      case t if t.isInstanceOf[org.apache.spark.sql.types.StringType] ||
+                t.isInstanceOf[org.apache.spark.sql.types.BinaryType] => 8L + 48L
+      case _: org.apache.spark.sql.types.ArrayType => 8L + 256L
+      case _ => 8L
+    }).sum
+
+  private def storageBudget(df: DataFrame): Long =
+    budgetOverride.getOrElse(
+      df.sparkSession.sparkContext.getExecutorMemoryStatus.values.map(_._1).sum)
+
+  /** Test hook: force a tiny budget to exercise the compact decision
+    * without allocating gigabytes in a unit test. */
+  private[ops] var budgetOverride: Option[Long] = None
+
+  /** Fraction of the storage pool one pinned loop-invariant may claim:
+    * leaves room for a second invariant (nodes), the rolling rank/label
+    * checkpoints, and execution memory in the unified pool. At ×1
+    * (sf0.1 trade graph, ~100 MB deserialized vs a ~4.6 GiB pool) this
+    * pins; at ×100 (~10 GB) it goes compact — two orders of magnitude
+    * of slack on each side of the threshold. */
+  private val PinFraction = 0.3
+
+  /** Last auto-policy decision, for probes/specs. */
+  @volatile private[graft] var lastDecision: String = ""
 
   /** Fixed-point PageRank. `edges` must have (srcCol, dstCol) columns;
     * parallel edges are collapsed before iterating. Returns one row per
@@ -112,15 +187,16 @@ object Graph {
     // repartition → window), so checkpoint-style truncation buys
     // nothing; the policy choice is purely pinned-fast vs
     // compact-evictable, and `graft.graph.compactStorage` decides
+    val relInv = scala.collection.mutable.ListBuffer[() => Unit]()
     val e = stableBig(e0.repartition(col("__src"))
       .withColumn("__outdeg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__src")))))
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__src")))), relInv)
     // node universe: needed per round for dangling-rank carry unless
     // every node receives mass (symmetrized graph), where it would feed
     // only the constant rank init — which round 1 folds away below
     lazy val nodes = stableBig(e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node")))
-      .distinct())
+      .distinct(), relInv)
     if (iterations <= 0)
       return nodes.select(col("node"), lit(scale).as("rank_scaled"))
     // null ⇒ the implicit constant-`scale` init: round 1 reads contribs
@@ -185,6 +261,11 @@ object Graph {
         ranks = ck
       } else ranks = next
     }
+    // tol-mode convergence means the result is a MATERIALIZED checkpoint
+    // (the delta action ran) — the loop invariants are unreachable from
+    // it and can be dropped now. A fixed-count run's chain stays lazy
+    // until the caller's terminal action, so its invariants must stay.
+    if (converged) relInv.foreach(_.apply())
     ranks
   }
 
@@ -216,11 +297,12 @@ object Graph {
                           maxRounds: Int = 20): DataFrame = {
     val dir = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       .where(col("__a").isNotNull && col("__b").isNotNull && col("__a") =!= col("__b"))
+    val relInv = scala.collection.mutable.ListBuffer[() => Unit]()
     val e = stableBig(dir
       .unionAll(dir.select(col("__b").as("__a"), col("__a").as("__b")))
       .distinct()
-      .repartition(col("__a")))
-    val nodes = stableBig(e.select(col("__a").as("node")).distinct())
+      .repartition(col("__a")), relInv)
+    val nodes = stableBig(e.select(col("__a").as("node")).distinct(), relInv)
     // a pure projection of the checkpointed node table — both per-round
     // references hit those blocks, so its own checkpoint would be waste
     var reps = nodes.select(col("node"), col("node").as("comp"))
@@ -252,6 +334,11 @@ object Graph {
       converged = changed == 0L
       round += 1
     }
+    // every round ends in a count action, so after ≥1 round `reps` is a
+    // projection of a MATERIALIZED checkpoint — the loop invariants are
+    // unreachable from the result; release them instead of letting
+    // repeated graph calls accumulate cache/checkpoint blocks (r10 advice)
+    if (round > 0) relInv.foreach(_.apply())
     reps
   }
 
@@ -279,24 +366,28 @@ object Graph {
         col(dstCol).cast("long").as("__b"))
       .where(col("__a").isNotNull && col("__b").isNotNull &&
         col("__a") =!= col("__b"))
-    // canonical undirected form; reused by orientation AND wedge closing
-    val und = e0.select(least(col("__a"), col("__b")).as("u"),
+    // canonical undirected form; reused by orientation AND wedge closing.
+    // No terminal driver action inside this operator (the result is one
+    // lazy aggregate row), so the release handles cannot fire — the
+    // policy still matters: at scale the auto decision keeps these
+    // reused tables EVICTABLE instead of pinned.
+    val relDiscard = scala.collection.mutable.ListBuffer[() => Unit]()
+    val und = stableBig(e0.select(least(col("__a"), col("__b")).as("u"),
         greatest(col("__a"), col("__b")).as("v"))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct(), relDiscard)
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val oriented = und
+    val oriented0 = und
       .join(deg.select(col("n").as("u"), col("deg").as("__du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("deg").as("__dv")), Seq("v"))
       // u < v canonically, so a degree tie keeps u -> v: (deg, id) order
       .select(when(col("__du") <= col("__dv"), col("u")).otherwise(col("v")).as("s"),
         when(col("__du") <= col("__dv"), col("v")).otherwise(col("u")).as("t"))
-      .localCheckpoint(false)
+    val orientedStable = stableBig(oriented0, relDiscard)
     // wedges: unordered pairs of out-neighbors of s (b < c by id, which
     // matches the canonical closing-edge form directly)
-    val wedges = oriented.select(col("s"), col("t").as("__b")).alias("x")
-      .join(oriented.select(col("s"), col("t").as("__c")).alias("y"),
+    val wedges = orientedStable.select(col("s"), col("t").as("__b")).alias("x")
+      .join(orientedStable.select(col("s"), col("t").as("__c")).alias("y"),
         Seq("s"))
       .where(col("__b") < col("__c"))
     val tri = wedges.join(und,

@@ -165,6 +165,15 @@ object Joins {
     * optimization, never a correctness dependency (same contract as the
     * DSv2 source's residual filters), so an unexpectedly huge dim
     * degrades to the unpruned plan instead of a driver OOM.
+    *
+    * PRECONDITION (correctness, not optimization): `dimDateCol` must
+    * ENUMERATE every fact date the join can match — i.e. the intervals
+    * are single-day (`lo == hi == dimDateCol`), or the dim carries one
+    * row per covered date. If the dim stores (lo, hi) INTERVALS wider
+    * than a day, a fact date inside an interval but absent from
+    * `dimDateCol` would be silently dropped — use
+    * [[datePruneFromIntervals]], which expands each interval to its
+    * covered date set before pruning (round-10 advice).
     */
   def datePruneFromDim(fact: DataFrame, factDateCol: String,
                        dim: DataFrame, dimDateCol: Column,
@@ -174,6 +183,38 @@ object Joins {
       .limit(maxDates + 1).collect().map(_.getDate(0))
     if (dates.length > maxDates) fact
     else fact.where(col(factDateCol).isin(dates.toIndexedSeq: _*))
+  }
+
+  /** [[datePruneFromDim]] for dims that store (lo, hi) VALIDITY
+    * INTERVALS: each interval is expanded to its covered date set
+    * (`sequence` + `explode`) before the distinct/collect, so a fact
+    * date inside an interval but absent from any single dim column is
+    * still retained — coverage, not enumeration.
+    *
+    * Two degrade-to-unpruned guards, both optimization-only: (a) the
+    * summed interval span is pre-checked with one tiny aggregate on the
+    * (small) dim, so an open-ended validity sentinel (hi = 9999-12-31)
+    * bails out BEFORE the explode would materialize megarows, and (b)
+    * the expanded distinct date count stays under `maxDates`. Malformed
+    * intervals (NULL or lo > hi) match nothing under
+    * `point BETWEEN lo AND hi` and are excluded from expansion.
+    */
+  def datePruneFromIntervals(fact: DataFrame, factDateCol: String,
+                             dim: DataFrame, dimLoCol: Column, dimHiCol: Column,
+                             maxDates: Int = 10000): DataFrame = {
+    val iv = dim.select(dimLoCol.cast("date").as("__lo"),
+        dimHiCol.cast("date").as("__hi"))
+      .where(col("__lo").isNotNull && col("__hi").isNotNull &&
+        col("__lo") <= col("__hi"))
+    val span = iv.agg(sum(datediff(col("__hi"), col("__lo")) + 1)).head()
+    if (span.isNullAt(0)) fact // no valid intervals: nothing to prune by
+    else if (span.getLong(0) > maxDates) fact
+    else {
+      val dates = iv
+        .select(explode(sequence(col("__lo"), col("__hi"))).as("__d"))
+        .distinct().collect().map(_.getDate(0))
+      fact.where(col(factDateCol).isin(dates.toIndexedSeq: _*))
+    }
   }
 
   /** Band join: all (left, right) pairs with |leftCol − rightCol| ≤ eps.

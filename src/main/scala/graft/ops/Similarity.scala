@@ -100,15 +100,37 @@ object Similarity {
   def lshSignature(vec: Column, bits: Int): Column =
     graft.expressions.VectorExprs.lshSignBits(vec, bits)
 
+  /** Oracle-portable hyperplane signature: Rademacher (±1) planes whose
+    * signs come from the md5-derived portable hash of `hp:bit:dim`, so
+    * any md5-capable engine re-derives the SAME planes; the projection
+    * is a strict left-fold in index order, so the double sum — and
+    * therefore every sign bit — is bit-identical across engines (same
+    * IEEE ops in the same order). ±1 components lose nothing vs
+    * Gaussian planes for sign-LSH (the projection sign distribution is
+    * what matters) and keep the arithmetic EXACT: negation is lossless
+    * where a float multiply would round engine-specifically.
+    */
+  def portableLshSignature(vec: Column, bits: Int): Column =
+    (0 until bits).map { k =>
+      val terms = zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
+        when(graft.ops.TextAnalysis.portableHash48(
+          concat(lit(s"hp:$k:"), i.cast("string"))) % 2 === 0, v).otherwise(-v))
+      val dot = aggregate(terms, lit(0.0d), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: candidate
     * pairs share a hyperplane-sign bucket; exact cosine filters at
     * `threshold`. The dedup-flavored use of the ANN machinery — only
     * (bucket, id, vec) rows shuffle, never the cross product.
     */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-                        bits: Int, threshold: Double): DataFrame = {
+                        bits: Int, threshold: Double,
+                        portable: Boolean = false): DataFrame = {
     val sig = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
-      .withColumn("__bucket", lshSignature(col("__v"), bits))
+      .withColumn("__bucket",
+        if (portable) portableLshSignature(col("__v"), bits)
+        else lshSignature(col("__v"), bits))
     val a = sig.select(col("__bucket"), col(idCol).as("id_a"), col("__v").as("__va"))
     val b = sig.select(col("__bucket"), col(idCol).as("id_b"), col("__v").as("__vb"))
     a.join(b, Seq("__bucket"))

@@ -11,6 +11,47 @@ object SimilarityQueries {
   private def round(c: org.apache.spark.sql.Column, scale: Int) =
     graft.ops.Numeric.roundAway(c, scale)
 
+  /** q43's oracle, generated: the portable Rademacher-hyperplane family
+    * re-derived from md5 (`hp:bit:dim` parity), projections and cosine
+    * as strict left-folds in index order (`list_reduce` has no init, so
+    * the fold starts at element 1 — IEEE-identical to Spark's
+    * `aggregate(…, 0.0, +)` since 0.0 + x ≡ x), cosine exactly mirroring
+    * CosineSimExpr: dot / (sqrt(na) * sqrt(nb)).
+    */
+  private val embeddingNearDupOracle: String = {
+    def hpDot(k: Int): String =
+      s"""list_reduce(list_transform(generate_series(1, len(v)), i ->
+         |          CASE WHEN CAST(('0x' || substr(md5('hp:$k:' || CAST(i - 1 AS VARCHAR)), 1, 12)) AS UBIGINT) % 2 = 0
+         |               THEN v[i] ELSE -v[i] END), (x, y) -> x + y)""".stripMargin
+    val bucket = (0 until 4).map { k =>
+      s"(CASE WHEN ${hpDot(k)} >= 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString("\n         + ")
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (
+          SELECT vec_id, v,
+         $bucket AS bucket
+          FROM v0),
+        p AS (
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+        c AS (
+          SELECT id_a, id_b,
+            list_reduce(list_transform(generate_series(1, len(va)),
+              i -> va[i] * vb[i]), (x, y) -> x + y) AS dot,
+            list_reduce(list_transform(generate_series(1, len(va)),
+              i -> va[i] * va[i]), (x, y) -> x + y) AS na,
+            list_reduce(list_transform(generate_series(1, len(vb)),
+              i -> vb[i] * vb[i]), (x, y) -> x + y) AS nb
+          FROM p),
+        s AS (
+          SELECT id_a, id_b,
+            CASE WHEN na > 0 AND nb > 0
+                 THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS cs
+          FROM c)
+        SELECT id_a, id_b, round(cs, 6) AS cos_sim
+        FROM s WHERE cs >= 0.35"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- SemDedup: cluster-scoped semantic dedup decision (k-means
@@ -134,17 +175,22 @@ object SimilarityQueries {
       },
       None),
 
-    // ---- embedding-cosine near-dup pairs via LSH buckets (rows-only:
-    //      hyperplane family is engine-specific) ----
+    // ---- embedding-cosine near-dup pairs via LSH buckets, UNDER THE
+    //      HASH ORACLE (round-11): md5-derived Rademacher hyperplanes +
+    //      strict index-order folds make bucket assignment AND the
+    //      cosine verify bit-identical across engines — the oracle
+    //      re-derives the planes and replays bucket → pair → verify
+    //      from scratch, so a sign-bit error or a dropped candidate
+    //      hash-mismatches ----
     Q("q43_embedding_neardups",
       (s, dir) => {
         // threshold tuned to the synthetic corpus: max pairwise cosine
         // ≈ 0.49, so 0.35 marks the "suspiciously similar" tail
         Similarity.embeddingNearDups(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", bits = 4, threshold = 0.35)
+          "vec_id", "embedding", bits = 4, threshold = 0.35, portable = true)
           .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
       },
-      None),
+      Some(embeddingNearDupOracle)),
 
     // ---- multimodal: batched feature extraction over binary payloads.
     //      ALL THREE modalities carry REAL payloads from deterministic
@@ -158,15 +204,25 @@ object SimilarityQueries {
     Q("q44_multimodal_features",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val pngs = graft.ops.Multimodal.syntheticPng(
-          docs.where(col("doc_id") % 3 === 0), "doc_id")
+        // materialized-or-synthesized payloads (Tables.media): the synth
+        // lambda keeps the pre-filter (cheap fallback), the where keeps
+        // the slice exact over a full materialized table (pushed to the
+        // parquet scan); identical either way
+        val pngs = Tables.media(s, dir, "media_png8")(
+            graft.ops.Multimodal.syntheticPng(
+              docs.where(col("doc_id") % 3 === 0), "doc_id"))
+          .where(col("media_id") % 3 === 0)
           .select(col("media_id").as("__png_id"), col("payload").as("__png"))
-        val wavs = graft.ops.Multimodal.syntheticWav(
-          docs.where(col("doc_id") % 3 === 1), "doc_id")
+        val wavs = Tables.media(s, dir, "media_wav")(
+            graft.ops.Multimodal.syntheticWav(
+              docs.where(col("doc_id") % 3 === 1), "doc_id"))
+          .where(col("media_id") % 3 === 1)
           .select(col("media_id").as("__wav_id"), col("payload").as("__wav"))
-        val avis = graft.ops.Multimodal.syntheticAvi(
-          docs.where(col("doc_id") % 3 === 2), "doc_id",
-          frames = 4, size = 8, fps = 10)
+        val avis = Tables.media(s, dir, "media_avi_f4s8r10")(
+            graft.ops.Multimodal.syntheticAvi(
+              docs.where(col("doc_id") % 3 === 2), "doc_id",
+              frames = 4, size = 8, fps = 10))
+          .where(col("media_id") % 3 === 2)
           .select(col("media_id").as("__avi_id"), col("payload").as("__avi"))
         val media = docs
           .join(pngs, col("doc_id") === col("__png_id"), "left")
@@ -180,14 +236,28 @@ object SimilarityQueries {
             lit(8).as("width"), lit(8).as("height"),
             (col("doc_id") % 10000).cast("int").as("duration_ms"))
         graft.ops.Multimodal.extractFeatures(media, dim = 8)
-          .select(col("media_id"), col("n_bytes"),
+          .select(col("media_id"),
             col("width").as("decoded_w"), col("height").as("decoded_h"),
             col("sample_rate"), col("channels"),
-            col("duration_ms").as("decoded_ms"),
-            round(element_at(col("feature"), 1), 5).as("f0"),
-            round(col("peak"), 5).as("peak"))
+            col("duration_ms").as("decoded_ms"))
       },
-      None),
+      // every selected leg is an INTEGER the oracle predicts from the
+      // generator parameters alone (round-10 verdict: split q44's
+      // integer legs under the hash oracle): PNG 8×8 geometry, WAV
+      // 8000 Hz mono 400-sample (50 ms), AVI 8×8 4-frame @10 fps
+      // (400 ms, fps rides sample_rate). A decoder that misreads any
+      // container hash-mismatches. The FLOAT legs (f0 envelope, peak)
+      // are deliberately out of the hash and spec-gated instead
+      // (MultimodalSpec's DIB/PCM-exact anchors), the q152 pattern.
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(CASE WHEN doc_id % 3 IN (0, 2) THEN 8 END AS INTEGER) AS decoded_w,
+             |  CAST(CASE WHEN doc_id % 3 IN (0, 2) THEN 8 END AS INTEGER) AS decoded_h,
+             |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000
+             |            WHEN doc_id % 3 = 2 THEN 10 END AS INTEGER) AS sample_rate,
+             |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 END AS INTEGER) AS channels,
+             |  CAST(CASE WHEN doc_id % 3 = 1 THEN 50
+             |            WHEN doc_id % 3 = 2 THEN 400 END AS INTEGER) AS decoded_ms
+             |FROM documents""".stripMargin)),
 
     // ---- video decode under the hash oracle: the Spark side derives
     //      geometry / fps / duration by REALLY parsing RIFF/AVI bytes
@@ -197,10 +267,11 @@ object SimilarityQueries {
     //      wrong frame period, dropped frames) hash-mismatches ----
     Q("q151_video_decode",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-          .where(col("doc_id") % 7 === 0)
-        val media = graft.ops.Multimodal.syntheticAvi(
-          docs, "doc_id", frames = 5, size = 8, fps = 25)
+        val media = Tables.media(s, dir, "media_avi_f5s8r25")(
+            graft.ops.Multimodal.syntheticAvi(
+              Tables.load(s, dir, "documents").where(col("doc_id") % 7 === 0),
+              "doc_id", frames = 5, size = 8, fps = 25))
+          .where(col("media_id") % 7 === 0)
         graft.ops.Multimodal.extractFeatures(media, dim = 4)
           .select(col("media_id"),
             col("width").as("decoded_w"), col("height").as("decoded_h"),
@@ -219,10 +290,11 @@ object SimilarityQueries {
     //      in MultimodalSpec) — floats stay out of the hash ----
     Q("q152_video_frames",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-          .where(col("doc_id") % 7 === 3)
-        val media = graft.ops.Multimodal.syntheticAvi(
-          docs, "doc_id", frames = 6, size = 8, fps = 10)
+        val media = Tables.media(s, dir, "media_avi_f6s8r10")(
+            graft.ops.Multimodal.syntheticAvi(
+              Tables.load(s, dir, "documents").where(col("doc_id") % 7 === 3),
+              "doc_id", frames = 6, size = 8, fps = 10))
+          .where(col("media_id") % 7 === 3)
         graft.ops.Multimodal.sampleFrames(media, frames = 4, dim = 4)
           .select(col("media_id"), col("frame_idx"), col("frame_ts_ms"))
       },
@@ -238,8 +310,9 @@ object SimilarityQueries {
     //      (engine-specific hash family → rows-only) ----
     Q("q101_media_neardup",
       (s, dir) => {
-        val media = graft.ops.Multimodal.syntheticPng(
-          Tables.load(s, dir, "documents"), "doc_id")
+        val media = Tables.media(s, dir, "media_png8")(
+          graft.ops.Multimodal.syntheticPng(
+            Tables.load(s, dir, "documents"), "doc_id"))
         graft.ops.Multimodal.nearDupMedia(media, dim = 16, maxHamming = 3)
       },
       None),
@@ -260,10 +333,12 @@ object SimilarityQueries {
     //      Engine-specific hash family → rows-only ----
     Q("q153_video_neardup",
       (s, dir) => {
-        val media = graft.ops.Multimodal.syntheticAvi(
-          Tables.load(s, dir, "documents")
-            .where((col("doc_id") / 32).cast("long") % 2 === 0),
-          "doc_id", frames = 4, size = 8, fps = 10)
+        val media = Tables.media(s, dir, "media_avi_f4s8r10")(
+            graft.ops.Multimodal.syntheticAvi(
+              Tables.load(s, dir, "documents")
+                .where((col("doc_id") / 32).cast("long") % 2 === 0),
+              "doc_id", frames = 4, size = 8, fps = 10))
+          .where((col("media_id") / 32).cast("long") % 2 === 0)
         graft.ops.Multimodal.nearDupVideo(media, keyframes = 3, dim = 16,
           maxHamming = 3, minMatchFrames = 2)
       },
@@ -282,8 +357,9 @@ object SimilarityQueries {
     //      cost and output scale linearly ----
     Q("q162_audio_neardup",
       (s, dir) => {
-        val media = graft.ops.Multimodal.syntheticWav(
-          Tables.load(s, dir, "documents"), "doc_id")
+        val media = Tables.media(s, dir, "media_wav")(
+          graft.ops.Multimodal.syntheticWav(
+            Tables.load(s, dir, "documents"), "doc_id"))
         graft.ops.Multimodal.nearDupAudio(media, windows = 8, maxHamming = 3)
       },
       None),
@@ -297,9 +373,11 @@ object SimilarityQueries {
     //      family → rows-only for the pairs leg ----
     Q("q165_media_capped",
       (s, dir) => {
-        val media = graft.ops.Multimodal.syntheticPng(
-          Tables.load(s, dir, "documents").where(col("doc_id") < 2000),
-          "doc_id")
+        val media = Tables.media(s, dir, "media_png8")(
+            graft.ops.Multimodal.syntheticPng(
+              Tables.load(s, dir, "documents").where(col("doc_id") < 2000),
+              "doc_id"))
+          .where(col("media_id") < 2000)
         graft.ops.Multimodal.nearDupMedia(media, dim = 16, maxHamming = 3,
           maxBucketSize = 2000L)
       },
@@ -312,9 +390,11 @@ object SimilarityQueries {
     //      degeneration collapses clusters ----
     Q("q166_media_audit",
       (s, dir) => graft.ops.Multimodal.mediaDroppedBuckets(
-        graft.ops.Multimodal.syntheticPng(
-          Tables.load(s, dir, "documents").where(col("doc_id") < 2000),
-          "doc_id"),
+        Tables.media(s, dir, "media_png8")(
+          graft.ops.Multimodal.syntheticPng(
+            Tables.load(s, dir, "documents").where(col("doc_id") < 2000),
+            "doc_id"))
+          .where(col("media_id") < 2000),
         dim = 16, maxBucketSize = 2000L),
       Some("""SELECT CAST(NULL AS INTEGER) AS band,
                      CAST(NULL AS BIGINT) AS bucket,

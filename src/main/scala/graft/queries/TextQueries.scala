@@ -74,6 +74,70 @@ object TextQueries {
         FROM g GROUP BY doc_id"""
   }
 
+  /** q35's full-decision oracle, generated: the portable minhash family
+    * (32 md5-derived slots, 8 bands whose keys are the LITERAL 4-slot
+    * values) replayed end to end — band buckets → per-band min-id →
+    * 3 smallest distinct lower-id candidates per doc → exact distinct
+    * char-3-gram Jaccard at 0.5 (int/int division, bit-identical across
+    * engines) → smallest passing rep → one pointer-doubling propagation
+    * round (`propagationRounds = 2`). Tiered-verify equivalence: Spark
+    * only escalates past candidate 1 on failure, but the min-passing
+    * candidate is the same as verify-all-upfront, and `bestj` is only
+    * read when NO candidate passed — where both sides saw every pair.
+    */
+  private val minhashDedupOracle: String = {
+    val mins = (0 until 32).map { k =>
+      f"CAST(min(CAST(('0x' || substr(md5(sh || chr(1) || '$k%d'), 1, 12)) AS UBIGINT)) AS BIGINT) AS mh$k%02d"
+    }.mkString(",\n               ")
+    val bandSelects = (0 until 8).map { b =>
+      val slots = (0 until 4).map(r => f"mh${b * 4 + r}%02d").mkString(", ")
+      s"SELECT doc_id, concat_ws(',', '$b', $slots) AS key FROM sig"
+    }.mkString("\n             UNION ALL ")
+    s"""WITH g AS (
+          SELECT doc_id, substr(text, CAST(i.i AS INTEGER), 3) AS sh
+          FROM documents, LATERAL (
+            SELECT unnest(generate_series(1, length(text) - 2)) AS i) i
+          WHERE length(text) >= 3),
+        sig AS (
+          SELECT doc_id,
+               $mins
+          FROM g GROUP BY doc_id),
+        bands AS (
+             $bandSelects),
+        bandmin AS (SELECT key, min(doc_id) AS bmin FROM bands GROUP BY 1),
+        cand0 AS (
+          SELECT b.doc_id, m.bmin
+          FROM bands b JOIN bandmin m USING (key)
+          WHERE m.bmin < b.doc_id),
+        cands AS (
+          SELECT doc_id, list_sort(list_distinct(list(bmin)))[1:3] AS cl
+          FROM cand0 GROUP BY 1),
+        shs AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM g GROUP BY 1),
+        pairs AS (SELECT doc_id, unnest(cl) AS rep FROM cands),
+        verified AS (
+          SELECT p.doc_id, p.rep,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))) AS j
+          FROM pairs p
+          JOIN shs a ON a.doc_id = p.doc_id
+          JOIN shs b ON b.doc_id = p.rep),
+        best AS (
+          SELECT doc_id,
+                 min(rep) FILTER (WHERE j >= 0.5) AS prep,
+                 min_by(j, rep) FILTER (WHERE j >= 0.5) AS pj,
+                 max(j) AS bestj
+          FROM verified GROUP BY 1),
+        direct AS (
+          SELECT d.doc_id,
+                 COALESCE(b.prep, d.doc_id) AS rep_id,
+                 COALESCE(b.pj, b.bestj) AS jaccard,
+                 b.prep IS NOT NULL AS is_dup
+          FROM documents d LEFT JOIN best b USING (doc_id))
+        SELECT d.doc_id, least(d.rep_id, r.rep_id) AS rep_id,
+               round(d.jaccard, 6) AS jaccard, d.is_dup
+        FROM direct d JOIN direct r ON d.rep_id = r.doc_id"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- token counting (whitespace) + char stats ----
@@ -187,19 +251,23 @@ object TextQueries {
                       ELSE 1.0 END, 6) AS jaccard
               FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""")),
 
-    // ---- MinHash-LSH near-dup dedup decisions (non-SQL-expressible:
-    //      engine-specific xxhash64 family → driver rows-only check).
+    // ---- MinHash-LSH near-dup dedup decisions UNDER THE HASH ORACLE
+    //      (round-11: the portable md5 family now covers the WHOLE
+    //      decision leg, not just q150's signature math — band keys are
+    //      literal slot values, so the oracle replays banding → min-id
+    //      candidates → tiered verify → propagation from scratch).
     //      Linear output by design: all-pairs at threshold 0.5 is ~2M
     //      rows on the templated sf0.1 corpus (quadratic in cluster
     //      size) — a 100 TB pipeline emits one decision per doc. ----
     Q("q35_minhash_neardups",
       (s, dir) => {
         Dedup.minhashDedup(Tables.load(s, dir, "documents"),
-          "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+          "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8,
+          threshold = 0.5, portable = true)
           .select(col("doc_id"), col("rep_id"), round(col("jaccard"), 6).as("jaccard"),
             col("is_dup"))
       },
-      None),
+      Some(minhashDedupOracle)),
 
     // ---- the all-pairs MinHash variant with its bucket cap ARMED — the
     //      pattern users should copy (mirror of q144's armed block cap):

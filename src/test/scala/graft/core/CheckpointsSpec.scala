@@ -72,6 +72,20 @@ class CheckpointsSpec extends SparkSpec {
     base.unpersist()
   }
 
+  test("releaseHandle degrade is counted, never silent") {
+    // round-10 advice: a Spark upgrade that stops exposing checkpoints
+    // as LogicalRDD must be NOTICED, not silently re-pin every round
+    val before = Checkpoints.noopHandleCount
+    val h = Checkpoints.releaseHandle(Seq(1L).toDF("x")) // not a checkpoint
+    assert(Checkpoints.noopHandleCount == before + 1)
+    h() // the degraded handle is a safe no-op
+    // the real loop path never increments
+    val (ck, rel) = Checkpoints.localCk(Seq(1L, 2L).toDF("x"))
+    assert(ck.count() == 2)
+    rel()
+    assert(Checkpoints.noopHandleCount == before + 1)
+  }
+
   test("compact-storage mode: CC stays correct end to end") {
     spark.conf.set("graft.graph.compactStorage", "true")
     try {

@@ -128,4 +128,31 @@ class JoinsSpec extends SparkSpec {
       .toDF("dt", "tag"))
     assert(Joins.datePruneFromDim(fact, "dt", withNull, $"dt").count() == 2)
   }
+
+  test("datePruneFromIntervals: covers interior dates; guards degrade to unpruned") {
+    val fact = Seq((d("2020-01-01"), 1), (d("2020-01-02"), 2),
+      (d("2020-01-03"), 3), (d("2020-02-01"), 4)).toDF("dt", "v")
+    // the round-10 advice scenario: 01-02 appears in NO dim column,
+    // only INSIDE the interval — enumeration-based pruning would drop
+    // that fact row; interval expansion must keep it
+    val dim = Seq((d("2020-01-01"), d("2020-01-03"))).toDF("lo", "hi")
+    val pruned = Joins.datePruneFromIntervals(fact, "dt", dim, $"lo", $"hi")
+    assert(rows(pruned.select($"v")) == Seq(Seq(1), Seq(2), Seq(3)))
+    // span pre-guard: an open-ended validity sentinel degrades to the
+    // unpruned fact BEFORE any explode materializes megarows
+    val open = Seq((d("2020-01-01"), d("9999-12-31"))).toDF("lo", "hi")
+    assert(rows(Joins.datePruneFromIntervals(fact, "dt", open, $"lo", $"hi")
+      .select($"v")) == rows(fact.select($"v")))
+    // malformed/NULL intervals can't match under BETWEEN and are
+    // excluded; a dim with NO valid interval degrades to unpruned
+    val bad = Seq((d("2020-01-02"), d("2020-01-01")),
+      (null.asInstanceOf[java.sql.Date], d("2020-01-05"))).toDF("lo", "hi")
+    assert(Joins.datePruneFromIntervals(fact, "dt", bad, $"lo", $"hi")
+      .count() == 4)
+    // overlap dedups: two overlapping intervals still prune exactly
+    val overlap = Seq((d("2020-01-01"), d("2020-01-02")),
+      (d("2020-01-02"), d("2020-01-03"))).toDF("lo", "hi")
+    assert(rows(Joins.datePruneFromIntervals(fact, "dt", overlap, $"lo", $"hi")
+      .select($"v")) == Seq(Seq(1), Seq(2), Seq(3)))
+  }
 }
