@@ -36,41 +36,68 @@ object Graph {
     * heap running the pinned default.
     *
     * THE POLICY IS SELF-SELECTING (round-10 verdict: a manual knob is
-    * a 100-TB footgun). The table is cached compact first and counted —
-    * the count is NOT an extra pass: the loop's first action would have
-    * materialized the cache anyway, and it yields the exact row count.
-    * If the deserialized footprint estimate (rows × unsafe-row width)
-    * fits comfortably inside the executors' storage pool
-    * ([[PinFraction]] of it, headroom for the loop's other invariants
-    * and per-round snapshots), the warm cache is upgraded to a pinned
-    * checkpoint (an eager `localCheckpoint` reads the just-built
-    * columnar blocks, then the cache is dropped — a cheap local copy,
-    * and only ever of a SMALL table); otherwise it stays compact and
-    * evictable. `graft.graph.compactStorage = true|false` remains the
-    * explicit override for both directions.
+    * a 100-TB footgun), decided ONCE per operator call from the raw
+    * input frame's LEAF bytes (sum of source file sizes off the
+    * optimized plan — free, no action) and inherited by every invariant
+    * the operator stabilizes (nodes ⊆ edges, so one decision covers
+    * both; deciding per-table would mis-read a derived frame whose leaf
+    * is our own checkpoint). Three bands:
+    *   - leaves tiny (×[[LeafExpansion]] under [[PinFraction]] of the
+    *     storage pool): PIN directly — the exact lazy-checkpoint plan
+    *     the pinned default always ran, ZERO added work at bench scale;
+    *   - leaves huge (×LeafExpansion over the whole pool): COMPACT
+    *     directly — evictable columnar cache, the mode that survives
+    *     the measured ×100 memory cliff;
+    *   - the band between: cache compact and COUNT it (the count
+    *     materializes blocks the loop's first action needed anyway,
+    *     and yields exact rows), then upgrade to a pinned checkpoint
+    *     iff rows × unsafe-row width fits PinFraction of the pool (an
+    *     eager localCheckpoint copies from the warm cache — cheap, and
+    *     only ever mid-sized).
+    * A small-leaf query that EXPLODES into a huge derived table pins —
+    * exactly what the round-10 pinned default always did — and the band
+    * thresholds catch the ordinary growth long before the cliff.
+    * `graft.graph.compactStorage = true|false` remains the explicit
+    * override for both directions.
     *
     * `rel` collects a release handle per table so loops with a terminal
     * driver action can drop their invariants once the final snapshot is
     * materialized (round-10 advice: repeated graph calls otherwise
     * accumulate spilled cache blocks for the session's life).
     */
-  private def stableBig(df: DataFrame,
+  private def stableBig(df: DataFrame, compact: Boolean,
       rel: scala.collection.mutable.ListBuffer[() => Unit]): DataFrame =
-    df.sparkSession.conf.getOption("graft.graph.compactStorage")
+    if (compact) compactCache(df, rel) else pinnedCk(df, rel)
+
+  /** The per-operator policy decision (see [[stableBig]]): returns true
+    * for compact-evictable storage, false for pinned checkpoints.
+    * `rawInput` must be a frame over the operator's ORIGINAL sources
+    * (its leaves are real file relations, not this operator's own
+    * stabilized intermediates).
+    */
+  private def decideCompact(rawInput: DataFrame): Boolean =
+    rawInput.sparkSession.conf.getOption("graft.graph.compactStorage")
         .map(_.trim.toLowerCase) match {
-      case Some("true")  => compactCache(df, rel)
-      case Some("false") => pinnedCk(df, rel)
+      case Some("true")  => lastDecision = "compact conf"; true
+      case Some("false") => lastDecision = "pinned conf"; false
       case _ =>
-        val c = compactCache(df, rel)
-        val rows = c.count() // materializes the cache; the loop reuses it
-        if (estRowBytes(c.schema) * rows <= (storageBudget(df) * PinFraction).toLong) {
-          val ck = c.localCheckpoint(true) // copies from the warm cache
-          rel.remove(rel.length - 1)
-          c.unpersist(false)
-          rel += graft.core.Checkpoints.releaseHandle(ck)
-          lastDecision = s"pinned rows=$rows"
-          ck
-        } else { lastDecision = s"compact rows=$rows"; c }
+        val pool = storageBudget(rawInput)
+        val leaves = rawInput.queryExecution.optimizedPlan.collectLeaves()
+          .map(_.stats.sizeInBytes).sum
+        if (leaves * LeafExpansion <= BigInt((pool * PinFraction).toLong)) {
+          lastDecision = s"pinned leaves=$leaves"; false
+        } else if (leaves * LeafExpansion > BigInt(pool)) {
+          lastDecision = s"compact leaves=$leaves"; true
+        } else {
+          // ambiguous band: pay one cheap count of the raw input for an
+          // exact row bound (the stabilized frame has ≤ a few rows per
+          // input row in every operator here)
+          val rows = rawInput.count()
+          val compact =
+            estRowBytes(rawInput.schema) * 3 * rows > (pool * PinFraction).toLong
+          lastDecision = s"${if (compact) "compact" else "pinned"} rows=$rows"
+          compact
+        }
     }
 
   private def compactCache(df: DataFrame,
@@ -106,13 +133,18 @@ object Graph {
     * without allocating gigabytes in a unit test. */
   private[ops] var budgetOverride: Option[Long] = None
 
-  /** Fraction of the storage pool one pinned loop-invariant may claim:
-    * leaves room for a second invariant (nodes), the rolling rank/label
-    * checkpoints, and execution memory in the unified pool. At ×1
-    * (sf0.1 trade graph, ~100 MB deserialized vs a ~4.6 GiB pool) this
-    * pins; at ×100 (~10 GB) it goes compact — two orders of magnitude
-    * of slack on each side of the threshold. */
+  /** Fraction of the storage pool the pinned loop-invariants may claim:
+    * leaves room for the rolling rank/label checkpoints and execution
+    * memory in the unified pool. */
   private val PinFraction = 0.3
+
+  /** Compressed-leaf-bytes → deserialized-invariant multiplier: parquet
+    * columns decompress ~3–5× into unsafe rows and the operators here
+    * at most double their input (direction symmetrization). Pin-direct
+    * therefore needs leaves ≤ pool/20 (≈230 MB on the 8 GiB harness:
+    * the ×10 trade graph pins, ×20 goes through the counted band, ×100
+    * is compact outright — measured decision points in PLANS.md). */
+  private val LeafExpansion = 6
 
   /** Last auto-policy decision, for probes/specs. */
   @volatile private[graft] var lastDecision: String = ""
@@ -188,15 +220,19 @@ object Graph {
     // nothing; the policy choice is purely pinned-fast vs
     // compact-evictable, and `graft.graph.compactStorage` decides
     val relInv = scala.collection.mutable.ListBuffer[() => Unit]()
+    // policy decided from the PRE-shuffle named frame: real file leaves,
+    // and its (ambiguous-band) count is a pure scan, no distinct paid
+    val compactMode = decideCompact(named)
     val e = stableBig(e0.repartition(col("__src"))
       .withColumn("__outdeg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__src")))), relInv)
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__src")))),
+      compactMode, relInv)
     // node universe: needed per round for dangling-rank carry unless
     // every node receives mass (symmetrized graph), where it would feed
     // only the constant rank init — which round 1 folds away below
     lazy val nodes = stableBig(e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node")))
-      .distinct(), relInv)
+      .distinct(), compactMode, relInv)
     if (iterations <= 0)
       return nodes.select(col("node"), lit(scale).as("rank_scaled"))
     // null ⇒ the implicit constant-`scale` init: round 1 reads contribs
@@ -298,11 +334,13 @@ object Graph {
     val dir = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       .where(col("__a").isNotNull && col("__b").isNotNull && col("__a") =!= col("__b"))
     val relInv = scala.collection.mutable.ListBuffer[() => Unit]()
+    val compactMode = decideCompact(dir)
     val e = stableBig(dir
       .unionAll(dir.select(col("__b").as("__a"), col("__a").as("__b")))
       .distinct()
-      .repartition(col("__a")), relInv)
-    val nodes = stableBig(e.select(col("__a").as("node")).distinct(), relInv)
+      .repartition(col("__a")), compactMode, relInv)
+    val nodes = stableBig(e.select(col("__a").as("node")).distinct(),
+      compactMode, relInv)
     // a pure projection of the checkpointed node table — both per-round
     // references hit those blocks, so its own checkpoint would be waste
     var reps = nodes.select(col("node"), col("node").as("comp"))
@@ -372,9 +410,10 @@ object Graph {
     // policy still matters: at scale the auto decision keeps these
     // reused tables EVICTABLE instead of pinned.
     val relDiscard = scala.collection.mutable.ListBuffer[() => Unit]()
+    val compactMode = decideCompact(e0)
     val und = stableBig(e0.select(least(col("__a"), col("__b")).as("u"),
         greatest(col("__a"), col("__b")).as("v"))
-      .distinct(), relDiscard)
+      .distinct(), compactMode, relDiscard)
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val oriented0 = und
@@ -383,7 +422,7 @@ object Graph {
       // u < v canonically, so a degree tie keeps u -> v: (deg, id) order
       .select(when(col("__du") <= col("__dv"), col("u")).otherwise(col("v")).as("s"),
         when(col("__du") <= col("__dv"), col("v")).otherwise(col("u")).as("t"))
-    val orientedStable = stableBig(oriented0, relDiscard)
+    val orientedStable = stableBig(oriented0, compactMode, relDiscard)
     // wedges: unordered pairs of out-neighbors of s (b < c by id, which
     // matches the canonical closing-edge form directly)
     val wedges = orientedStable.select(col("s"), col("t").as("__b")).alias("x")

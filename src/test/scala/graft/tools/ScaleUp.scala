@@ -69,6 +69,10 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, rStr) = args.take(3)
     val replicas = rStr.toInt
+    // "mediaOnly": (re)materialize just the media payload tables into an
+    // ALREADY-BUILT scale dir — the base tables are expensive at ×100
+    // and unchanged by media work
+    val mediaOnly = args.length > 3 && args(3) == "mediaOnly"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -104,7 +108,7 @@ object ScaleUp {
       "nation" -> rd("nation"),
       "region" -> rd("region")
     )
-    jobs.foreach { case (name, df) =>
+    if (!mediaOnly) jobs.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scaleup] $name x$replicas -> $outDir/$name.parquet")
     }
