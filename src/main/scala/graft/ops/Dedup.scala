@@ -65,30 +65,17 @@ object Dedup {
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     graft.expressions.MinHashExprs.bandKeys(signature, bands, rowsPerBand)
 
-  /** Oracle-portable minhash signature: slot k is the min over shingles
-    * of the 48-bit md5-derived [[TextAnalysis.portableHash48]] of
-    * `shingle + chr(1) + k` — always positive, so signed and unsigned
-    * mins agree across engines (the q150 family, here as an array
-    * column). Trades XXH64's speed for md5 reproducibility: any
-    * md5-capable engine recomputes identical signatures.
-    */
-  def portableMinhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { k =>
-      array_min(transform(shingles, s =>
-        TextAnalysis.portableHash48(concat(s, lit("\u0001" + k.toString)))))
-    }: _*)
-
-  /** Oracle-portable LSH band keys: the band IDENTITY is the literal
-    * slot values (`b,mh_i,...` as a string), not a hash of them —
-    * bucket equality is all LSH needs, and literal keys are what an
-    * external engine can reproduce exactly. Slightly wider shuffle rows
-    * than the hashed native keys; same join shape.
-    */
-  def portableBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      concat_ws(",", (lit(b.toString) +: (0 until rowsPerBand).map(r =>
-        element_at(signature, b * rowsPerBand + r + 1).cast("string"))): _*)
-    }: _*)
+  // The portable (md5-derived) minhash family lives inside
+  // [[minhashDedup]]'s portable branch as an explode + groupBy pipeline:
+  // slot k = min over shingles of TextAnalysis.portableHash48(shingle +
+  // chr(1) + k); band keys are the LITERAL 4-slot values (bucket
+  // equality is all LSH needs, and literal values are what an external
+  // engine reproduces exactly). It is deliberately NOT exposed as an
+  // array-building Column helper: the composable `array(transform(...))`
+  // formulation evaluates its lambdas INTERPRETED — a round-11 ×100
+  // board run spent 20+ minutes inside ArrayTransform.eval before the
+  // shape was flattened to the codegen'd explode/agg form (the same
+  // trap the native minhashSignature scaladoc documents).
 
   /** Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
     * bucket self-join → exact-Jaccard verification at `threshold`.
@@ -450,23 +437,40 @@ object Dedup {
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
       .localCheckpoint(false)
-    // `portable = true` swaps BOTH hash legs for their md5-derived
-    // engine-portable twins ([[portableMinhashSignature]] literal-value
-    // band keys) so the whole candidate/decision pipeline — not just
-    // the signature math — is reproducible by an external engine (the
-    // q35 hash oracle). Shingle-less docs are dropped from banding
-    // explicitly: their portable signature would be all-NULL and alias
+    // `portable = true` swaps BOTH hash legs for the md5-derived
+    // Carter-Wegman family ([[TextAnalysis.portableMinhashHalves]]: ONE
+    // md5 per shingle, slot k = (h1 + k*h2) mod 2^48) with
+    // literal-value band keys, so the whole candidate/decision pipeline — not just the
+    // signature math — is reproducible by an external engine (the q35
+    // hash oracle). Two round-11 performance findings are baked into
+    // this shape: the signature is explode + groupBy — every expression
+    // codegen'd — NOT an array(transform(...)) projection whose
+    // interpreted lambdas measured ~30× slower at ×100; and the family
+    // is pairwise-independent slots from ONE md5, not numHashes
+    // independent md5s — the other 32× of avoidable hashing. One extra
+    // (id, 32 longs) shuffle vs the native single-pass expression is
+    // the price of portability. Shingle-less docs are dropped from
+    // banding explicitly: their slot mins would be all-NULL and alias
     // into one giant spurious bucket. (Known mode divergence on
     // DEGENERATE input: the native expression gives empty docs an
     // all-MaxValue signature, so empties dedup to each other —
     // jaccard(∅,∅) = 1; portable mode leaves them singletons. Both are
     // defensible; no fixture doc is shingle-less.)
-    val banded = (if (portable)
-      sh.where(size(col("__sh")) > 0)
-        .select(col(idCol), explode(
-          portableBandKeys(portableMinhashSignature(col("__sh"), numHashes),
-            bands, rowsPerBand)).as("__band"))
-    else sh
+    val banded = (if (portable) {
+      val sigAggs = (0 until numHashes).map { k =>
+        min((col("__h1") + lit(k.toLong) * col("__h2"))
+          .bitwiseAND(lit(TextAnalysis.Mask48))).as(s"__mh$k")
+      }
+      val sigDf = TextAnalysis.portableMinhashHalves(
+          sh.where(size(col("__sh")) > 0)
+            .select(col(idCol), explode(col("__sh")).as("__s")), col("__s"))
+        .groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+      val bandArr = array((0 until bands).map { b =>
+        concat_ws(",", (lit(b.toString) +: (0 until rowsPerBand).map(r =>
+          col(s"__mh${b * rowsPerBand + r}").cast("string"))): _*)
+      }: _*)
+      sigDf.select(col(idCol), explode(bandArr).as("__band"))
+    } else sh
       .select(col(idCol), explode(
         lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))
         .as("__band")))

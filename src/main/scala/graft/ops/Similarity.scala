@@ -101,23 +101,38 @@ object Similarity {
     graft.expressions.VectorExprs.lshSignBits(vec, bits)
 
   /** Oracle-portable hyperplane signature: Rademacher (±1) planes whose
-    * signs come from the md5-derived portable hash of `hp:bit:dim`, so
-    * any md5-capable engine re-derives the SAME planes; the projection
-    * is a strict left-fold in index order, so the double sum — and
-    * therefore every sign bit — is bit-identical across engines (same
-    * IEEE ops in the same order). ±1 components lose nothing vs
-    * Gaussian planes for sign-LSH (the projection sign distribution is
-    * what matters) and keep the arithmetic EXACT: negation is lossless
-    * where a float multiply would round engine-specifically.
+    * signs come from the md5 parity of `hp:bit:dim`, so any md5-capable
+    * engine re-derives the SAME planes; the projection is a strict
+    * left-fold in index order, so the double sum — and therefore every
+    * sign bit — is bit-identical across engines (same IEEE ops in the
+    * same order). ±1 components lose nothing vs Gaussian planes for
+    * sign-LSH (the projection sign distribution is what matters) and
+    * keep the arithmetic EXACT: negation is lossless where a float
+    * multiply would round engine-specifically.
+    *
+    * The plane signs are row-INDEPENDENT, so they are derived ONCE on
+    * the driver (same md5 bytes the SQL oracle computes) and unrolled
+    * into a codegen'd ±element_at sum — a lambda formulation
+    * (`aggregate(zip_with(...))`) re-hashed every (row × bit × dim)
+    * INTERPRETED, the round-11 ×100 board finding. `dim` pins the
+    * unroll width; vectors must carry at least `dim` elements.
     */
-  def portableLshSignature(vec: Column, bits: Int): Column =
+  def portableLshSignature(vec: Column, bits: Int, dim: Int): Column = {
+    require(dim > 0, s"portable signature needs an explicit dim, got $dim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def positive(k: Int, i: Int): Boolean = {
+      val hex = md.digest(s"hp:$k:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      (java.lang.Long.parseLong(hex, 16) & 1L) == 0L
+    }
     (0 until bits).map { k =>
-      val terms = zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
-        when(graft.ops.TextAnalysis.portableHash48(
-          concat(lit(s"hp:$k:"), i.cast("string"))) % 2 === 0, v).otherwise(-v))
-      val dot = aggregate(terms, lit(0.0d), (acc, x) => acc + x)
+      val dot = (0 until dim).map { i =>
+        val e = element_at(vec, i + 1)
+        if (positive(k, i)) e else -e
+      }.reduce(_ + _)
       when(dot >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
+  }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: candidate
     * pairs share a hyperplane-sign bucket; exact cosine filters at
@@ -126,10 +141,10 @@ object Similarity {
     */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                         bits: Int, threshold: Double,
-                        portable: Boolean = false): DataFrame = {
+                        portableDim: Int = 0): DataFrame = {
     val sig = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
       .withColumn("__bucket",
-        if (portable) portableLshSignature(col("__v"), bits)
+        if (portableDim > 0) portableLshSignature(col("__v"), bits, portableDim)
         else lshSignature(col("__v"), bits))
     val a = sig.select(col("__bucket"), col(idCol).as("id_a"), col("__v").as("__va"))
     val b = sig.select(col("__bucket"), col(idCol).as("id_b"), col("__v").as("__vb"))

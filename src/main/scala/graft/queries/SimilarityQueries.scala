@@ -187,7 +187,7 @@ object SimilarityQueries {
         // threshold tuned to the synthetic corpus: max pairwise cosine
         // ≈ 0.49, so 0.35 marks the "suspiciously similar" tail
         Similarity.embeddingNearDups(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", bits = 4, threshold = 0.35, portable = true)
+          "vec_id", "embedding", bits = 4, threshold = 0.35, portableDim = 64)
           .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
       },
       Some(embeddingNearDupOracle)),

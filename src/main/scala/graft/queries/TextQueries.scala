@@ -49,9 +49,11 @@ object TextQueries {
   }
 
   /** q150's oracle, generated: 16 minhash families over char 3-gram
-    * shingles, each slot the min of a 48-bit md5-derived hash of
-    * shingle + chr(1) + family index (always positive → signed and
-    * unsigned min orders agree across engines).
+    * shingles in the portable Carter-Wegman family (one md5 per
+    * shingle, slot k = (h1 + k*h2) mod 2^48 — always positive, so
+    * signed and unsigned min orders agree across engines; round-11
+    * switched the family from 16 independent md5s, which cost 16x the
+    * hashing for no extra LSH power).
     *
     * Caveat (shared with q34, whose oracle pairs the same shingle
     * machinery with DuckDB substr): CharNgramsExpr windows UTF-16 code
@@ -62,21 +64,27 @@ object TextQueries {
     */
   private val minhashSigOracle: String = {
     val cols = (0 until 16).map { k =>
-      f"CAST(min(CAST(('0x' || substr(md5(sh || chr(1) || '$k%d'), 1, 12)) AS UBIGINT)) AS BIGINT) AS mh$k%02d"
+      f"CAST(min((h1 + $k%d * h2) & 281474976710655) AS BIGINT) AS mh$k%02d"
     }.mkString(",\n               ")
     s"""WITH g AS (
           SELECT doc_id, substr(text, CAST(i.i AS INTEGER), 3) AS sh
           FROM documents, LATERAL (
             SELECT unnest(generate_series(1, length(text) - 2)) AS i) i
-          WHERE length(text) >= 3)
+          WHERE length(text) >= 3),
+        h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(sh), 1, 12)) AS UBIGINT) AS h1,
+                 CAST(('0x' || substr(md5(sh), 13, 12)) AS UBIGINT) | 1 AS h2
+          FROM g)
         SELECT doc_id,
                $cols
-        FROM g GROUP BY doc_id"""
+        FROM h GROUP BY doc_id"""
   }
 
-  /** q35's full-decision oracle, generated: the portable minhash family
-    * (32 md5-derived slots, 8 bands whose keys are the LITERAL 4-slot
-    * values) replayed end to end — band buckets → per-band min-id →
+  /** q35's full-decision oracle, generated: the portable Carter-Wegman
+    * minhash family (one md5 per shingle, slot k = (h1 + k*h2) mod 2^48;
+    * 8 bands whose keys are the LITERAL 4-slot values) replayed end to
+    * end — band buckets → per-band min-id →
     * 3 smallest distinct lower-id candidates per doc → exact distinct
     * char-3-gram Jaccard at 0.5 (int/int division, bit-identical across
     * engines) → smallest passing rep → one pointer-doubling propagation
@@ -87,7 +95,7 @@ object TextQueries {
     */
   private val minhashDedupOracle: String = {
     val mins = (0 until 32).map { k =>
-      f"CAST(min(CAST(('0x' || substr(md5(sh || chr(1) || '$k%d'), 1, 12)) AS UBIGINT)) AS BIGINT) AS mh$k%02d"
+      f"CAST(min((h1 + $k%d * h2) & 281474976710655) AS BIGINT) AS mh$k%02d"
     }.mkString(",\n               ")
     val bandSelects = (0 until 8).map { b =>
       val slots = (0 until 4).map(r => f"mh${b * 4 + r}%02d").mkString(", ")
@@ -98,10 +106,15 @@ object TextQueries {
           FROM documents, LATERAL (
             SELECT unnest(generate_series(1, length(text) - 2)) AS i) i
           WHERE length(text) >= 3),
+        h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(sh), 1, 12)) AS UBIGINT) AS h1,
+                 CAST(('0x' || substr(md5(sh), 13, 12)) AS UBIGINT) | 1 AS h2
+          FROM g),
         sig AS (
           SELECT doc_id,
                $mins
-          FROM g GROUP BY doc_id),
+          FROM h GROUP BY doc_id),
         bands AS (
              $bandSelects),
         bandmin AS (SELECT key, min(doc_id) AS bmin FROM bands GROUP BY 1),
@@ -352,22 +365,21 @@ object TextQueries {
                 FROM tok) f""")),
 
     // ---- the q35 signature leg UNDER THE HASH ORACLE (round-10, fills
-    //      the q150 numbering gap): 16 minhash families over char
-    //      3-gram shingles with the portable 48-bit hash (always
-    //      positive → signed/unsigned min agree across engines). The
-    //      oracle recomputes every signature slot from scratch; q35's
-    //      banding/jaccard DECISION leg stays XXH64-native for speed,
-    //      but the signature math itself is now externally proven ----
+    //      the q150 numbering gap; round-11: same Carter-Wegman family
+    //      q35's full decision leg now runs — one md5 per shingle, 16
+    //      pairwise-independent slots from its two 48-bit halves). The
+    //      oracle recomputes every signature slot from scratch ----
     Q("q150_minhash_signature",
       (s, dir) => {
         val sh = Tables.load(s, dir, "documents")
           .where(length(col("text")) >= 3)
           .select(col("doc_id"), explode(TA.charNgrams(col("text"), 3)).as("__sh"))
         val aggs = (0 until 16).map { k =>
-          min(TA.portableHash48(concat(col("__sh"), lit("\u0001" + k.toString))))
-            .as(f"mh$k%02d")
+          min((col("__h1") + lit(k.toLong) * col("__h2"))
+            .bitwiseAND(lit(TA.Mask48))).as(f"mh$k%02d")
         }
-        sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        TA.portableMinhashHalves(sh, col("__sh"))
+          .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       },
       Some(minhashSigOracle)),
 
