@@ -57,7 +57,7 @@ object BloomProbe {
     def run(label: String): Unit = {
       val t0 = System.nanoTime()
       val df = query()
-      val out = df.collect().head.getDecimal(0)
+      val out = df.collect().head.get(0)
       val dt = (System.nanoTime() - t0) / 1e9
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
