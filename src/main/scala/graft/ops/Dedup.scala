@@ -438,7 +438,7 @@ object Dedup {
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
       .localCheckpoint(false)
     // `portable = true` swaps BOTH hash legs for the md5-derived
-    // Carter-Wegman family ([[TextAnalysis.portableMinhashHalves]]: ONE
+    // Carter-Wegman family (graft.expressions.PortableMinHashSigExpr: ONE
     // md5 per shingle, slot k = (h1 + k*h2) mod 2^48) with
     // literal-value band keys, so the whole candidate/decision pipeline — not just the
     // signature math — is reproducible by an external engine (the q35
@@ -457,19 +457,21 @@ object Dedup {
     // jaccard(∅,∅) = 1; portable mode leaves them singletons. Both are
     // defensible; no fixture doc is shingle-less.)
     val banded = (if (portable) {
-      val sigAggs = (0 until numHashes).map { k =>
-        min((col("__h1") + lit(k.toLong) * col("__h2"))
-          .bitwiseAND(lit(TextAnalysis.Mask48))).as(s"__mh$k")
-      }
-      val sigDf = TextAnalysis.portableMinhashHalves(
-          sh.where(size(col("__sh")) > 0)
-            .select(col(idCol), explode(col("__sh")).as("__s")), col("__s"))
-        .groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+      // single compiled pass per row (PortableMinHashSigExpr): the
+      // explode + groupBy formulation was codegen'd but still paid a
+      // corpus-sized explode/agg for what is one in-row loop (3.3 s vs
+      // 1.2 s native at sf0.1), and the array(transform(...)) one ran
+      // its lambdas interpreted (20+ min at ×100). Band keys are the
+      // LITERAL slot values, concat'd by plain codegen'd expressions.
       val bandArr = array((0 until bands).map { b =>
         concat_ws(",", (lit(b.toString) +: (0 until rowsPerBand).map(r =>
-          col(s"__mh${b * rowsPerBand + r}").cast("string"))): _*)
+          element_at(col("__sig"), b * rowsPerBand + r + 1).cast("string"))): _*)
       }: _*)
-      sigDf.select(col(idCol), explode(bandArr).as("__band"))
+      sh.where(size(col("__sh")) > 0)
+        .select(col(idCol),
+          graft.expressions.MinHashExprs.portableMinhashSig(
+            col("__sh"), numHashes).as("__sig"))
+        .select(col(idCol), explode(bandArr).as("__band"))
     } else sh
       .select(col(idCol), explode(
         lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))

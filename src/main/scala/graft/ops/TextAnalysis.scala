@@ -130,28 +130,6 @@ object TextAnalysis {
   def portableHash48(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 12), 16, 10).cast("long")
 
-  /** 48-bit mask for the Carter–Wegman minhash family. */
-  val Mask48: Long = 0xFFFFFFFFFFFFL
-
-  /** Carter–Wegman portable minhash base: ONE md5 per token yields two
-    * 48-bit halves (h1 from hex chars 1–12; h2 from 13–24, forced ODD so
-    * no family degenerates), and family k's hash is
-    * `(h1 + k·h2) & Mask48` — the classic pairwise-independent
-    * construction (Broder 1997's minwise family over a 2-universal base;
-    * Carter & Wegman 1979). k ≤ 2^4-ish keeps `h1 + k·h2 < 2^53`, far
-    * from signed overflow. Per-family independent md5s
-    * (`md5(token + chr(1) + k)`) cost numHashes× the hashing for no
-    * extra LSH power — measured as most of q35's runtime before the
-    * switch (round-11). Appends `__h1`/`__h2` columns; every expression
-    * codegen'd.
-    */
-  def portableMinhashHalves(df: org.apache.spark.sql.DataFrame,
-                            token: Column): org.apache.spark.sql.DataFrame =
-    df.withColumn("__hex", md5(token.cast("binary")))
-      .withColumn("__h1", conv(substring(col("__hex"), 1, 12), 16, 10).cast("long"))
-      .withColumn("__h2", conv(substring(col("__hex"), 13, 12), 16, 10).cast("long")
-        .bitwiseOR(1L))
-      .drop("__hex")
 
   /** [[fingerprint]]'s oracle-portable twin: same rolling fold
     * `acc = (acc<<5) ^ (acc>>59) ^ h(t)` with [[portableHash64]] tokens.

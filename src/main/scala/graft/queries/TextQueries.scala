@@ -371,15 +371,13 @@ object TextQueries {
     //      oracle recomputes every signature slot from scratch ----
     Q("q150_minhash_signature",
       (s, dir) => {
-        val sh = Tables.load(s, dir, "documents")
+        val sig = Tables.load(s, dir, "documents")
           .where(length(col("text")) >= 3)
-          .select(col("doc_id"), explode(TA.charNgrams(col("text"), 3)).as("__sh"))
-        val aggs = (0 until 16).map { k =>
-          min((col("__h1") + lit(k.toLong) * col("__h2"))
-            .bitwiseAND(lit(TA.Mask48))).as(f"mh$k%02d")
-        }
-        TA.portableMinhashHalves(sh, col("__sh"))
-          .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+          .select(col("doc_id"),
+            graft.expressions.MinHashExprs.portableMinhashSig(
+              TA.charNgrams(col("text"), 3), 16).as("__sig"))
+        sig.select(col("doc_id") +: (0 until 16).map(k =>
+          element_at(col("__sig"), k + 1).as(f"mh$k%02d")): _*)
       },
       Some(minhashSigOracle)),
 

@@ -70,6 +70,32 @@ class DedupTextSpec extends SparkSpec {
     assert(m(3L) == (3L, false)) // unrelated: kept
   }
 
+  test("portable minhash: expression slots equal the hex-digest derivation; " +
+      "portable decisions match the native mode's on this corpus") {
+    // PortableMinHashSigExpr's byte math must equal what an external
+    // engine derives from the md5 HEX digest: h1 = chars 1-12, h2 =
+    // chars 13-24 | 1, slot k = (h1 + k*h2) & (2^48-1)
+    val shingles = Seq("abc", "bcd", "éx1")
+    def refSlot(k: Int): Long = shingles.map { sh =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sh.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(12, 24), 16) | 1L
+      (h1 + k * h2) & 0xFFFFFFFFFFFFL
+    }.min
+    val sig = spark.range(1)
+      .select(graft.expressions.MinHashExprs.portableMinhashSig(
+        typedLit(shingles), 8).as("s"))
+      .head().getSeq[Long](0)
+    (0 until 8).foreach(k => assert(sig(k) == refSlot(k), s"slot $k"))
+    // different family, same decisions here: clusters are far apart
+    val nat = Dedup.minhashDedup(docs, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, threshold = 0.5)
+    val por = Dedup.minhashDedup(docs, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, threshold = 0.5, portable = true)
+    assert(rows(nat) == rows(por))
+  }
+
   test("similarityJoinPrefix is EXACT: equals the quadratic all-pairs answer " +
     "on a mutated-template corpus") {
     val rnd = new scala.util.Random(37)
