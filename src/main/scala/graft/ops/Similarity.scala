@@ -257,9 +257,11 @@ object Similarity {
     * Recall < 1 by construction; `bits` trades recall for speed.
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              bits: Int, k: Int): DataFrame = {
+              bits: Int, k: Int, portableDim: Int = 0): DataFrame = {
     val sig = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
-      .withColumn("__bucket", lshSignature(col("__v"), bits))
+      .withColumn("__bucket",
+        if (portableDim > 0) portableLshSignature(col("__v"), bits, portableDim)
+        else lshSignature(col("__v"), bits))
     val a = sig.select(col("__bucket"), col(idCol).as("query_id"), col("__v").as("__qv"))
     val b = sig.select(col("__bucket"), col(idCol).as("neighbor_id"), col("__v").as("__cv"))
     val scored = a.join(b, Seq("__bucket"))

@@ -18,14 +18,30 @@ object SimilarityQueries {
     * `aggregate(…, 0.0, +)` since 0.0 + x ≡ x), cosine exactly mirroring
     * CosineSimExpr: dot / (sqrt(na) * sqrt(nb)).
     */
+  private def hpDot(k: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, len(v)), i ->
+       |          CASE WHEN CAST(('0x' || substr(md5('hp:$k:' || CAST(i - 1 AS VARCHAR)), 1, 12)) AS UBIGINT) % 2 = 0
+       |               THEN v[i] ELSE -v[i] END), (x, y) -> x + y)""".stripMargin
+
+  /** The `bits`-bit portable bucket expression shared by q41/q43's oracles. */
+  private def hpBucket(bits: Int): String = (0 until bits).map { k =>
+    s"(CASE WHEN ${hpDot(k)} >= 0 THEN ${1L << k} ELSE 0 END)"
+  }.mkString("\n         + ")
+
+  /** CosineSimExpr mirrored exactly: strict index-order folds,
+    * dot / (sqrt(na)*sqrt(nb)), 0.0 on zero norms. */
+  private val cosineCte: String =
+    """SELECT id_a, id_b,
+            list_reduce(list_transform(generate_series(1, len(va)),
+              i -> va[i] * vb[i]), (x, y) -> x + y) AS dot,
+            list_reduce(list_transform(generate_series(1, len(va)),
+              i -> va[i] * va[i]), (x, y) -> x + y) AS na,
+            list_reduce(list_transform(generate_series(1, len(vb)),
+              i -> vb[i] * vb[i]), (x, y) -> x + y) AS nb
+          FROM p"""
+
   private val embeddingNearDupOracle: String = {
-    def hpDot(k: Int): String =
-      s"""list_reduce(list_transform(generate_series(1, len(v)), i ->
-         |          CASE WHEN CAST(('0x' || substr(md5('hp:$k:' || CAST(i - 1 AS VARCHAR)), 1, 12)) AS UBIGINT) % 2 = 0
-         |               THEN v[i] ELSE -v[i] END), (x, y) -> x + y)""".stripMargin
-    val bucket = (0 until 4).map { k =>
-      s"(CASE WHEN ${hpDot(k)} >= 0 THEN ${1L << k} ELSE 0 END)"
-    }.mkString("\n         + ")
+    val bucket = hpBucket(4)
     s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         b AS (
           SELECT vec_id, v,
@@ -35,14 +51,7 @@ object SimilarityQueries {
           SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
         c AS (
-          SELECT id_a, id_b,
-            list_reduce(list_transform(generate_series(1, len(va)),
-              i -> va[i] * vb[i]), (x, y) -> x + y) AS dot,
-            list_reduce(list_transform(generate_series(1, len(va)),
-              i -> va[i] * va[i]), (x, y) -> x + y) AS na,
-            list_reduce(list_transform(generate_series(1, len(vb)),
-              i -> vb[i] * vb[i]), (x, y) -> x + y) AS nb
-          FROM p),
+          $cosineCte),
         s AS (
           SELECT id_a, id_b,
             CASE WHEN na > 0 AND nb > 0
@@ -50,6 +59,38 @@ object SimilarityQueries {
           FROM c)
         SELECT id_a, id_b, round(cs, 6) AS cos_sim
         FROM s WHERE cs >= 0.35"""
+  }
+
+  /** q41's oracle, generated: the 8-bit portable-plane buckets replayed
+    * from md5, ordered pairs within a bucket, the exact cosine fold,
+    * and the per-query (sim DESC, neighbor_id) rank — identical
+    * tie-breaking to the Spark window, on bit-identical sims.
+    */
+  private val lshTopKOracle: String = {
+    val bucket = hpBucket(8)
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (
+          SELECT vec_id, v,
+         $bucket AS bucket
+          FROM v0),
+        p AS (
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+        c AS (
+          $cosineCte),
+        s AS (
+          SELECT id_a AS query_id, id_b AS neighbor_id,
+            CASE WHEN na > 0 AND nb > 0
+                 THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS sim
+          FROM c),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               round(sim, 6) AS sim
+        FROM ranked WHERE rank <= 5"""
   }
 
   val qs: Seq[Q] = Seq(
@@ -152,16 +193,18 @@ object SimilarityQueries {
               SELECT query_id, nl AS pred_label, votes
               FROM best WHERE r = 1""")),
 
-    // ---- LSH-bucketed ANN, the scale path (rows-only: bucket hash
-    //      family is engine-specific) ----
+    // ---- LSH-bucketed ANN, the scale path — UNDER THE HASH ORACLE
+    //      (round-11): the q43 portable-plane family at 8 bits; the
+    //      oracle re-derives buckets and replays pair → cosine →
+    //      per-query rank from scratch ----
     Q("q41_lsh_ann",
       (s, dir) => {
         Similarity.lshTopK(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", bits = 8, k = 5)
+          "vec_id", "embedding", bits = 8, k = 5, portableDim = 64)
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"))
       },
-      None),
+      Some(lshTopKOracle)),
 
     // ---- IVF-bucketed ANN, the coarse-quantizer scale path
     //      (rows-only: centroid sample is engine-specific) ----
