@@ -65,17 +65,34 @@ object Dedup {
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     graft.expressions.MinHashExprs.bandKeys(signature, bands, rowsPerBand)
 
-  // The portable (md5-derived) minhash family lives inside
-  // [[minhashDedup]]'s portable branch as an explode + groupBy pipeline:
-  // slot k = min over shingles of TextAnalysis.portableHash48(shingle +
-  // chr(1) + k); band keys are the LITERAL 4-slot values (bucket
-  // equality is all LSH needs, and literal values are what an external
-  // engine reproduces exactly). It is deliberately NOT exposed as an
-  // array-building Column helper: the composable `array(transform(...))`
-  // formulation evaluates its lambdas INTERPRETED — a round-11 ×100
-  // board run spent 20+ minutes inside ArrayTransform.eval before the
-  // shape was flattened to the codegen'd explode/agg form (the same
-  // trap the native minhashSignature scaladoc documents).
+  /** The portable (md5-derived) minhash banding pipeline shared by
+    * [[minhashDedup]] and [[minhashNearDups]]: one compiled pass per row
+    * (graft.expressions.PortableMinHashSigExpr — slot k = min over
+    * shingles of (h1 + k·h2) mod 2^48 from ONE md5 per shingle), band
+    * keys as the LITERAL slot values (bucket equality is all LSH needs,
+    * and literal values are what an external engine reproduces exactly).
+    * Shingle-less docs are dropped: their all-NULL slot mins would alias
+    * into one giant spurious bucket. It is deliberately NOT exposed as
+    * an array-building Column helper: the composable
+    * `array(transform(...))` formulation evaluates its lambdas
+    * INTERPRETED — a round-11 ×100 board run spent 20+ minutes inside
+    * ArrayTransform.eval before the shape was flattened to this
+    * codegen'd form (the same trap the native minhashSignature scaladoc
+    * documents).
+    */
+  private def portableBanded(sh: DataFrame, idCol: String,
+                             numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandArr = array((0 until bands).map { b =>
+      concat_ws(",", (lit(b.toString) +: (0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), b * rowsPerBand + r + 1).cast("string"))): _*)
+    }: _*)
+    sh.where(size(col("__sh")) > 0)
+      .select(col(idCol),
+        graft.expressions.MinHashExprs.portableMinhashSig(
+          col("__sh"), numHashes).as("__sig"))
+      .select(col(idCol), explode(bandArr).as("__band"))
+  }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
     * bucket self-join → exact-Jaccard verification at `threshold`.
@@ -107,13 +124,19 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.6,
-                      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+                      maxBucketSize: Long = Long.MaxValue,
+                      portable: Boolean = false): DataFrame = {
     require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val rowsPerBand = numHashes / bands
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
       .localCheckpoint(false) // shingle once: banding + both verify sides
-    val banded0 = sh
+    // portable = true swaps the XXH64 band family for the md5-derived
+    // one ([[portableBanded]]): candidates, cap behavior, and the exact
+    // Jaccard verification all become externally replayable (the q149
+    // hash oracle), at the cost of one extra (id, 32 longs) shuffle.
+    val banded0 = if (portable) portableBanded(sh, idCol, numHashes, bands)
+    else sh
       .select(col(idCol), explode(
         lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))
         .as("__band"))
@@ -147,16 +170,23 @@ object Dedup {
   def minhashDroppedBuckets(df: DataFrame, textCol: String, idCol: String,
                             shingleN: Int = 3, numHashes: Int = 32,
                             bands: Int = 8,
-                            maxBucketSize: Long): DataFrame = {
+                            maxBucketSize: Long,
+                            portable: Boolean = false): DataFrame = {
     // no default: a Long.MaxValue cap makes the filter unsatisfiable and
     // the audit a silent no-op that reads as "nothing dropped"
     require(maxBucketSize >= 2 && maxBucketSize < Long.MaxValue,
       s"maxBucketSize must be a real cap in [2, Long.MaxValue), got $maxBucketSize")
     val rowsPerBand = numHashes / bands
-    df.select(col(idCol),
-      explode(lshBandKeys(minhashSignature(
-        TextAnalysis.charNgrams(col(textCol), shingleN), numHashes),
-        bands, rowsPerBand)).as("band"))
+    val sh = df.select(col(idCol),
+      TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
+    // run with the same `portable` as the paired minhashNearDups call —
+    // the two families bucket differently, so an audit over the wrong
+    // one reports on buckets the dedup never saw
+    val banded = if (portable) portableBanded(sh, idCol, numHashes, bands)
+    else sh.select(col(idCol),
+      explode(lshBandKeys(minhashSignature(col("__sh"), numHashes),
+        bands, rowsPerBand)).as("__band"))
+    banded.select(col("__band").as("band"))
       .groupBy(col("band")).agg(count(lit(1)).as("n_rows"))
       .where(col("n_rows") > maxBucketSize)
   }
@@ -457,21 +487,14 @@ object Dedup {
     // jaccard(∅,∅) = 1; portable mode leaves them singletons. Both are
     // defensible; no fixture doc is shingle-less.)
     val banded = (if (portable) {
-      // single compiled pass per row (PortableMinHashSigExpr): the
-      // explode + groupBy formulation was codegen'd but still paid a
-      // corpus-sized explode/agg for what is one in-row loop (3.3 s vs
-      // 1.2 s native at sf0.1), and the array(transform(...)) one ran
-      // its lambdas interpreted (20+ min at ×100). Band keys are the
-      // LITERAL slot values, concat'd by plain codegen'd expressions.
-      val bandArr = array((0 until bands).map { b =>
-        concat_ws(",", (lit(b.toString) +: (0 until rowsPerBand).map(r =>
-          element_at(col("__sig"), b * rowsPerBand + r + 1).cast("string"))): _*)
-      }: _*)
-      sh.where(size(col("__sh")) > 0)
-        .select(col(idCol),
-          graft.expressions.MinHashExprs.portableMinhashSig(
-            col("__sh"), numHashes).as("__sig"))
-        .select(col(idCol), explode(bandArr).as("__band"))
+      // single compiled pass per row (PortableMinHashSigExpr, via
+      // [[portableBanded]]): the explode + groupBy formulation was
+      // codegen'd but still paid a corpus-sized explode/agg for what is
+      // one in-row loop (3.3 s vs 1.2 s native at sf0.1), and the
+      // array(transform(...)) one ran its lambdas interpreted (20+ min
+      // at ×100). Band keys are the LITERAL slot values, concat'd by
+      // plain codegen'd expressions.
+      portableBanded(sh, idCol, numHashes, bands)
     } else sh
       .select(col(idCol), explode(
         lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))

@@ -574,19 +574,34 @@ object Similarity {
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                nClusters: Int, threshold: Double,
-               kmeansIters: Int = 2): DataFrame = {
+               kmeansIters: Int = 2, portableDim: Int = 0): DataFrame = {
     val c = df.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
     val nonNull = c.where(col("__v").isNotNull)
-    val init: Array[Array[Double]] = nonNull
-      .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy(col("__h")).limit(nClusters)
-      .select(col("__v")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    val cents = trainCentroids(nonNull, "__v", init, kmeansIters)
-    // map-side cell assignment; materialized once for the self-join
-    val assigned = nonNull.select(col(idCol),
-      nearestCentroids(col("__v"), cents, 1).getItem(0).as("__cell"), col("__v"))
-      .localCheckpoint(false)
+    // Cell assignment: k-means centroids by default (the SemDedup paper
+    // shape); with portableDim > 0, the md5 Rademacher-plane buckets
+    // instead (log2(nClusters) sign bits) — same cluster-scoped dedup
+    // decision, but the cell function is engine-portable, so the whole
+    // pair set sits under the exact-replay oracle. The portable path
+    // also drops BOTH driver round-trips (init sample + Lloyd update):
+    // assignment is a pure map-side codegen'd projection.
+    val assigned = (if (portableDim > 0) {
+      val bits = 31 - Integer.numberOfLeadingZeros(nClusters)
+      require(nClusters == (1 << bits),
+        s"portable semDedup needs a power-of-two nClusters, got $nClusters")
+      nonNull.select(col(idCol),
+        portableLshSignature(col("__v"), bits, portableDim).as("__cell"),
+        col("__v"))
+    } else {
+      val init: Array[Array[Double]] = nonNull
+        .withColumn("__h", xxhash64(col(idCol)))
+        .orderBy(col("__h")).limit(nClusters)
+        .select(col("__v")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val cents = trainCentroids(nonNull, "__v", init, kmeansIters)
+      // map-side cell assignment; materialized once for the self-join
+      nonNull.select(col(idCol),
+        nearestCentroids(col("__v"), cents, 1).getItem(0).as("__cell"), col("__v"))
+    }).localCheckpoint(false)
     val pairs = assigned
       .join(assigned.select(col("__cell"), col(idCol).as("__cand"),
         col("__v").as("__cv")), Seq("__cell"))

@@ -40,6 +40,45 @@ object SimilarityQueries {
               i -> vb[i] * vb[i]), (x, y) -> x + y) AS nb
           FROM p"""
 
+  /** q71's oracle, generated: 4-bit portable-plane cells (16 clusters),
+    * candidate pairs = same cell with a SMALLER id, exact cosine fold at
+    * the 0.4 threshold, representative = the smallest qualifying
+    * candidate id (Spark's `min(struct(cand, sim))` ≡ row_number over
+    * ORDER BY cand), and the left-join verdict over ALL ids — null-vec
+    * rows come back (id, id, NULL, false) exactly like the engine.
+    */
+  private val semDedupOracle: String = {
+    val bucket = hpBucket(4)
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE embedding IS NOT NULL),
+        b AS (
+          SELECT vec_id, v,
+         $bucket AS bucket
+          FROM v0),
+        p AS (
+          SELECT big.vec_id AS id_a, small.vec_id AS id_b,
+                 big.v AS va, small.v AS vb
+          FROM b big JOIN b small
+            ON big.bucket = small.bucket AND small.vec_id < big.vec_id),
+        c AS (
+          $cosineCte),
+        s AS (
+          SELECT id_a, id_b,
+            CASE WHEN na > 0 AND nb > 0
+                 THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS cs
+          FROM c),
+        f AS (
+          SELECT id_a, id_b, cs,
+            row_number() OVER (PARTITION BY id_a ORDER BY id_b) AS rn
+          FROM s WHERE cs >= 0.4)
+        SELECT e.vec_id,
+               coalesce(bst.id_b, e.vec_id) AS rep_id,
+               round(bst.cs, 6) AS sim,
+               bst.id_b IS NOT NULL AS is_dup
+        FROM embeddings e
+        LEFT JOIN (SELECT * FROM f WHERE rn = 1) bst ON e.vec_id = bst.id_a"""
+  }
+
   private val embeddingNearDupOracle: String = {
     val bucket = hpBucket(4)
     s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -95,17 +134,23 @@ object SimilarityQueries {
 
   val qs: Seq[Q] = Seq(
 
-    // ---- SemDedup: cluster-scoped semantic dedup decision (k-means
-    // centroids are engine-specific → rows-only; SimilaritySpec pins the
-    // decision semantics against a constructed clustered corpus) ----
+    // ---- SemDedup: cluster-scoped semantic dedup decision. r11: the
+    // cell function runs the portable md5 plane family (16 cells =
+    // 4 sign bits, same family q41/q43 oracle), so the WHOLE decision —
+    // cells → smaller-id candidates → exact cosine ≥ threshold →
+    // min-candidate representative → left-join verdict — replays in
+    // DuckDB. The k-means cell path (the SemDedup-paper shape) stays as
+    // semDedup's default, pinned by SimilaritySpec on a constructed
+    // clustered corpus. ----
     Q("q71_semdedup",
       (s, dir) => {
         Similarity.semDedup(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", nClusters = 16, threshold = 0.4)
+          "vec_id", "embedding", nClusters = 16, threshold = 0.4,
+          portableDim = 64)
           .select(col("vec_id"), col("rep_id"),
             round(col("sim"), 6).as("sim"), col("is_dup"))
       },
-      None),
+      Some(semDedupOracle)),
 
     // ---- brute-force exact cosine top-k (ANN baseline) ----
     Q("q40_cosine_topk",

@@ -93,14 +93,23 @@ object TextQueries {
     * candidate is the same as verify-all-upfront, and `bestj` is only
     * read when NO candidate passed — where both sides saw every pair.
     */
+  /** Shared fragments of the portable-minhash oracles (q35, q149): the
+    * 32 Carter-Wegman slot mins from one md5 per shingle, and the 8
+    * four-slot literal band keys — the exact family
+    * graft.expressions.PortableMinHashSigExpr computes.
+    */
+  private def minhashSlotMins: String = (0 until 32).map { k =>
+    f"CAST(min((h1 + $k%d * h2) & 281474976710655) AS BIGINT) AS mh$k%02d"
+  }.mkString(",\n               ")
+
+  private def minhashBandSelects: String = (0 until 8).map { b =>
+    val slots = (0 until 4).map(r => f"mh${b * 4 + r}%02d").mkString(", ")
+    s"SELECT doc_id, concat_ws(',', '$b', $slots) AS key FROM sig"
+  }.mkString("\n             UNION ALL ")
+
   private val minhashDedupOracle: String = {
-    val mins = (0 until 32).map { k =>
-      f"CAST(min((h1 + $k%d * h2) & 281474976710655) AS BIGINT) AS mh$k%02d"
-    }.mkString(",\n               ")
-    val bandSelects = (0 until 8).map { b =>
-      val slots = (0 until 4).map(r => f"mh${b * 4 + r}%02d").mkString(", ")
-      s"SELECT doc_id, concat_ws(',', '$b', $slots) AS key FROM sig"
-    }.mkString("\n             UNION ALL ")
+    val mins = minhashSlotMins
+    val bandSelects = minhashBandSelects
     s"""WITH g AS (
           SELECT doc_id, substr(text, CAST(i.i AS INTEGER), 3) AS sh
           FROM documents, LATERAL (
@@ -149,6 +158,51 @@ object TextQueries {
         SELECT d.doc_id, least(d.rep_id, r.rep_id) AS rep_id,
                round(d.jaccard, 6) AS jaccard, d.is_dup
         FROM direct d JOIN direct r ON d.rep_id = r.doc_id"""
+  }
+
+  /** q149's oracle, generated: the portable band family over the
+    * doc_id < 600 slice, the cap's bucket census (keys kept at
+    * count ≤ 1000 — the cap is REPLAYED, not assumed away), the
+    * distinct ordered candidate pair set, and exact shingle-set Jaccard
+    * at 0.6. A capped-out bucket, a candidate leak across buckets, or a
+    * Jaccard divergence all hash-mismatch.
+    */
+  private val minhashCappedOracle: String = {
+    val mins = minhashSlotMins
+    val bandSelects = minhashBandSelects
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 600),
+        g AS (
+          SELECT doc_id, substr(text, CAST(i.i AS INTEGER), 3) AS sh
+          FROM d, LATERAL (
+            SELECT unnest(generate_series(1, length(text) - 2)) AS i) i
+          WHERE length(text) >= 3),
+        h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(sh), 1, 12)) AS UBIGINT) AS h1,
+                 CAST(('0x' || substr(md5(sh), 13, 12)) AS UBIGINT) | 1 AS h2
+          FROM g),
+        sig AS (
+          SELECT doc_id,
+               $mins
+          FROM h GROUP BY doc_id),
+        bands AS (
+             $bandSelects),
+        kept AS (SELECT key FROM bands GROUP BY key HAVING count(*) <= 1000),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN kept k ON k.key = a.key
+          JOIN bands b ON b.key = a.key AND a.doc_id < b.doc_id),
+        shs AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM g GROUP BY 1),
+        v AS (
+          SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))) AS j
+          FROM cand c
+          JOIN shs a ON a.doc_id = c.id_a
+          JOIN shs b ON b.doc_id = c.id_b)
+        SELECT id_a, id_b, round(j, 6) AS jaccard
+        FROM v WHERE j >= 0.6"""
   }
 
   val qs: Seq[Q] = Seq(
@@ -288,8 +342,10 @@ object TextQueries {
     //      sf0.1 on this slice, 210 at sf0.01 — see PLANS.md) keeps the
     //      result bit-identical to uncapped here, while a degenerate
     //      boilerplate bucket at scale is dropped-and-reported instead
-    //      of going quadratic. Engine-specific band hashes → rows-only;
-    //      q147 is the oracled audit leg asserting zero drops ----
+    //      of going quadratic. r11: the portable md5 band family puts
+    //      the WHOLE pipeline — banding, the cap's bucket census, the
+    //      distinct pair set, exact Jaccard — under the hash oracle;
+    //      q147 stays the audit leg asserting zero drops ----
     Q("q149_minhash_capped",
       (s, dir) => {
         // doc_id < 600: covers the whole sf0.01 correctness corpus (500
@@ -298,26 +354,26 @@ object TextQueries {
         Dedup.minhashNearDups(
           Tables.load(s, dir, "documents").where(col("doc_id") < 600),
           "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8,
-          threshold = 0.6, maxBucketSize = 1000L)
+          threshold = 0.6, maxBucketSize = 1000L, portable = true)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       },
-      None),
+      Some(minhashCappedOracle)),
 
     // ---- the audit leg of q149's armed bucket cap: LSH band keys whose
     //      buckets exceed the cap (dropped whole from the self-join).
-    //      The band keys are engine-specific xxhash64-family values a
-    //      SQL engine cannot recompute, but the ASSERTION — the cap
-    //      dropped NOTHING on this corpus, so q149 is bit-identical to
-    //      its uncapped form — is exactly "this result is empty", which
-    //      the oracle states directly. Non-empty at scale names the
-    //      degenerate buckets and their sizes: scrub the boilerplate,
-    //      don't raise the cap ----
+    //      Runs the SAME portable band family as q149 (an audit over the
+    //      other family would report on buckets the dedup never saw).
+    //      The ASSERTION — the cap dropped NOTHING on this corpus, so
+    //      q149 is bit-identical to its uncapped form — is exactly
+    //      "this result is empty", which the oracle states directly.
+    //      Non-empty at scale names the degenerate buckets and their
+    //      sizes: scrub the boilerplate, don't raise the cap ----
     Q("q147_minhash_audit",
       (s, dir) => Dedup.minhashDroppedBuckets(
         Tables.load(s, dir, "documents").where(col("doc_id") < 600),
         "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8,
-        maxBucketSize = 1000L),
-      Some("""SELECT CAST(NULL AS BIGINT) AS band, CAST(NULL AS BIGINT) AS n_rows
+        maxBucketSize = 1000L, portable = true),
+      Some("""SELECT CAST(NULL AS VARCHAR) AS band, CAST(NULL AS BIGINT) AS n_rows
               WHERE 1 = 0""")),
 
     // ---- SimHash fingerprints UNDER THE HASH ORACLE (round-10): the

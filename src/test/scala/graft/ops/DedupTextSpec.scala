@@ -60,6 +60,35 @@ class DedupTextSpec extends SparkSpec {
       rows(uncapped.orderBy($"id_a", $"id_b")))
   }
 
+  test("minhashNearDups portable family: cap + audit behave identically " +
+    "(string band keys) and the generous cap is bit-identical to uncapped") {
+    val boiler = Seq.tabulate(4)(i => (i.toLong, "same boilerplate text here")) :+
+      (9L, "completely unrelated content xyz")
+    val b = boiler.toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDups(b, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, threshold = 0.5, maxBucketSize = 3L,
+      portable = true)
+    assert(capped.count() == 0)
+    val audit = Dedup.minhashDroppedBuckets(b, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, maxBucketSize = 3L, portable = true)
+    assert(audit.count() == 16) // identical docs share all 16 band keys
+    assert(audit.select(max($"n_rows")).as[Long].head() == 4L)
+    assert(audit.schema("band").dataType ==
+      org.apache.spark.sql.types.StringType) // literal-value band keys
+    val generous = Dedup.minhashNearDups(b, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, threshold = 0.5, maxBucketSize = 100L,
+      portable = true)
+    val uncapped = Dedup.minhashNearDups(b, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, threshold = 0.5, portable = true)
+    assert(rows(generous.orderBy($"id_a", $"id_b")) ==
+      rows(uncapped.orderBy($"id_a", $"id_b")))
+    // the verified pair set agrees with the native family on this corpus
+    val native = Dedup.minhashNearDups(b, "text", "doc_id", shingleN = 3,
+      numHashes = 32, bands = 16, threshold = 0.5)
+    assert(rows(uncapped.orderBy($"id_a", $"id_b")) ==
+      rows(native.orderBy($"id_a", $"id_b")))
+  }
+
   test("minhashDedup assigns min-id representative; unrelated docs keep themselves") {
     val out = Dedup.minhashDedup(docs, "text", "doc_id", shingleN = 3,
       numHashes = 32, bands = 16, threshold = 0.5)

@@ -150,6 +150,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out(5L) == (5L, false)) // NULL vector never matches
   }
 
+  test("semDedup portable mode: same decision semantics under the md5 " +
+    "plane cells (identical directions share a cell by construction)") {
+    val pts = Seq(
+      (1L, Option(Array(1.0, 0.0, 0.01))),
+      (2L, Option(Array(1.0, 0.0, 0.02))),
+      (3L, Option(Array(1.0, 0.0, 0.00))),
+      (4L, Option(Array(0.0, 1.0, 0.00))),
+      (5L, Option.empty[Array[Double]])).toDF("vec_id", "v")
+    // near-identical directions project to near-identical plane dots, so
+    // the trio shares every sign bit; the orthogonal id 4 may or may not
+    // share a cell, but its cosine vs the trio is ~0 — below threshold
+    // either way. No driver collect happens on this path (no k-means).
+    val out = Similarity.semDedup(pts, "vec_id", "v",
+      nClusters = 16, threshold = 0.9, portableDim = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out(1L) == (1L, false))
+    assert(out(2L) == (1L, true))
+    assert(out(3L) == (1L, true))
+    assert(out(4L) == (4L, false))
+    assert(out(5L) == (5L, false))
+  }
+
+  test("semDedup portable mode rejects a non-power-of-two cell count") {
+    val pts = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "v")
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(pts, "vec_id", "v",
+        nClusters = 12, threshold = 0.5, portableDim = 2)
+    }
+  }
+
   test("lshTopK returns only true-cosine values for pairs it finds") {
     val out = Similarity.lshTopK(vecs, "vec_id", "embedding", bits = 2, k = 3)
     val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)
