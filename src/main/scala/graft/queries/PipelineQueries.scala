@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Graph, Profiling, Windows}
+import graft.ops.{Graph, Packing, Profiling, Windows}
 
 /** Pipeline-support operators a 100 TB curation stack runs around the
   * transforms themselves: dataset profiling (the pre/post-flight
@@ -322,6 +322,68 @@ object PipelineQueries {
               SELECT g.day, CAST(count(DISTINCT u.k) AS BIGINT) AS active
               FROM grid g
               LEFT JOIN ud u ON u.d BETWEEN g.day - 6 AND g.day
-              GROUP BY 1"""))
+              GROUP BY 1""")),
+
+    // ---- overlapping token-window chunking (retrieval/eval windows
+    //      with provenance): 32-token windows advancing 24, last chunk
+    //      short. Pure scan → explode — zero shuffles at any scale ----
+    Q("q171_chunk_windows",
+      (s, dir) => Packing.chunkWindows(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        windowTokens = 32, overlapTokens = 8),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents WHERE trim(text) <> ''),
+              n AS (
+                SELECT doc_id, toks, len(toks) AS n FROM t),
+              s AS (
+                SELECT doc_id, toks, n,
+                       unnest(generate_series(0, n - 1, 24)) AS start
+                FROM n)
+              SELECT doc_id,
+                     CAST(start // 24 AS INTEGER) AS chunk_id,
+                     CAST(start AS INTEGER) AS tok_start,
+                     CAST(least(32, n - start) AS INTEGER) AS n_chunk_tokens,
+                     array_to_string(toks[start + 1 : start + 32], ' ')
+                       AS chunk_text
+              FROM s""")),
+
+    // ---- concat-and-chunk sequence packing: corpus concatenated in
+    //      doc_id order, cut every 512 tokens; docs may span packs and
+    //      every pack but the last is exactly full (zero padding). The
+    //      oracle runs the textbook single-window prefix sum; the engine
+    //      runs Windows.globalRunningSum's two-phase range-partitioned
+    //      form (a global ORDER BY window is a one-task scale-killer) —
+    //      hash-equality IS the proof the distributed prefix sum agrees
+    //      with the sequential definition ----
+    Q("q172_sequence_pack",
+      (s, dir) => Packing.packSequences(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 512L),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                            AS BIGINT) AS n
+                FROM documents WHERE trim(text) <> ''),
+              c AS (
+                SELECT doc_id, n,
+                       CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS ca
+                FROM t),
+              b AS (SELECT doc_id, n, ca, ca - n AS cb FROM c),
+              e AS (
+                SELECT doc_id, n, cb,
+                       unnest(generate_series(cb // 512, (ca - 1) // 512))
+                         AS pack_id
+                FROM b)
+              SELECT CAST(pack_id AS BIGINT) AS pack_id, doc_id,
+                     CAST(greatest(pack_id * 512 - cb, 0) AS BIGINT)
+                       AS tok_start,
+                     CAST(least((pack_id + 1) * 512 - cb, n)
+                          - greatest(pack_id * 512 - cb, 0) AS BIGINT)
+                       AS n_pack_tokens,
+                     CAST(cb + greatest(pack_id * 512 - cb, 0)
+                          - pack_id * 512 AS BIGINT) AS pack_offset
+              FROM e"""))
   )
 }
