@@ -40,7 +40,6 @@ object Checkpoints {
     * a bounded leak, never a wrong release.
     */
   def localCk(df: DataFrame): (DataFrame, () => Unit) = {
-    val sc = df.sparkSession.sparkContext
     val ck = df.localCheckpoint(false)
     (ck, releaseHandle(ck))
   }

@@ -15,30 +15,37 @@ object Scratch {
     * caller's own overwrite-mode write may have clobbered. */
   private val MaxAgeMs = 2L * 60 * 60 * 1000
 
-  /** A fresh, empty directory under the tag's fixed slot. Prior runs
-    * are reclaimed only when BOTH (a) their owner JVM is not alive
-    * (a pid recorded in `.owner` at creation; unreadable counts as
-    * dead) and (b) they are older than the grace window — so a
-    * CONCURRENT process on the same tag can never have its active run
-    * wiped mid-read (round-10 advice: `synchronized` is JVM-local, a
-    * whole-slot wipe raced other JVMs). Correctness never rests on
-    * reclaim: the returned directory is a NEWLY CREATED unique subdir,
-    * so stale files can neither leak into this run's results nor race
-    * its reads — reclaim bounds accumulation (≤ one grace window of
-    * dead runs), the unique subdir guarantees isolation.
+  /** A fresh, empty directory under the tag's fixed slot. A prior run is
+    * reclaimed only when BOTH (a) it is provably abandoned — its owner
+    * JVM (pid recorded in `.owner` at creation; unreadable counts as
+    * dead) is not alive, OR the owner is THIS jvm (a long-lived session
+    * must reclaim its own aged runs, else every Bench pass accumulates a
+    * corpus copy for the session's life) — and (b) it is older than the
+    * grace window, so a CONCURRENT process on the same tag can never
+    * have its active run wiped mid-read (round-10 advice: `synchronized`
+    * is JVM-local, a whole-slot wipe raced other JVMs), and a same-JVM
+    * reader inside its read window is equally safe. Correctness never
+    * rests on reclaim: the returned directory is a NEWLY CREATED unique
+    * subdir, so stale files can neither leak into this run's results nor
+    * race its reads — reclaim bounds accumulation (≤ one grace window of
+    * abandoned runs, any mix of owners), the unique subdir guarantees
+    * isolation. Residual exposure: an unrelated process reusing a dead
+    * owner's pid delays that run's reclaim until the squatter exits.
     */
   def dir(tag: String): String = synchronized {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_scratch", tag)
     java.nio.file.Files.createDirectories(root)
     val cutoff = System.currentTimeMillis() - MaxAgeMs
+    val self = ProcessHandle.current().pid()
     Option(root.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val alive = try {
+      val abandoned = try {
         val pid = new String(java.nio.file.Files.readAllBytes(
           f.toPath.resolve(".owner"))).trim.toLong
-        ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
-      } catch { case _: Exception => false }
-      if (!alive && f.lastModified() < cutoff) delete(f)
+        pid == self ||
+          !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+      } catch { case _: Exception => true }
+      if (abandoned && f.lastModified() < cutoff) delete(f)
     }
     val run = java.nio.file.Files.createTempDirectory(root, "run")
     java.nio.file.Files.write(run.resolve(".owner"),
@@ -46,7 +53,7 @@ object Scratch {
     run.toString
   }
 
-  private def delete(f: java.io.File): Unit = {
+  private[core] def delete(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
     f.delete()

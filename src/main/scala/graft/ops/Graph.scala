@@ -48,12 +48,13 @@ object Graph {
     *   - leaves huge (×LeafExpansion over the whole pool): COMPACT
     *     directly — evictable columnar cache, the mode that survives
     *     the measured ×100 memory cliff;
-    *   - the band between: cache compact and COUNT it (the count
-    *     materializes blocks the loop's first action needed anyway,
-    *     and yields exact rows), then upgrade to a pinned checkpoint
-    *     iff rows × unsafe-row width fits PinFraction of the pool (an
-    *     eager localCheckpoint copies from the warm cache — cheap, and
-    *     only ever mid-sized).
+    *   - the band between: COUNT the raw input once for an exact row
+    *     bound and pin iff rows × unsafe-row width × a 3× stabilized-
+    *     frame allowance fits PinFraction of the pool. The count is a
+    *     paid extra scan, but only in the ambiguous band (mid-sized
+    *     inputs, where a scan is seconds) — the measured
+    *     count-ALWAYS design cost +0.2–0.7 s on every ×1 bench row
+    *     and was rejected (PLANS.md round-11 storage-policy section).
     * A small-leaf query that EXPLODES into a huge derived table pins —
     * exactly what the round-10 pinned default always did — and the band
     * thresholds catch the ordinary growth long before the cliff.
@@ -80,6 +81,12 @@ object Graph {
         .map(_.trim.toLowerCase) match {
       case Some("true")  => lastDecision = "compact conf"; true
       case Some("false") => lastDecision = "pinned conf"; false
+      case Some(other) if other.nonEmpty && other != "auto" =>
+        // an explicit-but-unrecognized override must not silently fall
+        // through to auto (which may choose the opposite of what the
+        // user meant AND pay a surprise input count)
+        throw new IllegalArgumentException(
+          s"graft.graph.compactStorage must be true|false|auto, got '$other'")
       case _ =>
         val pool = storageBudget(rawInput)
         val leaves = rawInput.queryExecution.optimizedPlan.collectLeaves()

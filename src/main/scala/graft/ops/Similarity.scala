@@ -119,19 +119,27 @@ object Similarity {
     */
   def portableLshSignature(vec: Column, bits: Int, dim: Int): Column = {
     require(dim > 0, s"portable signature needs an explicit dim, got $dim")
+    require(bits >= 0, s"bits must be >= 0, got $bits")
     val md = java.security.MessageDigest.getInstance("MD5")
     def positive(k: Int, i: Int): Boolean = {
       val hex = md.digest(s"hp:$k:$i".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
       (java.lang.Long.parseLong(hex, 16) & 1L) == 0L
     }
-    (0 until bits).map { k =>
-      val dot = (0 until dim).map { i =>
-        val e = element_at(vec, i + 1)
-        if (positive(k, i)) e else -e
-      }.reduce(_ + _)
-      when(dot >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
+    // bits = 0 (one bucket) folds to the constant empty signature
+    val sig =
+      if (bits == 0) lit(0L)
+      else (0 until bits).map { k =>
+        val dot = (0 until dim).map { i =>
+          val e = element_at(vec, i + 1)
+          if (positive(k, i)) e else -e
+        }.reduce(_ + _)
+        when(dot >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    // NULL-safe like the native LshSignBitsExpr: a NULL or shorter-than-
+    // dim vector gets a NULL bucket (drops out of the equi-join) rather
+    // than silently aliasing into bucket 0 via the otherwise-branches
+    when(vec.isNotNull && size(vec) >= dim, sig)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: candidate

@@ -61,6 +61,21 @@ class GraphStorageSpec extends SparkSpec {
     }
   }
 
+  test("an unrecognized storage-conf value fails loudly instead of " +
+    "silently falling through to auto") {
+    spark.conf.set("graft.graph.compactStorage", "yes")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Graph.connectedComponents(chain(4), "a", "b").count()
+      }
+      assert(e.getMessage.contains("true|false|auto"))
+    } finally spark.conf.unset("graft.graph.compactStorage")
+    // "auto" and "" are explicit spellings of the default decision path
+    spark.conf.set("graft.graph.compactStorage", "auto")
+    try assert(Graph.connectedComponents(chain(4), "a", "b").count() == 4L)
+    finally spark.conf.unset("graft.graph.compactStorage")
+  }
+
   test("pageRank tol-mode convergence releases the loop invariants") {
     spark.conf.unset("graft.graph.compactStorage")
     Graph.budgetOverride = None

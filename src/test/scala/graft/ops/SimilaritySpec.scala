@@ -172,6 +172,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out(5L) == (5L, false))
   }
 
+  test("portableLshSignature: NULL and shorter-than-dim vectors get a " +
+    "NULL bucket (never alias into bucket 0); bits=0 is the one-bucket fold") {
+    val df = Seq(
+      (1L, Option(Array(1.0, 2.0, 3.0))),
+      (2L, Option(Array(1.0, 2.0))), // too short for dim=3
+      (3L, Option.empty[Array[Double]])).toDF("id", "v")
+    val out = df.select($"id",
+      Similarity.portableLshSignature($"v", bits = 4, dim = 3).as("b"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(out(1L).isDefined)
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+    val one = df.where($"id" === 1L).select(
+      Similarity.portableLshSignature($"v", bits = 0, dim = 3)).head().getLong(0)
+    assert(one == 0L) // nClusters = 1 -> constant cell, no empty-reduce crash
+  }
+
   test("semDedup portable mode rejects a non-power-of-two cell count") {
     val pts = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "v")
     intercept[IllegalArgumentException] {
