@@ -176,4 +176,47 @@ object Sampling {
       .select(col("__id").as("id"), col("__s").as("source"),
         col("__wt").as("weight"), col("tier"), col("selected"))
   }
+
+  /** Fractional-epoch mixture replication — the data-mixing complement
+    * of [[mixtureSchedule]] (which ORDERS) and [[tokenBudgetFill]]
+    * (which CUTS): this one REPEATS. Domain d's docs each appear
+    * floor(e_d) times, plus once more when a deterministic per-doc
+    * portable md5 draw lands under frac(e_d) — so the realized corpus
+    * hits the target epoch mix ("2.25 epochs of wiki, 0.5 of web") with
+    * zero RNG state: identical on every engine, every rerun, every
+    * partitioning. Epochs < 1 act as a keep-probability downsample.
+    *
+    * Exact arithmetic: epochs arrive quantized to ppm; the draw
+    * compares the 48-bit md5 value against thr = ⌊frac_ppm·2^48/10^6⌋
+    * computed in BigInt on the DRIVER — executors run one integer
+    * comparison, no floats anywhere.
+    *
+    * Scale shape: one broadcast join against the tiny domain table, one
+    * codegen'd md5 + comparison, one explode — the corpus itself never
+    * shuffles; output rows ≈ Σ_d |d|·e_d by construction. Emits
+    * (id, domain, epoch_copy) with epoch_copy 1-based.
+    */
+  def epochMix(df: DataFrame, idCol: Column, domainCol: Column,
+               epochsPpm: Map[String, Long], defaultPpm: Long = 1000000L,
+               salt: String = ""): DataFrame = {
+    require(defaultPpm >= 0 && epochsPpm.values.forall(_ >= 0),
+      "epoch weights must be >= 0 ppm")
+    def thr(ppm: Long): Long = ((BigInt(ppm % 1000000L) << 48) / 1000000L).toLong
+    val session = df.sparkSession
+    import session.implicits._
+    val doms = epochsPpm.toSeq
+      .map { case (d, ppm) => (d, ppm / 1000000L, thr(ppm)) }
+      .toDF("__dom", "__base", "__thr")
+    val draw = TextAnalysis.portableHash48(
+      concat(lit("mix:"), lit(salt), col("id").cast("string")))
+    df.select(idCol.as("id"), domainCol.as("domain"))
+      .join(broadcast(doms), col("domain") === col("__dom"), "left")
+      .withColumn("__copies",
+        coalesce(col("__base"), lit(defaultPpm / 1000000L)) +
+          when(draw < coalesce(col("__thr"), lit(thr(defaultPpm))), 1L)
+            .otherwise(0L))
+      .where(col("__copies") > 0)
+      .select(col("id"), col("domain"),
+        explode(sequence(lit(1L), col("__copies"))).as("epoch_copy"))
+  }
 }

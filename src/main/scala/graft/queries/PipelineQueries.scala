@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Graph, Packing, Profiling, Windows}
+import graft.ops.{Graph, Packing, Profiling, Sampling, Windows}
 
 /** Pipeline-support operators a 100 TB curation stack runs around the
   * transforms themselves: dataset profiling (the pre/post-flight
@@ -384,6 +384,38 @@ object PipelineQueries {
                        AS n_pack_tokens,
                      CAST(cb + greatest(pack_id * 512 - cb, 0)
                           - pack_id * 512 AS BIGINT) AS pack_offset
-              FROM e"""))
+              FROM e""")),
+
+    // ---- fractional-epoch mixture replication: src1 at 2.25 epochs,
+    //      src2 at 0.5 (downsample), src3 at 3.0, everything else 1.0.
+    //      The fractional draw is the portable 48-bit md5 family
+    //      against a driver-computed BigInt threshold — the oracle
+    //      replays base + draw < thr + generate_series exactly
+    //      (thr(0.25) = 2^46, thr(0.5) = 2^47) ----
+    Q("q173_epoch_mix",
+      (s, dir) => Sampling.epochMix(
+        Tables.load(s, dir, "documents"), col("doc_id"), col("source"),
+        epochsPpm = Map("src1" -> 2250000L, "src2" -> 500000L,
+          "src3" -> 3000000L)),
+      Some("""WITH d AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5('mix:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+                         AS draw
+                FROM documents),
+              c AS (
+                SELECT doc_id, source,
+                       CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 0
+                                   WHEN 'src3' THEN 3 ELSE 1 END
+                       + CASE WHEN draw < (CASE source
+                               WHEN 'src1' THEN 70368744177664
+                               WHEN 'src2' THEN 140737488355328
+                               ELSE 0 END) THEN 1 ELSE 0 END AS copies
+                FROM d)
+              SELECT doc_id AS id, source AS domain,
+                     CAST(e.ec AS BIGINT) AS epoch_copy
+              FROM c, LATERAL (
+                SELECT unnest(generate_series(1, copies)) AS ec) e
+              WHERE copies > 0"""))
   )
 }

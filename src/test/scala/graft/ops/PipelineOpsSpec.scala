@@ -174,6 +174,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Seq(3L, 4L, 5L, 6L).count(got2) == 1)
   }
 
+  test("epochMix: integer epochs replicate exactly, fractional epochs " +
+    "match the driver-replayed draw, 0.x acts as downsample") {
+    val df = (1L to 400L).map(i =>
+      (i, if (i <= 100) "a" else if (i <= 200) "b"
+          else if (i <= 300) "c" else "d")).toDF("doc_id", "dom")
+    val out = Sampling.epochMix(df, $"doc_id", $"dom",
+      epochsPpm = Map("a" -> 3000000L, "b" -> 2500000L, "c" -> 500000L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom("a") == 300) // exactly 3 epochs
+    assert(byDom("d") == 100) // default: exactly 1 epoch
+    // replay the draw on the driver: thr(frac) = floor(frac_ppm*2^48/1e6)
+    def extra(id: Long, fracPpm: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mix:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) <
+        ((BigInt(fracPpm) << 48) / 1000000L).toLong
+    }
+    val expB = (101L to 200L).map(i => 2 + (if (extra(i, 500000L)) 1 else 0)).sum
+    val expC = (201L to 300L).count(i => extra(i, 500000L))
+    assert(byDom("b") == expB)
+    assert(byDom.getOrElse("c", 0) == expC)
+    // epoch_copy is 1..copies per doc, dense
+    val copies = out.filter(_._1 == 1L).map(_._3).sorted.toSeq
+    assert(copies == Seq(1L, 2L, 3L))
+  }
+
   test("vocabCoverage: exact ppm over a known distribution") {
     // 10 occurrences: "a"×5, "b"×3, "c"×2 → top-1 covers 500000 ppm,
     // top-2 800000, top-3 1000000
