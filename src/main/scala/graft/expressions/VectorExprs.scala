@@ -66,6 +66,13 @@ object VectorExprs {
     */
   def hashedBow(tokens: Column, dim: Int): Column =
     ExpressionUtils.column(HashedBowExpr(ExpressionUtils.expression(tokens), dim))
+
+  /** Portable md5-Rademacher LSH sign bits in one compiled loop (see
+    * [[PortableLshSigExpr]]); NULL for NULL or shorter-than-dim vectors.
+    */
+  def portableLshSig(vec: Column, bits: Int, dim: Int): Column =
+    ExpressionUtils.column(PortableLshSigExpr(
+      ExpressionUtils.expression(vec), bits, dim))
 }
 
 case class CosineSimExpr(left: Expression, right: Expression)
@@ -380,5 +387,103 @@ object HashedBowExpr {
     xs(nz) = 1.0
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](new GenericArrayData(bs), new GenericArrayData(xs)))
+  }
+}
+
+/** The portable (md5-derived Rademacher hyperplane) LSH signature as ONE
+  * compiled loop per row — semantically identical to the unrolled
+  * ±element_at Column formulation it replaces (see
+  * graft.ops.Similarity.portableLshSignature): plane (k,i) contributes
+  * +x_i when md5("hp:k:i")'s first-48-bit value is even, −x_i otherwise,
+  * the per-plane dot folds STRICTLY in index order (bit-identical FP
+  * across engines — the q41/q43/q71 oracle family), and a NULL or
+  * shorter-than-dim vector yields NULL. The unrolled form was correct
+  * but paid bits×dim expression nodes per evaluation site: q41 spent
+  * seconds in codegen compilation alone and evaluated the projection on
+  * both self-join sides. The sign matrix is derived once per (bits,dim)
+  * per JVM and cached — no RNG state, nothing shipped.
+  */
+case class PortableLshSigExpr(child: Expression, bits: Int, dim: Int)
+  extends UnaryExpression {
+  require(bits >= 0 && bits <= 63, s"bits must be in [0, 63], got $bits")
+  require(dim > 0, s"dim must be positive, got $dim")
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType | FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"portable_lsh_sig needs array<double|float>, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "portable_lsh_sig"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() < dim) null
+    else java.lang.Long.valueOf(
+      PortableLshSigExpr.compute(a, isFloat, bits, dim))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() < $dim) { ${ev.isNull} = true; }
+      else { ${ev.value} =
+        graft.expressions.PortableLshSigExpr.compute($c, $isFloat, $bits, $dim); }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PortableLshSigExpr =
+    copy(child = newChild)
+}
+
+object PortableLshSigExpr {
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Byte]]()
+
+  /** Flattened bits×dim Rademacher signs: +1 when the first 48 bits of
+    * md5("hp:k:i") are even — the EXACT family the DuckDB oracles
+    * re-derive (and the retired unrolled Column form used).
+    */
+  private[expressions] def signsFor(bits: Int, dim: Int): Array[Byte] =
+    signCache.computeIfAbsent((bits, dim), { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Byte](bits * dim)
+      var k = 0
+      while (k < bits) {
+        var i = 0
+        while (i < dim) {
+          val hex = md.digest(s"hp:$k:$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+          out(k * dim + i) =
+            if ((java.lang.Long.parseLong(hex, 16) & 1L) == 0L) 1 else -1
+          i += 1
+        }
+        k += 1
+      }
+      out
+    })
+
+  def compute(a: ArrayData, isFloat: Boolean, bits: Int, dim: Int): Long = {
+    val signs = signsFor(bits, dim)
+    var sig = 0L
+    var k = 0
+    while (k < bits) {
+      var dot = 0.0
+      val off = k * dim
+      var i = 0
+      while (i < dim) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        dot += (if (signs(off + i) > 0) x else -x)
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
   }
 }

@@ -110,36 +110,23 @@ object Similarity {
     * keep the arithmetic EXACT: negation is lossless where a float
     * multiply would round engine-specifically.
     *
-    * The plane signs are row-INDEPENDENT, so they are derived ONCE on
-    * the driver (same md5 bytes the SQL oracle computes) and unrolled
-    * into a codegen'd ±element_at sum — a lambda formulation
+    * The plane signs are row-INDEPENDENT: [[graft.expressions.PortableLshSigExpr]]
+    * derives them once per (bits, dim) per JVM and runs ONE compiled
+    * bits×dim loop per row with the same strict index-order fold. The
+    * history of this hot path, worst to best: a lambda formulation
     * (`aggregate(zip_with(...))`) re-hashed every (row × bit × dim)
-    * INTERPRETED, the round-11 ×100 board finding. `dim` pins the
-    * unroll width; vectors must carry at least `dim` elements.
+    * INTERPRETED (the round-11 ×100 board finding); an unrolled
+    * ±element_at Column sum was codegen'd but carried bits×dim
+    * expression NODES — seconds of janino compilation per plan, paid
+    * per self-join side (q41: 3.46 s warm at sf0.1); the native
+    * expression is 0.58 s. NULL or shorter-than-`dim` vectors yield a
+    * NULL bucket (they drop out of bucket equi-joins, like the native
+    * XXH64 family).
     */
   def portableLshSignature(vec: Column, bits: Int, dim: Int): Column = {
     require(dim > 0, s"portable signature needs an explicit dim, got $dim")
     require(bits >= 0, s"bits must be >= 0, got $bits")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def positive(k: Int, i: Int): Boolean = {
-      val hex = md.digest(s"hp:$k:$i".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
-      (java.lang.Long.parseLong(hex, 16) & 1L) == 0L
-    }
-    // bits = 0 (one bucket) folds to the constant empty signature
-    val sig =
-      if (bits == 0) lit(0L)
-      else (0 until bits).map { k =>
-        val dot = (0 until dim).map { i =>
-          val e = element_at(vec, i + 1)
-          if (positive(k, i)) e else -e
-        }.reduce(_ + _)
-        when(dot >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-      }.reduce((x, y) => x.bitwiseOR(y))
-    // NULL-safe like the native LshSignBitsExpr: a NULL or shorter-than-
-    // dim vector gets a NULL bucket (drops out of the equi-join) rather
-    // than silently aliasing into bucket 0 via the otherwise-branches
-    when(vec.isNotNull && size(vec) >= dim, sig)
+    graft.expressions.VectorExprs.portableLshSig(vec, bits, dim)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: candidate
@@ -150,10 +137,13 @@ object Similarity {
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                         bits: Int, threshold: Double,
                         portableDim: Int = 0): DataFrame = {
-    val sig = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
+    val sig0 = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
       .withColumn("__bucket",
         if (portableDim > 0) portableLshSignature(col("__v"), bits, portableDim)
         else lshSignature(col("__v"), bits))
+    // same measured reasoning as [[lshTopK]]: one snapshot beats two
+    // evaluations of the signature loop across the self-join sides
+    val sig = if (portableDim > 0) sig0.localCheckpoint(false) else sig0
     val a = sig.select(col("__bucket"), col(idCol).as("id_a"), col("__v").as("__va"))
     val b = sig.select(col("__bucket"), col(idCol).as("id_b"), col("__v").as("__vb"))
     a.join(b, Seq("__bucket"))
@@ -266,10 +256,14 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               bits: Int, k: Int, portableDim: Int = 0): DataFrame = {
-    val sig = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
+    val sig0 = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
       .withColumn("__bucket",
         if (portableDim > 0) portableLshSignature(col("__v"), bits, portableDim)
         else lshSignature(col("__v"), bits))
+    // materialize the signature once for the self-join (measured at ×100:
+    // q41 20.3 vs 20.7 s, q43 38.1 vs 45.1 s — recomputing the native
+    // loop per side loses to one narrow (id, bucket, vec) snapshot)
+    val sig = if (portableDim > 0) sig0.localCheckpoint(false) else sig0
     val a = sig.select(col("__bucket"), col(idCol).as("query_id"), col("__v").as("__qv"))
     val b = sig.select(col("__bucket"), col(idCol).as("neighbor_id"), col("__v").as("__cv"))
     val scored = a.join(b, Seq("__bucket"))
