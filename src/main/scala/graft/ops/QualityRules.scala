@@ -92,6 +92,96 @@ object QualityRules {
     * Returns (id, n_hits, n_phrases) for documents with ≥ 1 match;
     * join back `left_anti` to scrub, or `left` + null-check to flag.
     */
+  /** Gopher's REPETITION battery (Rae et al. 2021 §A1.1.2, the half of
+    * the quality heuristics [[gopherRules]] does not cover): per-document
+    * duplicate-line / duplicate-paragraph fractions by count and by
+    * character mass, plus the fraction of word characters claimed by the
+    * single most frequent word n-gram for n = 2,3,4. Templated pages,
+    * scraper loops and keyword-stuffed spam light these up while leaving
+    * natural prose near zero — the standard repetition gate before
+    * training-data export.
+    *
+    * Exact semantics (documented because the oracle reproduces them
+    * bit-for-bit): lines split on `\n`, paragraphs on `\n{2,}`, both
+    * trimmed with blank segments dropped; an occurrence is a *duplicate*
+    * when an identical segment already occurred, so a segment appearing
+    * c times contributes c−1 duplicates and len·(c−1) duplicate chars.
+    * The top n-gram is the max-count gram over whitespace tokens with
+    * ties broken to the lexicographically smallest; its char mass is
+    * count · (gram length excluding joining spaces), over total token
+    * chars. All ratios are ppm longs under truncating integer division
+    * (non-negative, so Spark `div` ≡ DuckDB `//`). Docs that are blank
+    * after trim produce no output row; docs shorter than n tokens score
+    * 0 for that n.
+    *
+    * Scale shape: one tokenizing scan explodes each doc to its segments
+    * (lines + paragraphs + 3 gram streams ≈ 3.3× token count), then two
+    * keyed linear aggregations — (id, kind, segment) with map-side
+    * partial combine (duplicates collapse before the wire), then (id).
+    * No join, no all-pairs, no driver round-trip; skew is bounded by the
+    * largest single document.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val txt = col(textCol)
+    val toks = TextAnalysis.tokens(txt)
+    val wordChars = aggregate(transform(toks, w => length(w).cast("long")),
+      lit(0L), (a, v) => a + v)
+    def tag(arr: Column, kind: String): Column =
+      transform(arr, x => struct(lit(kind).as("kind"), x.as("v")))
+    def cleaned(arr: Column): Column =
+      filter(transform(arr, x => trim(x)), x => x =!= "")
+    val lines = cleaned(split(txt, "\n"))
+    val paras = cleaned(split(txt, "\n{2,}"))
+    def grams(n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val segs = concat(tag(lines, "L"), tag(paras, "P"),
+      tag(grams(2), "G2"), tag(grams(3), "G3"), tag(grams(4), "G4"))
+    val ex = df.where(trim(txt) =!= "")
+      .select(col(idCol), wordChars.as("__wc"), explode(segs).as("s"))
+      .select(col(idCol), col("__wc"),
+        col("s.kind").as("__k"), col("s.v").as("__v"))
+    val counts = ex.groupBy(col(idCol), col("__k"), col("__v"))
+      .agg(count(lit(1)).as("__c"), max(col("__wc")).as("__wc"))
+    val per = counts.groupBy(col(idCol), col("__k"))
+      .agg(max(col("__wc")).as("__wc"),
+        sum(col("__c")).as("__total"),
+        sum(col("__c") - 1).as("__dups"),
+        sum(length(col("__v")).cast("long") * col("__c")).as("__chars"),
+        sum(length(col("__v")).cast("long") * (col("__c") - 1)).as("__dupchars"),
+        // max count, ties to smallest gram: min over (−count, gram)
+        min(struct((-col("__c")).as("nc"), col("__v").as("v"))).as("__top"))
+    def pick(k: String, c: Column): Column = max(when(col("__k") === k, c))
+    val topMass = (-col("__top.nc")) *
+      length(translate(col("__top.v"), " ", "")).cast("long")
+    per.groupBy(col(idCol))
+      .agg(max(col("__wc")).as("__wc"),
+        pick("L", col("__total")).as("n_lines"),
+        pick("L", col("__dups")).as("__ld"),
+        pick("L", col("__chars")).as("__lc"),
+        pick("L", col("__dupchars")).as("__ldc"),
+        pick("P", col("__total")).as("n_paras"),
+        pick("P", col("__dups")).as("__pd"),
+        pick("P", col("__chars")).as("__pc"),
+        pick("P", col("__dupchars")).as("__pdc"),
+        pick("G2", topMass).as("__g2m"),
+        pick("G3", topMass).as("__g3m"),
+        pick("G4", topMass).as("__g4m"))
+      .select(col(idCol), col("n_lines"),
+        expr("__ld * 1000000 div n_lines").as("dup_line_ppm"),
+        expr("case when __lc > 0 then __ldc * 1000000 div __lc else 0 end")
+          .as("dup_line_char_ppm"),
+        col("n_paras"),
+        expr("__pd * 1000000 div n_paras").as("dup_para_ppm"),
+        expr("case when __pc > 0 then __pdc * 1000000 div __pc else 0 end")
+          .as("dup_para_char_ppm"),
+        expr("coalesce(__g2m * 1000000 div __wc, 0)").as("top2_char_ppm"),
+        expr("coalesce(__g3m * 1000000 div __wc, 0)").as("top3_char_ppm"),
+        expr("coalesce(__g4m * 1000000 div __wc, 0)").as("top4_char_ppm"))
+  }
+
   def blocklistHits(df: DataFrame, textCol: String, idCol: String,
                     phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "blocklistHits: empty dictionary")

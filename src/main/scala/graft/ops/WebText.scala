@@ -120,6 +120,55 @@ object WebText {
           " ")).as("clean_md5"))
   }
 
+  /** Corpus-level boilerplate line removal (RefinedWeb/CCNet-style):
+    * a line is boilerplate when it appears in at least `minDocs`
+    * DISTINCT documents — cookie banners, nav footers, per-source
+    * chrome — and every occurrence is stripped from every doc. This is
+    * deliberately different from [[sentenceDedup]] (first occurrence
+    * kept, later copies dropped): document-frequency thresholding
+    * removes ALL copies of corpus-wide chrome while leaving a phrase
+    * two docs happen to share untouched.
+    *
+    * Lines are `\n`-split, trimmed, blank lines dropped. Returns
+    * (id, n_lines, n_removed, clean_md5) where clean is the surviving
+    * lines rejoined with `\n` in original order (md5('') when a doc is
+    * all boilerplate).
+    *
+    * Scale shape: explode to (id, idx, line); one linear aggregation on
+    * the line string for document frequency (map-side partial distinct
+    * per (line, id)); a keyed hash join of lines against the bounded
+    * boilerplate set — NOT broadcast by assumption (an adversarial
+    * corpus can have many frequent lines; AQE promotes to broadcast
+    * when it is in fact small); one reassembly aggregation keyed by id
+    * collecting only the doc's own lines. Linear in total lines, no
+    * all-pairs, no driver round-trip.
+    */
+  def boilerplateStrip(df: org.apache.spark.sql.DataFrame,
+                       textCol: String, idCol: String,
+                       minDocs: Long): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"boilerplateStrip: minDocs must be >= 2 ($minDocs)")
+    val lines = df.where(trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        posexplode(filter(transform(split(col(textCol), "\n"), x => trim(x)),
+          x => x =!= "")).as(Seq("__idx", "__line")))
+    val boiler = lines.groupBy(col("__line"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("__line").as("__boiler"))
+    lines.join(boiler, col("__line") === col("__boiler"), "left")
+      .select(col(idCol), col("__idx"), col("__line"),
+        col("__boiler").isNotNull.as("__isb"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__isb"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("__isb"), struct(col("__idx"), col("__line"))))),
+            x => x.getField("__line")),
+          "\n")).as("clean_md5"))
+  }
+
   /** Occurrences of a literal marker in `s` — `(len(s) - len(s with
     * marker removed)) / len(marker)`, the shuffle-free idiom every SQL
     * engine shares.

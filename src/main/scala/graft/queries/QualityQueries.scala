@@ -473,6 +473,169 @@ object QualityQueries {
                      CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_root AS VARCHAR)
                             || 'leak1'), 1, 8)) AS UBIGINT) % 100 < 90
                           THEN 'train' ELSE 'val' END AS split
-              FROM lab"""))
+              FROM lab""")),
+
+    // ---- Gopher repetition battery (dup-line / dup-paragraph count +
+    //      char fractions, top n-gram char mass). The fixture corpus is
+    //      single-line, so both engines derive the same structured page:
+    //      6-token lines, every 3rd line duplicated (within-doc dups by
+    //      construction), paragraphs of 4 lines — then the graded
+    //      operator computes the signals from the '\n'-structured text.
+    Q("q174_repetition_signals",
+      (s, dir) => {
+        val toks = graft.ops.TextAnalysis.tokens(col("text"))
+        val nLines = ((size(toks) + lit(5)) / 6).cast("int")
+        val base = transform(sequence(lit(0), nLines - 1),
+          i => array_join(slice(toks, i * 6 + 1, lit(6)), " "))
+        val extras = transform(
+          filter(sequence(lit(0), nLines - 1), i => i % 3 === 0),
+          i => element_at(base, i + 1))
+        val lns = concat(base, extras)
+        val np = ((size(lns) + lit(3)) / 4).cast("int")
+        val synth = array_join(
+          transform(sequence(lit(0), np - 1),
+            j => array_join(slice(lns, j * 4 + 1, lit(4)), "\n")),
+          "\n\n")
+        QualityRules.repetitionSignals(
+          Tables.load(s, dir, "documents")
+            .where(trim(col("text")) =!= "")
+            .select(col("doc_id"), synth.as("t")),
+          "t", "doc_id")
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE trim(text) <> ''),
+              b AS (
+                SELECT doc_id, list_transform(
+                         generate_series(0, CAST((len(ws)+5)//6 AS INTEGER)-1),
+                         i -> array_to_string(ws[i*6+1 : i*6+6], ' ')) AS base
+                FROM w),
+              a AS (
+                SELECT doc_id, list_concat(base,
+                         [base[i] FOR i IN generate_series(1, len(base))
+                                  IF (i-1)%3 = 0]) AS lns
+                FROM b),
+              sy AS (
+                SELECT doc_id, array_to_string(
+                         list_transform(
+                           generate_series(0, CAST((len(lns)+3)//4 AS INTEGER)-1),
+                           j -> array_to_string(lns[j*4+1 : j*4+4], chr(10))),
+                         chr(10)||chr(10)) AS synth
+                FROM a),
+              tk AS (SELECT doc_id, synth,
+                            regexp_split_to_array(trim(synth), '\s+') AS t
+                     FROM sy),
+              wc AS (SELECT doc_id,
+                            CAST(list_sum(list_transform(t, x -> length(x)))
+                              AS BIGINT) AS wchars
+                     FROM tk),
+              lseg AS (SELECT doc_id,
+                              unnest([trim(x) FOR x IN string_split(synth, chr(10))
+                                      IF trim(x) <> '']) AS v
+                       FROM sy),
+              pseg AS (SELECT doc_id,
+                              unnest([trim(x) FOR x IN
+                                      regexp_split_to_array(synth, '\n{2,}')
+                                      IF trim(x) <> '']) AS v
+                       FROM sy),
+              lc AS (SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c
+                     FROM lseg GROUP BY 1, 2),
+              lm AS (SELECT doc_id, SUM(c) AS n, SUM(c-1) AS d,
+                            SUM(length(v)*c) AS ch, SUM(length(v)*(c-1)) AS dch
+                     FROM lc GROUP BY 1),
+              pq AS (SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c
+                     FROM pseg GROUP BY 1, 2),
+              pm AS (SELECT doc_id, SUM(c) AS n, SUM(c-1) AS d,
+                            SUM(length(v)*c) AS ch, SUM(length(v)*(c-1)) AS dch
+                     FROM pq GROUP BY 1),
+              gi AS (SELECT doc_id, t, n,
+                            unnest(generate_series(1, len(t)-n+1)) AS i
+                     FROM tk, (SELECT unnest([2,3,4]) AS n) ns
+                     WHERE len(t) >= n),
+              g AS (SELECT doc_id, n, array_to_string(t[i : i+n-1], ' ') AS v
+                    FROM gi),
+              gc AS (SELECT doc_id, n, v, CAST(count(*) AS BIGINT) AS c
+                     FROM g GROUP BY 1, 2, 3),
+              gt AS (SELECT doc_id, n,
+                            c * CAST(length(replace(v, ' ', '')) AS BIGINT) AS mass,
+                            row_number() OVER (PARTITION BY doc_id, n
+                                               ORDER BY c DESC, v ASC) AS rn
+                     FROM gc),
+              gm AS (SELECT doc_id,
+                            MAX(CASE WHEN n = 2 THEN mass END) AS m2,
+                            MAX(CASE WHEN n = 3 THEN mass END) AS m3,
+                            MAX(CASE WHEN n = 4 THEN mass END) AS m4
+                     FROM gt WHERE rn = 1 GROUP BY 1)
+              SELECT lm.doc_id,
+                CAST(lm.n AS BIGINT) AS n_lines,
+                CAST(lm.d * 1000000 // lm.n AS BIGINT) AS dup_line_ppm,
+                CAST(CASE WHEN lm.ch > 0 THEN lm.dch * 1000000 // lm.ch
+                          ELSE 0 END AS BIGINT) AS dup_line_char_ppm,
+                CAST(pm.n AS BIGINT) AS n_paras,
+                CAST(pm.d * 1000000 // pm.n AS BIGINT) AS dup_para_ppm,
+                CAST(CASE WHEN pm.ch > 0 THEN pm.dch * 1000000 // pm.ch
+                          ELSE 0 END AS BIGINT) AS dup_para_char_ppm,
+                CAST(COALESCE(gm.m2 * 1000000 // wc.wchars, 0) AS BIGINT)
+                  AS top2_char_ppm,
+                CAST(COALESCE(gm.m3 * 1000000 // wc.wchars, 0) AS BIGINT)
+                  AS top3_char_ppm,
+                CAST(COALESCE(gm.m4 * 1000000 // wc.wchars, 0) AS BIGINT)
+                  AS top4_char_ppm
+              FROM lm JOIN pm USING (doc_id) JOIN wc USING (doc_id)
+                   LEFT JOIN gm USING (doc_id)""")),
+
+    // ---- corpus-level boilerplate line strip (RefinedWeb-style): lines
+    //      in >= 10 distinct docs removed everywhere. Fixture injects
+    //      corpus-wide chrome (header/footer, df=500) and per-source
+    //      chrome ('src srcN', df=25) around unique content lines; the
+    //      operator must strip exactly the chrome and reassemble the
+    //      survivors in order. ----
+    Q("q175_boilerplate_strip",
+      (s, dir) => {
+        val toks = graft.ops.TextAnalysis.tokens(col("text"))
+        val nLines = ((size(toks) + lit(5)) / 6).cast("int")
+        val content = transform(sequence(lit(0), nLines - 1),
+          i => array_join(slice(toks, i * 6 + 1, lit(6)), " "))
+        val lns = concat(
+          array(lit("=== corpus header ===")),
+          array(concat(lit("src "), col("source"))),
+          content,
+          array(lit("--- footer ---")))
+        graft.ops.WebText.boilerplateStrip(
+          Tables.load(s, dir, "documents")
+            .where(trim(col("text")) =!= "")
+            .select(col("doc_id"), array_join(lns, "\n").as("t")),
+          "t", "doc_id", minDocs = 10L)
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, source,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE trim(text) <> ''),
+              sy AS (
+                SELECT doc_id, list_concat(
+                         list_concat(
+                           ['=== corpus header ===', 'src ' || source],
+                           list_transform(
+                             generate_series(0, CAST((len(ws)+5)//6 AS INTEGER)-1),
+                             i -> array_to_string(ws[i*6+1 : i*6+6], ' '))),
+                         ['--- footer ---']) AS lns
+                FROM w),
+              l AS (SELECT doc_id,
+                           CAST(generate_subscripts(lns, 1) AS BIGINT) AS idx,
+                           unnest(lns) AS line
+                    FROM sy),
+              f AS (SELECT line
+                    FROM (SELECT line, COUNT(DISTINCT doc_id) AS df
+                          FROM l GROUP BY 1)
+                    WHERE df >= 10),
+              m AS (SELECT l.doc_id, l.idx, l.line,
+                           (f.line IS NOT NULL) AS isb
+                    FROM l LEFT JOIN f ON l.line = f.line)
+              SELECT doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_lines,
+                CAST(SUM(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                md5(COALESCE(string_agg(line, chr(10) ORDER BY idx)
+                               FILTER (WHERE NOT isb), '')) AS clean_md5
+              FROM m GROUP BY 1"""))
   )
 }
