@@ -114,49 +114,85 @@ object QualityRules {
     * after trim produce no output row; docs shorter than n tokens score
     * 0 for that n.
     *
-    * Scale shape: one tokenizing scan explodes each doc to its segments
-    * (lines + paragraphs + 3 gram streams ≈ 3.3× token count), then two
-    * keyed linear aggregations — (id, kind, segment) with map-side
+    * Scale shape: two scans of the (id, text) projection — one explodes
+    * lines + paragraphs, one explodes tokens and forms the gram streams
+    * with `lead` windows (codegen'd; per-token Catalyst lambdas are
+    * interpreted `ArrayTransform.eval` and were measured 25× slower
+    * here — same trap as the round-11 minhash signature) — then two
+    * keyed linear aggregations: (id, kind, segment) with map-side
     * partial combine (duplicates collapse before the wire), then (id).
-    * No join, no all-pairs, no driver round-trip; skew is bounded by the
-    * largest single document.
+    * No join, no all-pairs, no driver round-trip; skew is bounded by
+    * the largest single document.
     */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val txt = col(textCol)
-    val toks = TextAnalysis.tokens(txt)
-    val wordChars = aggregate(transform(toks, w => length(w).cast("long")),
-      lit(0L), (a, v) => a + v)
+    val base = df.where(trim(txt) =!= "")
+      .select(col(idCol).as("__id"),
+        // total token chars = length with ALL whitespace removed
+        length(regexp_replace(txt, "\\s", "")).cast("long").as("__wc"),
+        txt.as("__t"))
+    // lines + paragraphs from ONE scan: a single generator over the two
+    // tagged splits (per-doc HOF cost is O(lines), not O(tokens) — the
+    // interpreted-lambda tax is negligible at this cardinality)
     def tag(arr: Column, kind: String): Column =
-      transform(arr, x => struct(lit(kind).as("kind"), x.as("v")))
-    def cleaned(arr: Column): Column =
-      filter(transform(arr, x => trim(x)), x => x =!= "")
-    val lines = cleaned(split(txt, "\n"))
-    val paras = cleaned(split(txt, "\n{2,}"))
-    def grams(n: Int): Column =
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-    val segs = concat(tag(lines, "L"), tag(paras, "P"),
-      tag(grams(2), "G2"), tag(grams(3), "G3"), tag(grams(4), "G4"))
-    val ex = df.where(trim(txt) =!= "")
-      .select(col(idCol), wordChars.as("__wc"), explode(segs).as("s"))
-      .select(col(idCol), col("__wc"),
-        col("s.kind").as("__k"), col("s.v").as("__v"))
-    val counts = ex.groupBy(col(idCol), col("__k"), col("__v"))
+      transform(
+        filter(transform(arr, x => trim(x)), x => x =!= ""),
+        x => struct(lit(kind).as("k"), x.as("v")))
+    val lineParaRows = base
+      .select(col("__id"), col("__wc"),
+        explode(concat(tag(split(col("__t"), "\n"), "L"),
+          tag(split(col("__t"), "\n{2,}"), "P"))).as("s"))
+      .select(col("__id"), col("__wc"),
+        col("s.k").as("__k"), col("s.v").as("__v"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__pos"))
+    val gramRows = base
+      .select(col("__id"), col("__wc"),
+        posexplode(split(trim(col("__t")), "\\s+")).as(Seq("__pos", "__w")))
+      .select(col("__id"), col("__wc"), col("__w"),
+        lead(col("__w"), 1).over(win).as("__l1"),
+        lead(col("__w"), 2).over(win).as("__l2"),
+        lead(col("__w"), 3).over(win).as("__l3"))
+      .select(col("__id"), col("__wc"),
+        explode(array(
+          struct(lit("G2").as("k"),
+            when(col("__l1").isNotNull,
+              concat_ws(" ", col("__w"), col("__l1"))).as("v")),
+          struct(lit("G3").as("k"),
+            when(col("__l2").isNotNull,
+              concat_ws(" ", col("__w"), col("__l1"), col("__l2"))).as("v")),
+          struct(lit("G4").as("k"),
+            when(col("__l3").isNotNull,
+              concat_ws(" ", col("__w"), col("__l1"), col("__l2"),
+                col("__l3"))).as("v")))).as("s"))
+      .select(col("__id"), col("__wc"),
+        col("s.k").as("__k"), col("s.v").as("__v"))
+      .where(col("__v").isNotNull)
+    val ex = lineParaRows.unionByName(gramRows)
+    val counts = ex.groupBy(col("__id"), col("__k"), col("__v"))
       .agg(count(lit(1)).as("__c"), max(col("__wc")).as("__wc"))
-    val per = counts.groupBy(col(idCol), col("__k"))
+    // Top gram = max count, ties to the smallest gram string. Encoded as
+    // min over ONE string key (12-digit zero-padded inverted count ++
+    // gram) so the aggregate stays HASH-based — min(struct(...)) forces
+    // SortAggregate (struct is not a mutable agg-buffer type), which
+    // costs two extra sorts on the hot path. Count is bounded by tokens
+    // per doc << 10^12, and grams are compared bytewise in both engines.
+    val topKey = concat(
+      lpad((lit(999999999999L) - col("__c")).cast("string"), 12, "0"),
+      col("__v"))
+    val per = counts.groupBy(col("__id"), col("__k"))
       .agg(max(col("__wc")).as("__wc"),
         sum(col("__c")).as("__total"),
         sum(col("__c") - 1).as("__dups"),
         sum(length(col("__v")).cast("long") * col("__c")).as("__chars"),
         sum(length(col("__v")).cast("long") * (col("__c") - 1)).as("__dupchars"),
-        // max count, ties to smallest gram: min over (−count, gram)
-        min(struct((-col("__c")).as("nc"), col("__v").as("v"))).as("__top"))
+        min(topKey).as("__top"))
     def pick(k: String, c: Column): Column = max(when(col("__k") === k, c))
-    val topMass = (-col("__top.nc")) *
-      length(translate(col("__top.v"), " ", "")).cast("long")
-    per.groupBy(col(idCol))
+    val topMass = (lit(999999999999L) - substring(col("__top"), 1, 12)
+        .cast("long")) *
+      length(translate(substring(col("__top"), 13, Int.MaxValue), " ", ""))
+        .cast("long")
+    per.groupBy(col("__id"))
       .agg(max(col("__wc")).as("__wc"),
         pick("L", col("__total")).as("n_lines"),
         pick("L", col("__dups")).as("__ld"),
@@ -169,7 +205,7 @@ object QualityRules {
         pick("G2", topMass).as("__g2m"),
         pick("G3", topMass).as("__g3m"),
         pick("G4", topMass).as("__g4m"))
-      .select(col(idCol), col("n_lines"),
+      .select(col("__id").as(idCol), col("n_lines"),
         expr("__ld * 1000000 div n_lines").as("dup_line_ppm"),
         expr("case when __lc > 0 then __ldc * 1000000 div __lc else 0 end")
           .as("dup_line_char_ppm"),

@@ -483,19 +483,18 @@ object QualityQueries {
     //      operator computes the signals from the '\n'-structured text.
     Q("q174_repetition_signals",
       (s, dir) => {
-        val toks = graft.ops.TextAnalysis.tokens(col("text"))
-        val nLines = ((size(toks) + lit(5)) / 6).cast("int")
-        val base = transform(sequence(lit(0), nLines - 1),
-          i => array_join(slice(toks, i * 6 + 1, lit(6)), " "))
-        val extras = transform(
-          filter(sequence(lit(0), nLines - 1), i => i % 3 === 0),
-          i => element_at(base, i + 1))
-        val lns = concat(base, extras)
-        val np = ((size(lns) + lit(3)) / 4).cast("int")
-        val synth = array_join(
-          transform(sequence(lit(0), np - 1),
-            j => array_join(slice(lns, j * 4 + 1, lit(4)), "\n")),
-          "\n\n")
+        // Pure-regex synthesis (codegen'd): per-token Catalyst lambdas
+        // are interpreted and were 25× slower. Produces the byte-same
+        // string as the oracle's list construction: 6-token lines,
+        // lines at 0-based index ≡ 0 (mod 3) appended as duplicates,
+        // '\n\n' inserted after every 4th line.
+        val norm = regexp_replace(trim(col("text")), "\\s+", " ")
+        val s1 = regexp_replace(norm, "((?:\\S++ ){5}\\S++) ", "$1\n")
+        val extras = regexp_extract_all(s1,
+          lit("([^\n]++)(?:\n[^\n]++){0,2}(?:\n|$)"), lit(1))
+        val dupped = concat_ws("\n", s1, array_join(extras, "\n"))
+        val synth = regexp_replace(dupped,
+          "((?:[^\n]*+\n){3}[^\n]*+)\n", "$1\n\n")
         QualityRules.repetitionSignals(
           Tables.load(s, dir, "documents")
             .where(trim(col("text")) =!= "")
@@ -592,19 +591,17 @@ object QualityQueries {
     //      survivors in order. ----
     Q("q175_boilerplate_strip",
       (s, dir) => {
-        val toks = graft.ops.TextAnalysis.tokens(col("text"))
-        val nLines = ((size(toks) + lit(5)) / 6).cast("int")
-        val content = transform(sequence(lit(0), nLines - 1),
-          i => array_join(slice(toks, i * 6 + 1, lit(6)), " "))
-        val lns = concat(
-          array(lit("=== corpus header ===")),
-          array(concat(lit("src "), col("source"))),
-          content,
-          array(lit("--- footer ---")))
+        // Regex line-chunking (same 6-token lines as q174's synth),
+        // chrome prepended/appended as literals.
+        val norm = regexp_replace(trim(col("text")), "\\s+", " ")
+        val chunks = regexp_replace(norm, "((?:\\S++ ){5}\\S++) ", "$1\n")
+        val synth = concat(
+          lit("=== corpus header ===\nsrc "), col("source"), lit("\n"),
+          chunks, lit("\n--- footer ---"))
         graft.ops.WebText.boilerplateStrip(
           Tables.load(s, dir, "documents")
             .where(trim(col("text")) =!= "")
-            .select(col("doc_id"), array_join(lns, "\n").as("t")),
+            .select(col("doc_id"), synth.as("t")),
           "t", "doc_id", minDocs = 10L)
       },
       Some("""WITH w AS (
