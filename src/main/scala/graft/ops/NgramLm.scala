@@ -67,6 +67,98 @@ object NgramLm {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_ppm"))
   }
 
+  /** Stupid-Backoff trigram scoring (Brants et al. 2007) in exact
+    * integer ppm — the CCNet shape: the LM is trained on a REFERENCE
+    * slice of the corpus (docs with `id % trainMod == 0`) and scores
+    * the rest, so unseen n-grams actually occur and the backoff chain
+    * does real work (scoring a corpus against itself never backs off).
+    *
+    *   S(w3|w1,w2) = c(w1w2w3)/c(w1w2)        if the trigram is seen
+    *               = 0.4 * S(w3|w2)           else
+    *   S(w3|w2)    = c(w2w3)/c(w2)            if the bigram is seen
+    *               = 0.4 * S(w3)              else
+    *   S(w3)       = c(w3)/N                  (0 if unseen)
+    *
+    * quantized to ppm with the 0.4 factor as the exact rational
+    * (2·x) div 5 — no float anywhere, scores bit-identical across
+    * engines. Output per scored doc: n_trigrams, n_hit3/n_hit2/n_hit1
+    * (positions resolved at each backoff level), score_ppm = mean
+    * trigram score (NULL when the doc has < 3 tokens).
+    *
+    * Scale shape: count tables are keyed hash aggregations over the
+    * (smaller) training slice; scoring is five keyed left joins from
+    * the trigram stream (AQE broadcasts the count tables while they
+    * fit, shuffle-joins past that), the corpus total N rides a 1-row
+    * broadcast. The gram streams are one window pass per side
+    * (`lead` over doc-keyed windows — the q174 codegen-friendly form,
+    * not interpreted array lambdas). No driver round-trips.
+    */
+  def backoffScore(df: DataFrame, textCol: String, idCol: String,
+                   trainMod: Int = 5): DataFrame = {
+    require(trainMod > 1, s"trainMod must be > 1, got $trainMod")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.where(trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(lower(col(textCol))))
+          .as(Seq("__p", "__w")))
+    val isTrain = pmod(col(idCol), lit(trainMod)) === 0
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    def grams(t: DataFrame): DataFrame = t
+      .withColumn("__w2", lead(col("__w"), 1).over(wDoc))
+      .withColumn("__w3", lead(col("__w"), 2).over(wDoc))
+
+    val trainToks = toks.where(isTrain).localCheckpoint(false)
+    val tg = grams(trainToks)
+    val c1 = trainToks.groupBy(col("__w")).agg(count(lit(1)).as("__c1"))
+    val nTot = trainToks.agg(count(lit(1)).as("__n"))
+    val c2 = tg.where(col("__w2").isNotNull)
+      .groupBy(col("__w"), col("__w2")).agg(count(lit(1)).as("__c2"))
+    val c3 = tg.where(col("__w3").isNotNull)
+      .groupBy(col("__w"), col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__c3"))
+
+    val sg = grams(toks.where(!isTrain)).where(col("__w3").isNotNull)
+      .select(col(idCol), col("__w").as("__g1"), col("__w2").as("__g2"),
+        col("__w3").as("__g3"))
+    val joined = sg
+      .join(c3.select(col("__w").as("__g1"), col("__w2").as("__g2"),
+        col("__w3").as("__g3"), col("__c3")),
+        Seq("__g1", "__g2", "__g3"), "left")
+      .join(c2.select(col("__w").as("__g1"), col("__w2").as("__g2"),
+        col("__c2").as("__c12")), Seq("__g1", "__g2"), "left")
+      .join(c2.select(col("__w").as("__g2"), col("__w2").as("__g3"),
+        col("__c2").as("__c23")), Seq("__g2", "__g3"), "left")
+      .join(c1.select(col("__w").as("__g2"), col("__c1").as("__c1w2")),
+        Seq("__g2"), "left")
+      .join(c1.select(col("__w").as("__g3"), col("__c1").as("__c1w3")),
+        Seq("__g3"), "left")
+      .crossJoin(broadcast(nTot))
+    val scored = joined.select(col(idCol),
+      expr("""CASE WHEN __c3 IS NOT NULL THEN __c3 * 1000000 div __c12
+                   WHEN __c23 IS NOT NULL
+                     THEN (2 * (__c23 * 1000000 div __c1w2)) div 5
+                   ELSE (2 * ((2 * (coalesce(__c1w3, 0L) * 1000000 div __n))
+                         div 5)) div 5 END""").as("__p_ppm"),
+      when(col("__c3").isNotNull, 1L).otherwise(0L).as("__h3"),
+      when(col("__c3").isNull && col("__c23").isNotNull, 1L)
+        .otherwise(0L).as("__h2"),
+      when(col("__c3").isNull && col("__c23").isNull &&
+        col("__c1w3").isNotNull, 1L).otherwise(0L).as("__h1"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("__h3")).as("n_hit3"),
+        sum(col("__h2")).as("n_hit2"), sum(col("__h1")).as("n_hit1"),
+        sum(col("__p_ppm")).as("__sp"))
+      .withColumn("score_ppm", expr("__sp div n_trigrams")).drop("__sp")
+    df.where(pmod(col(idCol), lit(trainMod)) =!= 0).select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_hit3"), lit(0L)).as("n_hit3"),
+        coalesce(col("n_hit2"), lit(0L)).as("n_hit2"),
+        coalesce(col("n_hit1"), lit(0L)).as("n_hit1"),
+        col("score_ppm"))
+  }
+
   final case class BpeMerge(round: Int, x: String, y: String, cnt: Long)
 
   /** FULL greedy BPE tokenizer training at corpus scale — `rounds`

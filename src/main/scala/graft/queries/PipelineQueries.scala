@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Graph, Packing, Profiling, Sampling, Windows}
+import graft.ops.{Conversations, Graph, Packing, Profiling, Sampling, Windows}
 
 /** Pipeline-support operators a 100 TB curation stack runs around the
   * transforms themselves: dataset profiling (the pre/post-flight
@@ -323,6 +323,50 @@ object PipelineQueries {
               FROM grid g
               LEFT JOIN ud u ON u.d BETWEEN g.day - 6 AND g.day
               GROUP BY 1""")),
+
+    // ---- SFT conversation assembly: 30-min sessionized event streams
+    //      become ordered turn transcripts with a hard 8-turn cap and
+    //      alternation QA (repeated labels flagged). The oracle rebuilds
+    //      every transcript with ordered string_agg, so session split,
+    //      turn order, cap, and violation counting must all agree ----
+    Q("q170_conversation_assembly",
+      (s, dir) => Conversations.assemble(
+        Tables.load(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id", gapSeconds = 1800L, maxTurns = 8),
+      Some("""WITH flagged AS (
+                SELECT event_id, user_id, ts, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                            > 1800
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              sess AS (
+                SELECT *, CAST(sum(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sess_id
+                FROM flagged),
+              turns AS (
+                SELECT *, row_number() OVER ws AS turn_idx,
+                       count(*) OVER (PARTITION BY user_id, sess_id)
+                         AS n_events
+                FROM sess
+                WINDOW ws AS (PARTITION BY user_id, sess_id
+                              ORDER BY ts, event_id)),
+              kept AS (SELECT * FROM turns WHERE turn_idx <= 8),
+              v AS (
+                SELECT *, CASE WHEN lag(event_type) OVER (
+                    PARTITION BY user_id, sess_id ORDER BY turn_idx)
+                    = event_type THEN 1 ELSE 0 END AS viol
+                FROM kept)
+              SELECT user_id, sess_id,
+                CAST(max(n_events) AS BIGINT) AS n_events,
+                CAST(count(*) AS BIGINT) AS n_turns,
+                string_agg(event_type, '>' ORDER BY turn_idx) AS transcript,
+                CAST(sum(viol) AS BIGINT) AS n_violations,
+                (max(n_events) > 8) AS truncated
+              FROM v GROUP BY 1, 2""")),
 
     // ---- overlapping token-window chunking (retrieval/eval windows
     //      with provenance): 32-token windows advancing 24, last chunk

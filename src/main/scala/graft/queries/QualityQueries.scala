@@ -633,6 +633,82 @@ object QualityQueries {
                 CAST(SUM(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
                 md5(COALESCE(string_agg(line, chr(10) ORDER BY idx)
                                FILTER (WHERE NOT isb), '')) AS clean_md5
-              FROM m GROUP BY 1"""))
+              FROM m GROUP BY 1""")),
+
+    // ---- Stupid-Backoff trigram LM scoring (Brants 2007 / the CCNet
+    //      perplexity-filter shape): LM trained on the doc_id%5==0
+    //      reference slice, scoring the rest, backoff factor 0.4 as the
+    //      exact rational (2x) div 5 — integer ppm end to end, so the
+    //      oracle replays trigram→bigram→unigram resolution exactly ----
+    Q("q176_backoff_lm",
+      (s, dir) => NgramLm.backoffScore(
+        Tables.load(s, dir, "documents"), "text", "doc_id", trainMod = 5),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                FROM documents WHERE trim(text) <> ''),
+              tr AS (SELECT doc_id, ws FROM t WHERE doc_id % 5 = 0),
+              sc AS (SELECT doc_id, ws FROM t WHERE doc_id % 5 <> 0),
+              tu AS (SELECT unnest(ws) AS w FROM tr),
+              c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+                     FROM tu GROUP BY 1),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tu),
+              tb AS (SELECT ws[CAST(i.i AS INTEGER)] AS w1,
+                            ws[CAST(i.i AS INTEGER) + 1] AS w2
+                     FROM tr, LATERAL (
+                       SELECT unnest(generate_series(1, len(ws) - 1)) AS i) i
+                     WHERE len(ws) >= 2),
+              c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                     FROM tb GROUP BY 1, 2),
+              tt AS (SELECT ws[CAST(i.i AS INTEGER)] AS w1,
+                            ws[CAST(i.i AS INTEGER) + 1] AS w2,
+                            ws[CAST(i.i AS INTEGER) + 2] AS w3
+                     FROM tr, LATERAL (
+                       SELECT unnest(generate_series(1, len(ws) - 2)) AS i) i
+                     WHERE len(ws) >= 3),
+              c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+                     FROM tt GROUP BY 1, 2, 3),
+              sg AS (SELECT doc_id, ws[CAST(i.i AS INTEGER)] AS w1,
+                            ws[CAST(i.i AS INTEGER) + 1] AS w2,
+                            ws[CAST(i.i AS INTEGER) + 2] AS w3
+                     FROM sc, LATERAL (
+                       SELECT unnest(generate_series(1, len(ws) - 2)) AS i) i
+                     WHERE len(ws) >= 3),
+              j AS (
+                SELECT sg.doc_id, c3.c3, c12.c2 AS c12, c23.c2 AS c23,
+                       c1a.c1 AS c1w2, c1b.c1 AS c1w3, n.n
+                FROM sg
+                LEFT JOIN c3 ON sg.w1 = c3.w1 AND sg.w2 = c3.w2
+                            AND sg.w3 = c3.w3
+                LEFT JOIN c2 c12 ON sg.w1 = c12.w1 AND sg.w2 = c12.w2
+                LEFT JOIN c2 c23 ON sg.w2 = c23.w1 AND sg.w3 = c23.w2
+                LEFT JOIN c1 c1a ON sg.w2 = c1a.w
+                LEFT JOIN c1 c1b ON sg.w3 = c1b.w
+                CROSS JOIN n),
+              p AS (
+                SELECT doc_id,
+                  CASE WHEN c3 IS NOT NULL THEN c3 * 1000000 // c12
+                       WHEN c23 IS NOT NULL
+                         THEN (2 * (c23 * 1000000 // c1w2)) // 5
+                       ELSE (2 * ((2 * (COALESCE(c1w3, 0) * 1000000 // n))
+                             // 5)) // 5 END AS p_ppm,
+                  CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END AS h3,
+                  CASE WHEN c3 IS NULL AND c23 IS NOT NULL
+                       THEN 1 ELSE 0 END AS h2,
+                  CASE WHEN c3 IS NULL AND c23 IS NULL
+                        AND c1w3 IS NOT NULL THEN 1 ELSE 0 END AS h1
+                FROM j),
+              d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                           CAST(sum(h3) AS BIGINT) AS n_hit3,
+                           CAST(sum(h2) AS BIGINT) AS n_hit2,
+                           CAST(sum(h1) AS BIGINT) AS n_hit1,
+                           CAST(sum(p_ppm) AS BIGINT) // count(*) AS score_ppm
+                    FROM p GROUP BY 1)
+              SELECT b.doc_id, COALESCE(n_trigrams, 0) AS n_trigrams,
+                     COALESCE(n_hit3, 0) AS n_hit3,
+                     COALESCE(n_hit2, 0) AS n_hit2,
+                     COALESCE(n_hit1, 0) AS n_hit1, score_ppm
+              FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) b
+              LEFT JOIN d USING (doc_id)"""))
   )
 }

@@ -56,6 +56,43 @@ class QualityOpsSpec extends SparkSpec {
     assert(r(1).getAs[Long]("n_bigrams") == 1)
   }
 
+  test("backoffScore: every backoff level hand-computed on a known split") {
+    // trainMod=2 → train = even ids. Train doc 2: "a b c a b c":
+    // N=6; c1 a=2 b=2 c=2; c2 (a,b)=2 (b,c)=2 (c,a)=1;
+    // c3 (a,b,c)=2 (b,c,a)=1 (c,a,b)=1.
+    val df = Seq(
+      (2L, "a b c a b c"), // train
+      (1L, "a b c"),       // hit3: p = c3(a,b,c)*1e6/c2(a,b) = 1_000_000
+      (3L, "a b x"),       // full miss: unseen unigram x → 0
+      (5L, "x b c"),       // hit2: p = 0.4 * c2(b,c)*1e6/c1(b) = 400_000
+      (7L, "x y c"),       // hit1: p = 0.16 * c1(c)*1e6/N (floored stages)
+      (9L, "ab")           // < 3 tokens → nothing to score
+    ).toDF("doc_id", "text")
+    val r = NgramLm.backoffScore(df, "text", "doc_id", trainMod = 2)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L, 7L, 9L))
+    def row(i: Int) = (r(i).getAs[Long]("n_trigrams"),
+      r(i).getAs[Long]("n_hit3"), r(i).getAs[Long]("n_hit2"),
+      r(i).getAs[Long]("n_hit1"))
+    assert(row(0) == ((1L, 1L, 0L, 0L)))
+    assert(r(0).getAs[Long]("score_ppm") == 1000000L)
+    assert(row(1) == ((1L, 0L, 0L, 0L)))
+    assert(r(1).getAs[Long]("score_ppm") == 0L)
+    assert(row(2) == ((1L, 0L, 1L, 0L)))
+    assert(r(2).getAs[Long]("score_ppm") == 400000L)
+    // p1 = 2*1e6/6 = 333333; p2 = 2*333333/5 = 133333; p3 = 2*133333/5
+    assert(row(3) == ((1L, 0L, 0L, 1L)))
+    assert(r(3).getAs[Long]("score_ppm") == 53333L)
+    assert(row(4) == ((0L, 0L, 0L, 0L)))
+    assert(r(4).isNullAt(r(4).fieldIndex("score_ppm")))
+  }
+
+  test("backoffScore: train docs are excluded from the scored output") {
+    val df = Seq((0L, "a b c"), (1L, "a b c")).toDF("doc_id", "text")
+    val r = NgramLm.backoffScore(df, "text", "doc_id", trainMod = 2)
+    assert(r.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("winnowing guarantee: shared substring >= k+w-1 chars -> shared fingerprint") {
     val shared = "zqxjkvbwpfmghydclrtnzqxjkvbwpf" // 30 chars >= 8+4-1
     val df = Seq(
