@@ -229,6 +229,90 @@ object Streams {
       }
   }
 
+  final case class Turn(user: Long, ts: java.sql.Timestamp, eventId: Long,
+                        label: String)
+  final case class ConvTurn(tsMs: Long, eventId: Long, label: String)
+  final case class ConvState(turns: Seq[ConvTurn], nEvents: Long,
+                             startMs: Long, lastMs: Long)
+  final case class Conversation(user: Long, sessStart: java.sql.Timestamp,
+                                nEvents: Long, nTurns: Long, transcript: String,
+                                nViolations: Long, truncated: Boolean)
+
+  /** Streaming parity leg of the batch conversation assembler
+    * (`Conversations.assemble`, q170): sessions close and emit their
+    * assembled transcript EXACTLY ONCE, either when a same-user event
+    * past the inactivity gap arrives (in-line close) or when the
+    * watermark passes `last event + gap` (EventTimeTimeout — idle
+    * sessions do not wait for the user's next visit to finalize).
+    *
+    * State per live session is bounded by construction: the turn
+    * buffer caps at `maxTurns` (later events only bump `nEvents`), so
+    * one never-idle key holds O(maxTurns) state forever, not O(events).
+    * Turns sort by (ts, eventId) at emission, so modest cross-batch
+    * reorder inside the watermark lands in the right transcript order;
+    * the cap itself keeps first-ARRIVED turns (pair with an upstream
+    * dedup/sort when arrival order is adversarial).
+    */
+  def assembleConversations(events: Dataset[Turn], gapSec: Long,
+                            maxTurns: Int, lateness: String)
+      : Dataset[Conversation] = {
+    import events.sparkSession.implicits._
+    require(maxTurns > 0, s"maxTurns must be positive, got $maxTurns")
+
+    def close(user: Long, s: ConvState): Conversation = {
+      val ordered = s.turns.sortBy(t => (t.tsMs, t.eventId))
+      val viol = ordered.sliding(2).count {
+        case Seq(a, b) => a.label == b.label
+        case _ => false
+      }
+      Conversation(user, new java.sql.Timestamp(s.startMs), s.nEvents,
+        ordered.size.toLong, ordered.map(_.label).mkString(">"),
+        viol.toLong, s.nEvents > maxTurns)
+    }
+
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[ConvState, Conversation](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(user, _))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+            val closed = scala.collection.mutable.Buffer[Conversation]()
+            var st = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case Some(s) if t - s.lastMs <= gapSec * 1000 =>
+                  st = Some(s.copy(
+                    turns =
+                      if (s.turns.size < maxTurns)
+                        s.turns :+ ConvTurn(t, e.eventId, e.label)
+                      else s.turns,
+                    nEvents = s.nEvents + 1, lastMs = t))
+                case other =>
+                  other.foreach(s => closed += close(user, s))
+                  st = Some(ConvState(
+                    Seq(ConvTurn(t, e.eventId, e.label)), 1L, t, t))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // the timeout must sit past the current watermark; a late
+              // straggler inside `lateness` could otherwise compute one
+              // at-or-before it, which Spark rejects
+              state.setTimeoutTimestamp(math.max(
+                s.lastMs + gapSec * 1000,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Built-in session-window aggregation — the declarative counterpart
     * to [[sessionize]]: `session_window(ts, gap)` lets the engine own
     * the session state (merge-on-overlap, watermark eviction), where

@@ -478,4 +478,59 @@ class StreamsSpec extends SparkSpec {
     assert(canonicalHash(spark.read.parquet(decDir)) == decBefore)
     assert(canonicalHash(spark.read.parquet(storeDir)) == storeBefore)
   }
+
+  test("streaming conversation assembly: in-line close, timeout close, cap — batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Streams.Turn]
+    val conv = Streams.assembleConversations(
+      input.toDS(), gapSec = 60, maxTurns = 2, lateness = "0 seconds")
+    val q = conv.writeStream.format("memory").queryName("conv_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session A (user 1): 3 events inside the gap → cap drops the 3rd
+      input.addData(
+        Streams.Turn(1L, ts("2020-01-01 00:00:00"), 10L, "view"),
+        Streams.Turn(1L, ts("2020-01-01 00:00:30"), 11L, "view"),
+        Streams.Turn(1L, ts("2020-01-01 00:00:50"), 12L, "click"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM conv_out").count() == 0) // still live
+      // past-gap arrival closes session A in-line and opens session B
+      input.addData(Streams.Turn(1L, ts("2020-01-01 00:05:00"), 13L, "view"))
+      q.processAllAvailable()
+      val a = spark.sql("SELECT * FROM conv_out").as[Streams.Conversation]
+        .collect()
+      assert(a.length == 1)
+      assert(a(0).transcript == "view>view" && a(0).nEvents == 3L &&
+        a(0).nTurns == 2L && a(0).nViolations == 1L && a(0).truncated)
+      // push the watermark past session B's close: timeout emits it
+      // without any further user-1 traffic (two cycles — the watermark
+      // advances at the END of the batch that saw the new max event time)
+      input.addData(Streams.Turn(99L, ts("2020-01-01 01:00:00"), 90L, "x"))
+      q.processAllAvailable()
+      input.addData(Streams.Turn(99L, ts("2020-01-01 02:00:00"), 91L, "x"))
+      q.processAllAvailable()
+      val b = spark.sql("SELECT * FROM conv_out WHERE user = 1")
+        .as[Streams.Conversation].collect().sortBy(_.sessStart.getTime)
+      assert(b.length == 2)
+      assert(b(1).transcript == "view" && b(1).nTurns == 1L &&
+        !b(1).truncated && b(1).nViolations == 0L)
+
+      // batch parity: the same user-1 events through Conversations.assemble
+      // produce the same (transcript, violations, truncated) multiset
+      val batch = graft.ops.Conversations.assemble(
+        Seq((1L, ts("2020-01-01 00:00:00"), 10L, "view"),
+          (1L, ts("2020-01-01 00:00:30"), 11L, "view"),
+          (1L, ts("2020-01-01 00:00:50"), 12L, "click"),
+          (1L, ts("2020-01-01 00:05:00"), 13L, "view"))
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_type", "event_id",
+        gapSeconds = 60L, maxTurns = 2)
+        .select("transcript", "n_violations", "truncated")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(batch == b.map(c =>
+        (c.transcript, c.nViolations, c.truncated)).toSet)
+    } finally q.stop()
+  }
 }
