@@ -109,4 +109,46 @@ object Layout {
     plan.select((keys :+ col("__n").as("n_rows") :+
       col("__files").as("n_files")): _*)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * minimal-movement re-layout primitive: when the shard count grows
+    * K → K', only docs whose NEW shard is one of the added ones move
+    * (expected moved fraction = (K'−K)/K'), versus `id mod K` where
+    * nearly everything moves. At 100 TB that is the difference between
+    * rewriting 20% of the corpus and rewriting all of it.
+    *
+    * Weight w(id, s) is the portable 48-bit md5 family; the argmax
+    * rides one `greatest` over K compiled expressions per row — K
+    * md5 calls, zero shuffles, no interpreted lambdas, exactly
+    * reproducible in any engine with md5 (encode w·64+s, decode mod
+    * 64, so the tie-break — larger shard wins — is part of the key).
+    */
+  def rendezvousShard(idCol: Column, nShards: Int,
+                      salt: String = ""): Column = {
+    require(nShards >= 1 && nShards <= 64,
+      s"nShards must be in [1, 64], got $nShards")
+    if (nShards == 1) lit(0)
+    else {
+      val keys = (0 until nShards).map { s =>
+        TextAnalysis.portableHash48(concat(
+          lit(s"hrw:$salt"), idCol.cast("string"), lit(s":$s"))) * 64 + s
+      }
+      (greatest(keys: _*) % 64).cast("int")
+    }
+  }
+
+  /** Reshard plan for a shard-count change: per doc, the old and new
+    * rendezvous shard and whether it moves. The HRW superset property
+    * guarantees every moved doc lands on an ADDED shard (asserted in
+    * LayoutSpec) — the rewrite set is exactly the new shards' files.
+    */
+  def rendezvousReshard(df: DataFrame, idCol: String, fromShards: Int,
+                        toShards: Int, salt: String = ""): DataFrame = {
+    require(fromShards <= toShards,
+      s"rendezvousReshard grows the ring: $fromShards > $toShards")
+    df.select(col(idCol),
+      rendezvousShard(col(idCol), fromShards, salt).as("shard_from"),
+      rendezvousShard(col(idCol), toShards, salt).as("shard_to"))
+      .withColumn("moved", col("shard_from") =!= col("shard_to"))
+  }
 }

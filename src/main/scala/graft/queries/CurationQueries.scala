@@ -290,6 +290,32 @@ object CurationQueries {
       Some("""SELECT p_brand AS block_0,
                      split_part(p_name, ' ', 1) AS block_1,
                      count(*) AS n_rows
-              FROM part GROUP BY 1, 2 HAVING count(*) > 2000"""))
+              FROM part GROUP BY 1, 2 HAVING count(*) > 2000""")),
+
+    // ---- rendezvous (HRW) resharding 16 → 20: minimal-movement shard
+    //      reassignment — moved docs land ONLY on added shards, expected
+    //      moved fraction (20−16)/20. Portable 48-bit md5 weights,
+    //      argmax encoded as max(w·64+s) then mod 64, so the oracle
+    //      replays the whole assignment including tie-breaks ----
+    Q("q177_rendezvous_reshard",
+      (s, dir) => Layout.rendezvousReshard(
+        Tables.load(s, dir, "documents"), "doc_id", 16, 20),
+      Some("""WITH w AS (
+                SELECT doc_id, s.s AS s,
+                       CAST(('0x' || substr(md5('hrw:' ||
+                              CAST(doc_id AS VARCHAR) || ':' ||
+                              CAST(s.s AS VARCHAR)), 1, 12)) AS UBIGINT)
+                         AS w
+                FROM documents, LATERAL (
+                  SELECT unnest(generate_series(0, 19)) AS s) s),
+              k AS (
+                SELECT doc_id,
+                       max(CASE WHEN s < 16 THEN w * 64 + s END) AS k16,
+                       max(w * 64 + s) AS k20
+                FROM w GROUP BY 1)
+              SELECT doc_id, CAST(k16 % 64 AS INTEGER) AS shard_from,
+                     CAST(k20 % 64 AS INTEGER) AS shard_to,
+                     ((k16 % 64) <> (k20 % 64)) AS moved
+              FROM k"""))
   )
 }

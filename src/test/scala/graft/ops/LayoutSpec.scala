@@ -75,4 +75,32 @@ class LayoutSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap ==
       Map("big" -> 1000L, "mid" -> 150L, "tiny" -> 7L))
   }
+
+  test("rendezvousReshard: moved docs land only on added shards; fraction near (K'-K)/K'") {
+    val ids = spark.range(0L, 5000L).toDF("id")
+    val r = Layout.rendezvousReshard(ids, "id", 16, 20).collect()
+    assert(r.forall(x => x.getAs[Int]("shard_from") >= 0 &&
+      x.getAs[Int]("shard_from") < 16))
+    assert(r.forall(x => x.getAs[Int]("shard_to") >= 0 &&
+      x.getAs[Int]("shard_to") < 20))
+    // HRW superset law: the 16-shard argmax only changes when one of the
+    // ADDED shards (16..19) takes the max -- every moved doc proves it
+    val moved = r.filter(_.getAs[Boolean]("moved"))
+    assert(moved.nonEmpty)
+    assert(moved.forall(_.getAs[Int]("shard_to") >= 16))
+    // unmoved docs keep their exact old shard (not merely "some" shard)
+    assert(r.filter(!_.getAs[Boolean]("moved"))
+      .forall(x => x.getAs[Int]("shard_from") == x.getAs[Int]("shard_to")))
+    // expected moved fraction 4/20 = 0.20; 5000 draws keep it tight
+    val frac = moved.length.toDouble / r.length
+    assert(frac > 0.15 && frac < 0.25, s"moved fraction $frac")
+  }
+
+  test("rendezvousShard: balanced within 2x of uniform across 16 shards") {
+    val counts = spark.range(0L, 8000L).toDF("id")
+      .select(Layout.rendezvousShard(col("id"), 16).as("s"))
+      .groupBy("s").count().collect().map(_.getLong(1))
+    assert(counts.length == 16)
+    assert(counts.min > 8000 / 16 / 2 && counts.max < 8000 / 16 * 2)
+  }
 }
