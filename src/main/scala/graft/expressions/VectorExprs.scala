@@ -73,6 +73,14 @@ object VectorExprs {
   def portableLshSig(vec: Column, bits: Int, dim: Int): Column =
     ExpressionUtils.column(PortableLshSigExpr(
       ExpressionUtils.expression(vec), bits, dim))
+
+  /** Multi-probe LSH probe sequence (see [[PortableLshProbesExpr]]):
+    * the home bucket plus `probes` single-bit flips in ascending
+    * |plane-dot| margin order — NULL for NULL/short vectors.
+    */
+  def portableLshProbes(vec: Column, bits: Int, dim: Int, probes: Int): Column =
+    ExpressionUtils.column(PortableLshProbesExpr(
+      ExpressionUtils.expression(vec), bits, dim, probes))
 }
 
 case class CosineSimExpr(left: Expression, right: Expression)
@@ -439,6 +447,102 @@ case class PortableLshSigExpr(child: Expression, bits: Int, dim: Int)
 
   override protected def withNewChildInternal(newChild: Expression): PortableLshSigExpr =
     copy(child = newChild)
+}
+
+/** Multi-probe LSH (Lv et al., VLDB 2007) probe sequence over the
+  * portable md5-Rademacher plane family: the query's home bucket
+  * followed by `probes` single-bit perturbations, flipped in ascending
+  * |dot| margin order (the planes the query sits closest to are the
+  * likeliest sign errors for a true near neighbor). One compiled loop
+  * computes the per-plane dots (strict index-order fold — the exact
+  * [[PortableLshSigExpr]] arithmetic, so home buckets agree
+  * bit-for-bit), an insertion sort over ≤ 63 (margin, bit) pairs picks
+  * the flip order with ties broken by bit index, and the output is the
+  * (probes+1)-element array<long> of distinct buckets to search. Fully
+  * deterministic — a DuckDB oracle replays margins, order, and flips.
+  */
+case class PortableLshProbesExpr(child: Expression, bits: Int, dim: Int,
+                                 probes: Int)
+  extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+  require(dim > 0, s"dim must be positive, got $dim")
+  require(probes >= 0 && probes <= bits,
+    s"probes must be in [0, bits=$bits], got $probes")
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType | FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"portable_lsh_probes needs array<double|float>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "portable_lsh_probes"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() < dim) null
+    else PortableLshProbesExpr.compute(a, isFloat, bits, dim, probes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() < $dim) { ${ev.isNull} = true; }
+      else { ${ev.value} =
+        graft.expressions.PortableLshProbesExpr.compute(
+          $c, $isFloat, $bits, $dim, $probes); }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PortableLshProbesExpr =
+    copy(child = newChild)
+}
+
+object PortableLshProbesExpr {
+  def compute(a: ArrayData, isFloat: Boolean, bits: Int, dim: Int,
+              probes: Int): ArrayData = {
+    val signs = PortableLshSigExpr.signsFor(bits, dim)
+    val dots = new Array[Double](bits)
+    var sig = 0L
+    var k = 0
+    while (k < bits) {
+      var dot = 0.0
+      val off = k * dim
+      var i = 0
+      while (i < dim) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        dot += (if (signs(off + i) > 0) x else -x)
+        i += 1
+      }
+      dots(k) = dot
+      if (dot >= 0) sig |= (1L << k)
+      k += 1
+    }
+    // insertion sort of bit indices by (|dot| asc, bit asc); bits <= 63
+    val order = Array.tabulate(bits)(identity)
+    var j = 1
+    while (j < bits) {
+      val b = order(j)
+      val m = math.abs(dots(b))
+      var p = j - 1
+      while (p >= 0 && {
+        val o = order(p)
+        val mo = math.abs(dots(o))
+        mo > m || (mo == m && o > b)
+      }) { order(p + 1) = order(p); p -= 1 }
+      order(p + 1) = b
+      j += 1
+    }
+    val out = new Array[Long](probes + 1)
+    out(0) = sig
+    var q = 0
+    while (q < probes) { out(q + 1) = sig ^ (1L << order(q)); q += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 object PortableLshSigExpr {

@@ -273,6 +273,49 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Multi-probe LSH ANN (Lv et al., "Multi-Probe LSH", VLDB 2007):
+    * each query searches its home bucket PLUS `probes` single-bit
+    * perturbations, flipped in ascending |plane-dot| margin order — the
+    * planes the query sits closest to are the likeliest sign disagreements
+    * with a true near neighbor. Recall rises toward exhaustive as probes
+    * grow WITHOUT more hash tables (the memory-bound alternative) and
+    * without corpus-side cost: the corpus still carries one bucket per
+    * vector; only the (small) query side fans out ×(probes+1).
+    *
+    * Portable plane family end-to-end ([[portableLshSignature]] +
+    * [[graft.expressions.PortableLshProbesExpr]]), so bucket assignment,
+    * margin order, flips, and the exact-cosine rerank all replay in a
+    * DuckDB oracle. Probe buckets are distinct by construction (XOR of
+    * distinct bits), so no candidate dedup pass is needed.
+    *
+    * Scale shape: corpus → one native-loop projection to (bucket, id,
+    * vec); queries → (probes+1)-row explode; one keyed equi-join on
+    * bucket (AQE broadcasts the exploded query side while it fits);
+    * per-query top-k window. The corpus never self-joins and never
+    * shuffles more than its bucket groups.
+    */
+  def multiProbeLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, bits: Int, probes: Int, k: Int,
+                        portableDim: Int): DataFrame = {
+    val sig = corpus.select(col(idCol).as("neighbor_id"),
+        toDoubleVec(col(vecCol)).as("__cv"))
+      .withColumn("__bucket",
+        portableLshSignature(col("__cv"), bits, portableDim))
+      .where(col("__bucket").isNotNull)
+    val qs = queries.select(col(idCol).as("query_id"),
+        toDoubleVec(col(vecCol)).as("__qv"))
+      .withColumn("__probe", explode(
+        graft.expressions.VectorExprs.portableLshProbes(
+          col("__qv"), bits, portableDim, probes)))
+    val scored = qs.join(sig, col("__probe") === col("__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Product-quantization ANN (Jégou, Douze, Schmid: "Product
     * Quantization for Nearest Neighbor Search", IEEE PAMI 2011 — the
     * faiss fine-quantizer). Split each dim-d vector into `m` subvectors;

@@ -132,6 +132,68 @@ object SimilarityQueries {
         FROM ranked WHERE rank <= 5"""
   }
 
+  /** q178's oracle, generated: per-query plane dots replayed from md5
+    * (the hpDot family), home bucket from the dot signs, flip order =
+    * row_number over (|dot| ASC, bit ASC), probe buckets = XOR of the
+    * first `probes` flips, then the q41 candidate→cosine→rank tail.
+    */
+  private val multiProbeOracle: String = {
+    val bits = 8
+    val probes = 4
+    val dots = (0 until bits).map(k => s"${hpDot(k)} AS d$k")
+      .mkString(",\n          ")
+    val bucketFromDots = (0 until bits)
+      .map(k => s"(CASE WHEN d$k >= 0 THEN ${1L << k} ELSE 0 END)")
+      .mkString(" + ")
+    val marginCase = (0 until bits).map(k => s"WHEN $k THEN abs(d$k)")
+      .mkString(" ")
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb AS (
+          SELECT vec_id, v,
+         ${hpBucket(bits)} AS bucket
+          FROM v0),
+        q AS (
+          SELECT vec_id AS query_id, v,
+          $dots
+          FROM v0 WHERE vec_id % 50 = 0),
+        qb AS (SELECT q.*, $bucketFromDots AS bucket FROM q),
+        me AS (
+          SELECT query_id, v, bucket, b.b AS b,
+                 CASE b.b $marginCase END AS m
+          FROM qb, LATERAL (
+            SELECT unnest(generate_series(0, ${bits - 1})) AS b) b),
+        fl AS (
+          SELECT query_id, v,
+                 xor(CAST(bucket AS BIGINT), CAST(1 AS BIGINT) << b) AS probe,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY m, b) AS rn
+          FROM me),
+        pr AS (
+          SELECT query_id, v, CAST(bucket AS BIGINT) AS probe FROM qb
+          UNION ALL
+          SELECT query_id, v, probe FROM fl WHERE rn <= $probes),
+        p AS (
+          SELECT pr.query_id AS id_a, cb.vec_id AS id_b,
+                 pr.v AS va, cb.v AS vb
+          FROM pr JOIN cb ON pr.probe = CAST(cb.bucket AS BIGINT)
+                         AND cb.vec_id <> pr.query_id),
+        c AS (
+          $cosineCte),
+        s AS (
+          SELECT id_a AS query_id, id_b AS neighbor_id,
+            CASE WHEN na > 0 AND nb > 0
+                 THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS sim
+          FROM c),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               round(sim, 6) AS sim
+        FROM ranked WHERE rank <= 5"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- SemDedup: cluster-scoped semantic dedup decision. r11: the
@@ -250,6 +312,22 @@ object SimilarityQueries {
             round(col("sim"), 6).as("sim"))
       },
       Some(lshTopKOracle)),
+
+    // ---- multi-probe LSH ANN (Lv 2007), FULLY ORACLED: home bucket +
+    //      4 single-bit flips in ascending |plane-dot| margin order —
+    //      recall above q41's single-bucket row at the same table count,
+    //      and the whole probe sequence (margins, order, XOR flips,
+    //      cosine rerank) replays in DuckDB ----
+    Q("q178_multiprobe_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.multiProbeLshTopK(e, e.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", bits = 8, probes = 4, k = 5,
+          portableDim = 64)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+      },
+      Some(multiProbeOracle)),
 
     // ---- IVF-bucketed ANN, the coarse-quantizer scale path
     //      (rows-only: centroid sample is engine-specific) ----

@@ -197,6 +197,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multiProbeLshTopK: each probe step lifts recall monotonically; floor holds") {
+    val corpus = (1L to 200L).map(i =>
+      (i, Array.tabulate(16)(d => math.cos(i * 0.05 + d * 0.4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" % 20 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
+    def recall(p: Int): Double = {
+      val got = pairs(Similarity.multiProbeLshTopK(corpus, queries,
+        "vec_id", "embedding", bits = 6, probes = p, k = 5, portableDim = 16))
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val r = Seq(0, 2, 4, 6).map(recall)
+    // candidates grow as supersets probe-by-probe, and anything that
+    // displaces a true top-5 member from the window is itself true
+    // top-5 — recall is provably monotone in probes
+    assert(r.sliding(2).forall { case Seq(a, b) => b >= a })
+    assert(r.last > r.head,
+      s"probing must add recall on this fixture: $r")
+    assert(r.last >= 0.8, s"multi-probe recall@5 floor: $r")
+  }
+
+  test("portableLshProbes: home bucket first, then distinct single-bit flips") {
+    val df = Seq((1L, Array.tabulate(16)(d => math.sin(d * 0.7)))).toDF("id", "v")
+    val row = df.select(
+      Similarity.portableLshSignature($"v", 6, 16).as("home"),
+      graft.expressions.VectorExprs.portableLshProbes($"v", 6, 16, 4).as("pr"))
+      .head()
+    val home = row.getLong(0)
+    val pr = row.getSeq[Long](1)
+    assert(pr.length == 5 && pr.head == home)
+    assert(pr.distinct.length == 5)
+    pr.tail.foreach(b =>
+      assert(java.lang.Long.bitCount(b ^ home) == 1, s"$b vs $home"))
+  }
+
   test("lshTopK returns only true-cosine values for pairs it finds") {
     val out = Similarity.lshTopK(vecs, "vec_id", "embedding", bits = 2, k = 3)
     val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)
