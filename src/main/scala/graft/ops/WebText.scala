@@ -209,4 +209,24 @@ object WebText {
     when(length(text) === 0, lit(1.0))
       .otherwise((length(text) - nonAsciiCount(text)).cast("double") /
         length(text).cast("double"))
+
+  /** All `href="…"` targets of an HTML column — the raw-anchor half of
+    * link-graph construction (the host graph that feeds the PageRank /
+    * centrality quality prior, q104's input shape). Pure regex scan:
+    * extracting links from 100 TB of HTML shuffles nothing.
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1))
+
+  /** Resolve an extracted href against its page's host: absolute
+    * http(s) URLs pass through, protocol-relative `//host/…` gets
+    * https, root-relative `/…` resolves onto `baseHost`, and anything
+    * else (mailto:, javascript:, fragments, dotted relatives) is NULL —
+    * drop-don't-guess, the curation default for unresolvable targets.
+    */
+  def resolveLink(href: Column, baseHost: Column): Column =
+    when(href.rlike("^https?://"), href)
+      .when(href.startsWith("//"), concat(lit("https:"), href))
+      .when(href.startsWith("/"), concat(lit("https://"), baseHost, href))
+      .otherwise(lit(null))
 }

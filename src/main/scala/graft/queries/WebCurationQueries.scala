@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Dedup, Sampling, TextAnalysis => TA, UrlOps}
+import graft.ops.{Dedup, Sampling, TextAnalysis => TA, UrlOps, WebText}
 
 /** Round-5 web-curation & retrieval operators: canonical-selection
   * dedup (keep the BEST duplicate, not the first), BM25 corpus ranking
@@ -14,6 +14,77 @@ object WebCurationQueries {
 
   private def round(c: org.apache.spark.sql.Column, scale: Int) =
     graft.ops.Numeric.roundAway(c, scale)
+
+  /** Shared link-graph fixture (q179/q180): each document page carries
+    * an absolute link, a conditional protocol-relative and
+    * root-relative link (the root-relative one resolves onto the page's
+    * own host — real-web self-edges), a non-href decoy, and an
+    * unresolvable mailto:. Returns resolved (doc_id, src_host,
+    * dst_host) rows — one per extractable+resolvable anchor.
+    */
+  private def linkFixture(d: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val srcHost = concat(lit("s"), (col("doc_id") % 50).cast("string"),
+      lit(".example.org"))
+    val html = concat(
+      lit("<html><body><p>"), substring(col("text"), 1, 40),
+      lit("</p><a href=\"https://h"), (col("doc_id") % 97).cast("string"),
+      lit(".example.com/p/"), col("doc_id").cast("string"),
+      lit("\">x</a>"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<a href=\"//m"), (col("doc_id") % 11).cast("string"),
+          lit(".example.net/a\">y</a>"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("<a href=\"/local/"), col("doc_id").cast("string"),
+          lit("\">z</a>"))).otherwise(lit("")),
+      lit("<img src=\"https://img.example.com/i.png\">"),
+      lit("<a href=\"mailto:a@b.c\">m</a></body></html>"))
+    d.select(col("doc_id"), srcHost.as("src_host"),
+        explode(WebText.extractLinks(html)).as("href"))
+      .select(col("doc_id"), col("src_host"),
+        WebText.resolveLink(col("href"), col("src_host")).as("url"))
+      .where(col("url").isNotNull)
+      .select(col("doc_id"), col("src_host"),
+        UrlOps.host(col("url")).as("dst_host"))
+  }
+
+  /** The q179/q180 fixture replayed as a DuckDB CTE pair: `pages`
+    * (doc_id, src_host, html) and `hosts` (doc_id, src_host, dst_host).
+    */
+  private val linkFixtureSql: String =
+    """pages AS (
+         SELECT doc_id,
+           's' || CAST(doc_id % 50 AS VARCHAR) || '.example.org'
+             AS src_host,
+           '<html><body><p>' || substr(text, 1, 40)
+           || '</p><a href="https://h' || CAST(doc_id % 97 AS VARCHAR)
+           || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '">x</a>'
+           || (CASE WHEN doc_id % 3 = 0
+                 THEN '<a href="//m' || CAST(doc_id % 11 AS VARCHAR)
+                      || '.example.net/a">y</a>' ELSE '' END)
+           || (CASE WHEN doc_id % 4 = 0
+                 THEN '<a href="/local/' || CAST(doc_id AS VARCHAR)
+                      || '">z</a>' ELSE '' END)
+           || '<img src="https://img.example.com/i.png">'
+           || '<a href="mailto:a@b.c">m</a></body></html>' AS html
+         FROM documents),
+       links AS (
+         SELECT doc_id, src_host, u.href AS href
+         FROM pages, LATERAL (
+           SELECT unnest(regexp_extract_all(html,
+             'href="([^"]+)"', 1)) AS href) u),
+       resolved AS (
+         SELECT doc_id, src_host,
+           CASE WHEN regexp_matches(href, '^https?://') THEN href
+                WHEN href LIKE '//%' THEN 'https:' || href
+                WHEN href LIKE '/%'
+                  THEN 'https://' || src_host || href
+                ELSE NULL END AS url
+         FROM links),
+       hosts AS (
+         SELECT doc_id, src_host,
+                regexp_extract(url, '^[^/]*//([^/:]+)', 1) AS dst_host
+         FROM resolved WHERE url IS NOT NULL)"""
 
   val qs: Seq[Q] = Seq(
 
@@ -218,5 +289,77 @@ object WebCurationQueries {
                                           ORDER BY key ASC, doc_id ASC) AS rank
                 FROM k)
               SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id, n_chars
-              FROM r WHERE rank <= 5""")))
+              FROM r WHERE rank <= 5""")),
+
+    // ---- link-graph construction: href extraction from HTML, relative
+    //      resolution against the page host, host-level edge counts —
+    //      the raw input of the PageRank quality prior (q104). Fixture
+    //      pages carry an absolute link, a conditional protocol-relative
+    //      and root-relative link, a non-href decoy, and an
+    //      unresolvable mailto: ----
+    Q("q179_link_graph",
+      (s, dir) => {
+        linkFixture(Tables.load(s, dir, "documents"))
+          .groupBy(col("src_host"), col("dst_host"))
+          .agg(count(lit(1)).as("n_links"))
+      },
+      Some(s"""WITH $linkFixtureSql
+              SELECT src_host, dst_host, count(*) AS n_links
+              FROM hosts GROUP BY 1, 2""")),
+
+    // ---- host-centrality quality prior: the Common-Crawl-rank shape.
+    //      Distinct host→host edges from the link graph feed 3 rounds
+    //      of exact-integer PageRank (the q104 engine, here with REAL
+    //      dangling nodes — h*/m* hosts never link out, so their mass
+    //      evaporates and the rank table must still cover them), then
+    //      every document inherits its host's rank as a curation prior.
+    //      Hosts ≪ docs at any corpus size: the rank table broadcasts,
+    //      so the doc-side join adds zero exchanges. ----
+    Q("q180_host_rank_prior",
+      (s, dir) => {
+        val fx = linkFixture(Tables.load(s, dir, "documents"))
+        val edges = fx.select(col("src_host"), col("dst_host")).distinct()
+        val ranks = graft.ops.Graph.pageRank(edges, "src_host", "dst_host",
+          iterations = 3, assumeDistinct = true)
+        fx.select(col("doc_id"), col("src_host")).distinct()
+          .join(broadcast(ranks), col("src_host") === col("node"))
+          .select(col("doc_id"), col("src_host"),
+            col("rank_scaled").as("host_rank"))
+      },
+      Some(s"""WITH $linkFixtureSql,
+              e AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+                    FROM hosts),
+              nodes AS (SELECT DISTINCT src AS node FROM e
+                        UNION SELECT DISTINCT dst FROM e),
+              outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+                         FROM e GROUP BY 1),
+              r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r
+                     FROM nodes),
+              c1 AS (SELECT e.dst, CAST(sum((r0.r // od.od)) AS BIGINT) AS s
+                     FROM r0 JOIN outdeg od ON r0.node = od.src
+                             JOIN e ON r0.node = e.src
+                     GROUP BY 1),
+              r1 AS (SELECT n.node,
+                            (15 * 1000000000000 + 85 * COALESCE(c1.s, 0)) // 100
+                              AS r
+                     FROM nodes n LEFT JOIN c1 ON n.node = c1.dst),
+              c2 AS (SELECT e.dst, CAST(sum((r1.r // od.od)) AS BIGINT) AS s
+                     FROM r1 JOIN outdeg od ON r1.node = od.src
+                             JOIN e ON r1.node = e.src
+                     GROUP BY 1),
+              r2 AS (SELECT n.node,
+                            (15 * 1000000000000 + 85 * COALESCE(c2.s, 0)) // 100
+                              AS r
+                     FROM nodes n LEFT JOIN c2 ON n.node = c2.dst),
+              c3 AS (SELECT e.dst, CAST(sum((r2.r // od.od)) AS BIGINT) AS s
+                     FROM r2 JOIN outdeg od ON r2.node = od.src
+                             JOIN e ON r2.node = e.src
+                     GROUP BY 1),
+              r3 AS (SELECT n.node,
+                            (15 * 1000000000000 + 85 * COALESCE(c3.s, 0)) // 100
+                              AS r
+                     FROM nodes n LEFT JOIN c3 ON n.node = c3.dst)
+              SELECT p.doc_id, p.src_host, CAST(r3.r AS BIGINT) AS host_rank
+              FROM (SELECT DISTINCT doc_id, src_host FROM hosts) p
+              JOIN r3 ON p.src_host = r3.node""")))
 }

@@ -96,4 +96,32 @@ class WebTextSpec extends SparkSpec {
     // doc 3: "Delta epsilon." taken by doc 2; fragment kept
     assert(out(3L) == (2L, 1L, m("Zeta")))
   }
+
+  test("extractLinks pulls every href value, ignores src and text") {
+    import spark.implicits._
+    val h = "<a href=\"https://a.example.com/x\">a</a>" +
+      "<img src=\"https://img.example.com/i.png\">" +
+      "<a href=\"/rel\">b</a><a href=\"mailto:x@y.z\">c</a>"
+    val got = Seq(h).toDF("h")
+      .select(WebText.extractLinks(col("h")).as("l"))
+      .head().getSeq[String](0)
+    assert(got == Seq("https://a.example.com/x", "/rel", "mailto:x@y.z"))
+  }
+
+  test("resolveLink: absolute / protocol-relative / root-relative / junk") {
+    import spark.implicits._
+    val rows = Seq(
+      "https://a.example.com/x", "http://b.example.com/y",
+      "//cdn.example.net/z", "/page/1",
+      "mailto:x@y.z", "javascript:void(0)", "#frag", "../up")
+      .toDF("href")
+      .select(WebText.resolveLink(col("href"),
+        lit("host.example.org")).as("u"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(rows.toSeq == Seq(
+      Some("https://a.example.com/x"), Some("http://b.example.com/y"),
+      Some("https://cdn.example.net/z"),
+      Some("https://host.example.org/page/1"),
+      None, None, None, None))
+  }
 }
