@@ -252,6 +252,54 @@ object ModelQueries {
                              + (1.0 - CAST(n_both_pos + n_only_a AS DOUBLE) / n)
                                * (1.0 - CAST(n_both_pos + n_only_b AS DOUBLE) / n)))),
                        6) AS kappa
-              FROM c"""))
+              FROM c""")),
+
+    // ---- NDCG@10 per query group: retrieval-ranking eval. Portable
+    //      md5-derived scores (so the system order is engine-exact) vs
+    //      graded relevance (doc_id div 8)%4 — decorrelated from the
+    //      doc_id%8 query key, so groups mix grades; discounted gains fold in position
+    //      order and log2 = ln/ln2 on both engines, so every double —
+    //      dcg, idcg, and the quotient — replays bit-exactly ----
+    Q("q182_ndcg",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents").select(
+          (col("doc_id") % 8).as("qid"), col("doc_id"),
+          conv(substring(md5(concat(lit("rank:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long").as("score"),
+          (expr("doc_id div 8") % 4).as("rel"))
+        graft.model.Eval.ndcgAtK(d, col("qid"), col("doc_id"),
+          col("score"), col("rel"), k = 10)
+      },
+      Some("""WITH b AS (
+                SELECT doc_id % 8 AS query_id, doc_id,
+                       CAST(('0x' || substr(md5('rank:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         AS score,
+                       (doc_id // 8) % 4 AS rel
+                FROM documents),
+              r AS (
+                SELECT query_id, rel,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, doc_id ASC) AS pos,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY rel DESC, doc_id ASC) AS ipos
+                FROM b),
+              a AS (
+                SELECT query_id, count(*) AS n_docs,
+                       sum(CASE WHEN pos <= 10
+                             THEN (pow(2, rel) - 1.0)
+                                  / (ln(CAST(pos AS DOUBLE) + 1.0) / ln(2.0))
+                             ELSE 0.0 END ORDER BY pos) AS dcg,
+                       sum(CASE WHEN ipos <= 10
+                             THEN (pow(2, rel) - 1.0)
+                                  / (ln(CAST(ipos AS DOUBLE) + 1.0) / ln(2.0))
+                             ELSE 0.0 END ORDER BY ipos) AS idcg
+                FROM r GROUP BY 1)
+              SELECT query_id, n_docs, round(dcg, 6) AS dcg,
+                     round(idcg, 6) AS idcg,
+                     CASE WHEN idcg > 0 THEN round(dcg / idcg, 6)
+                          ELSE 0.0 END AS ndcg
+              FROM a"""))
   )
 }

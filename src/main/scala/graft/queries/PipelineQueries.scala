@@ -460,6 +460,39 @@ object PipelineQueries {
                      CAST(e.ec AS BIGINT) AS epoch_copy
               FROM c, LATERAL (
                 SELECT unnest(generate_series(1, copies)) AS ec) e
-              WHERE copies > 0"""))
+              WHERE copies > 0""")),
+
+    // ---- RLHF/DPO preference-pair construction: documents play scored
+    //      responses (prompt = doc_id mod 97, score = n_chars — heavy
+    //      ties, so the lowest-id tiebreak does real work on BOTH the
+    //      chosen and rejected pick); per prompt the best and worst
+    //      response become one (chosen, rejected) pair, groups whose
+    //      margin is under minGap are dropped. One max_by/min_by
+    //      hash-agg — no window sort, response texts never shuffle ----
+    Q("q181_preference_pairs",
+      (s, dir) => graft.ops.Preference.pairs(
+        Tables.load(s, dir, "documents"),
+        col("doc_id") % 97, col("doc_id"), col("n_chars"), minGap = 1L),
+      Some("""WITH r AS (
+                SELECT doc_id % 97 AS prompt_id, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY doc_id % 97
+                         ORDER BY n_chars DESC, doc_id ASC) AS rc,
+                       row_number() OVER (PARTITION BY doc_id % 97
+                         ORDER BY n_chars ASC, doc_id ASC) AS rr,
+                       count(*) OVER (PARTITION BY doc_id % 97) AS n
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+              c AS (SELECT prompt_id, doc_id AS chosen_id,
+                           n_chars AS chosen_score, n
+                    FROM r WHERE rc = 1),
+              j AS (SELECT prompt_id, doc_id AS rejected_id,
+                           n_chars AS rejected_score
+                    FROM r WHERE rr = 1)
+              SELECT c.prompt_id, chosen_id, rejected_id,
+                     chosen_score, rejected_score,
+                     chosen_score - rejected_score AS score_gap,
+                     n AS n_responses
+              FROM c JOIN j USING (prompt_id)
+              WHERE n >= 2 AND chosen_score - rejected_score >= 1"""))
   )
 }

@@ -96,4 +96,42 @@ class EvalSpec extends SparkSpec {
     assert(Eval.calibration(withNulls, col("s"), col("lab"), 10)
       .agg(sum(col("n"))).head().getLong(0) == 1L)
   }
+
+  test("ndcgAtK: hand-computed ranking, ideal order gives 1, ties by id") {
+    // query 1: system order (score desc, id asc) = ids 1,2,3 with
+    // rel 0,2,1 → dcg = 0 + 3/log2(3) + 1/2; ideal rel order 2,1,0 →
+    // idcg = 3 + 1/log2(3) + 0
+    val df = Seq(
+      (1, 1L, 30, 0), (1, 2L, 20, 2), (1, 3L, 10, 1),
+      // query 2: already ideal (rel descending in score order) → ndcg 1
+      (2, 1L, 9, 3), (2, 2L, 8, 1),
+      // query 3: score tie broken by id asc — id 5 outranks id 6
+      (3, 5L, 7, 0), (3, 6L, 7, 2)).toDF("q", "id", "score", "rel")
+    val got = Eval.ndcgAtK(df, col("q"), col("id"), col("score"),
+      col("rel"), k = 10).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    def l2(x: Double) = math.log(x) / math.log(2.0)
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dcg1 = 3.0 / l2(3.0) + 1.0 / 2.0
+    val idcg1 = 3.0 + 1.0 / l2(3.0)
+    assert(got(1) == ((3L, rnd(dcg1), rnd(idcg1), rnd(dcg1 / idcg1))))
+    assert(got(2)._4 == 1.0)
+    // q3: pos1 = id5 (rel 0), pos2 = id6 (rel 2, gain 3)
+    val dcg3 = 0.0 + 3.0 / l2(3.0)
+    val idcg3 = 3.0 + 0.0
+    assert(got(3) == ((2L, rnd(dcg3), rnd(idcg3), rnd(dcg3 / idcg3))))
+  }
+
+  test("ndcgAtK: only top-k counted; all-zero relevance yields ndcg 0") {
+    // k=1: only the top-scored doc's gain counts
+    val df = Seq((1, 1L, 5, 1), (1, 2L, 4, 3)).toDF("q", "id", "score", "rel")
+    val r = Eval.ndcgAtK(df, col("q"), col("id"), col("score"),
+      col("rel"), k = 1).head()
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 7.0) // dcg=2^1-1, idcg=2^3-1
+    val zeros = Seq((1, 1L, 5, 0), (1, 2L, 4, 0)).toDF("q", "id", "score", "rel")
+    assert(Eval.ndcgAtK(zeros, col("q"), col("id"), col("score"),
+      col("rel"), k = 10).head().getDouble(4) == 0.0)
+  }
 }
