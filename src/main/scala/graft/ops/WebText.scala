@@ -229,4 +229,13 @@ object WebText {
       .when(href.startsWith("//"), concat(lit("https:"), href))
       .when(href.startsWith("/"), concat(lit("https://"), baseHost, href))
       .otherwise(lit(null))
+
+  /** Unicode NFC normalization (native codegen expression —
+    * [[graft.expressions.NormalizeExprs]]): composes decomposed
+    * accent sequences so byte-level hashing (exact dedup, shingles,
+    * sentence dedup) agrees with what the reader sees. Normalize
+    * BEFORE any hash family touches the text.
+    */
+  def nfcNormalize(text: Column): Column =
+    graft.expressions.NormalizeExprs.nfc(text)
 }

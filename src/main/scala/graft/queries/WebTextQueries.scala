@@ -331,5 +331,48 @@ object WebTextQueries {
                        AS content_md5
               FROM documents GROUP BY 1"""),
     ),
+
+    // ---- Unicode NFC normalization (native codegen expression —
+    //      Spark has no built-in): doc_id%3 rows get a DECOMPOSED
+    //      suffix (e+U+0301, A+U+030A, o+U+0308 — composes, 3 chars
+    //      shorter), doc_id%5 rows an already-COMPOSED one (NFC
+    //      identity, changed=false), the rest stay ASCII (fast path
+    //      returns the input UTF8String untouched). The md5 of the
+    //      normalized text pins byte-exact agreement with DuckDB's
+    //      nfc_normalize ----
+    Q("q183_nfc_normalize",
+      (s, dir) => {
+        val dec = lit(" cafe\u0301 A\u030Angstro\u0308m")
+        val comp = lit(" caf\u00e9")
+        val t = when(col("doc_id") % 3 === 0, concat(col("text"), dec))
+          .when(col("doc_id") % 5 === 0, concat(col("text"), comp))
+          .otherwise(col("text"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), t.as("__t"))
+          .select(col("doc_id"), col("__t"),
+            WT.nfcNormalize(col("__t")).as("__n"))
+          .select(col("doc_id"),
+            length(col("__t")).as("n_chars_raw"),
+            length(col("__n")).as("n_chars_nfc"),
+            (col("__n") =!= col("__t")).as("changed"),
+            md5(col("__n")).as("nfc_md5"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                              THEN text || ' cafe' || chr(769) || ' A'
+                                   || chr(778) || 'ngstro' || chr(776) || 'm'
+                            WHEN doc_id % 5 = 0
+                              THEN text || ' caf' || chr(233)
+                            ELSE text END AS t
+                FROM documents),
+              n AS (SELECT doc_id, t, nfc_normalize(t) AS nf FROM m)
+              SELECT doc_id,
+                     CAST(length(t) AS INTEGER) AS n_chars_raw,
+                     CAST(length(nf) AS INTEGER) AS n_chars_nfc,
+                     nf <> t AS changed,
+                     md5(nf) AS nfc_md5
+              FROM n"""),
+    ),
   )
 }

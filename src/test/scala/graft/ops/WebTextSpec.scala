@@ -108,6 +108,25 @@ class WebTextSpec extends SparkSpec {
     assert(got == Seq("https://a.example.com/x", "/rel", "mailto:x@y.z"))
   }
 
+  test("nfcNormalize composes decomposed sequences, identity elsewhere") {
+    import spark.implicits._
+    val dec = "cafe\u0301 A\u030Angstro\u0308m" // e+acute, A+ring, o+umlaut
+    val cmp = "caf\u00e9 \u00c5ngstr\u00f6m"    // the precomposed twin
+    val rows = Seq(dec, cmp, "plain ascii", "", "\ud83d\ude00 ok")
+      .toDF("t")
+      .select(WebText.nfcNormalize(col("t")).as("n"), length(col("t")).as("l"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(rows(0)._1 == cmp)
+    assert(rows(0)._2 == 16 && rows(0)._1.length == 13) // 3 marks folded
+    assert(rows(1)._1 == cmp)            // precomposed: identity
+    assert(rows(2)._1 == "plain ascii")  // ASCII fast path
+    assert(rows(3)._1 == "")
+    assert(rows(4)._1 == "\ud83d\ude00 ok") // supplementary untouched
+    val nul = Seq[Option[String]](None).toDF("t")
+      .select(WebText.nfcNormalize(col("t"))).head()
+    assert(nul.isNullAt(0))
+  }
+
   test("resolveLink: absolute / protocol-relative / root-relative / junk") {
     import spark.implicits._
     val rows = Seq(
