@@ -129,66 +129,6 @@ object Eval {
     * is NULL are excluded. Returns one row:
     * (n, n_both_pos, n_both_neg, n_only_a, n_only_b, po_ppm, kappa).
     */
-  /** NDCG@k per query group — the ranked-retrieval quality metric
-    * (Järvelin & Kekäläinen 2002) behind retriever / hard-negative
-    * evaluation, complementing the set-level [[aucExact]] /
-    * [[prCurve]]:
-    *
-    *   DCG@k  = Σ_{p ≤ k} (2^rel(p) − 1) / log2(p + 1)   (system order)
-    *   IDCG@k = the same sum under the ideal (rel-descending) order
-    *   NDCG@k = DCG@k / IDCG@k  (0 when IDCG is 0 — an all-irrelevant
-    *            group has no ideal to normalize against)
-    *
-    * Both orders break ties by ascending id, so the ranking — and the
-    * float result — is a pure function of the data. Float discipline
-    * (the [[graft.ops.TextAnalysis.bm25]] trick): each group's ≤ k
-    * discounted gains are folded IN POSITION ORDER via a sorted-array
-    * aggregate, and log2 is computed as ln(x)/ln(2) — both choices so
-    * an external engine replays the doubles bit-exactly. Rows with a
-    * NULL id, score, or relevance are excluded.
-    *
-    * Scale shape: one hash exchange on the query key feeds both
-    * row_number windows (the second ranking re-sorts the same
-    * partitions, no second exchange); everything past the windows
-    * carries at most k tiny structs per query. k is the only
-    * per-group state — a query with a million candidates still folds
-    * ten terms.
-    */
-  def ndcgAtK(df: DataFrame, queryCol: Column, idCol: Column,
-              scoreCol: Column, relCol: Column, k: Int,
-              roundTo: Int = 6): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val base = df.select(queryCol.as("query_id"), idCol.as("__id"),
-        scoreCol.as("__score"), relCol.cast("long").as("__rel"))
-      .where(col("__id").isNotNull && col("__score").isNotNull &&
-        col("__rel").isNotNull)
-    val byScore = Window.partitionBy(col("query_id"))
-      .orderBy(col("__score").desc, col("__id").asc)
-    val byRel = Window.partitionBy(col("query_id"))
-      .orderBy(col("__rel").desc, col("__id").asc)
-    val gain = pow(lit(2.0), col("__rel").cast("double")) - lit(1.0)
-    def disc(p: Column) = log(p.cast("double") + lit(1.0)) / log(lit(2.0))
-    def tagged(p: Column) =
-      when(p <= k, struct(p.as("p"), (gain / disc(p)).as("c")))
-    val contribs = base
-      .withColumn("__pos", row_number().over(byScore))
-      .withColumn("__ipos", row_number().over(byRel))
-      .select(col("query_id"),
-        tagged(col("__pos")).as("__dc"), tagged(col("__ipos")).as("__ic"))
-    def fold(c: Column) = aggregate(array_sort(collect_list(c)),
-      lit(0.0), (acc, x) => acc + x("c"))
-    contribs.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        fold(col("__dc")).as("__dcg"), fold(col("__ic")).as("__idcg"))
-      .select(col("query_id"), col("n_docs"),
-        graft.ops.Numeric.roundAway(col("__dcg"), roundTo).as("dcg"),
-        graft.ops.Numeric.roundAway(col("__idcg"), roundTo).as("idcg"),
-        graft.ops.Numeric.roundAway(
-          when(col("__idcg") > 0, col("__dcg") / col("__idcg"))
-            .otherwise(lit(0.0)), roundTo).as("ndcg"))
-  }
-
   def cohenKappa(df: DataFrame, labelA: Column, labelB: Column,
                  roundTo: Int = 6): DataFrame = {
     val base = df.select(labelA.as("__a"), labelB.as("__b"))
@@ -211,4 +151,69 @@ object Eval {
           (po - pe) / (lit(1.0) - pe)
         }, roundTo).as("kappa"))
   }
+
+  /** NDCG@k per query group — the ranked-retrieval quality metric
+    * (Järvelin & Kekäläinen 2002) behind retriever / hard-negative
+    * evaluation, complementing the set-level [[aucExact]] /
+    * [[prCurve]]:
+    *
+    *   DCG@k  = Σ_{p ≤ k} (2^rel(p) − 1) / log2(p + 1)   (system order)
+    *   IDCG@k = the same sum under the ideal (rel-descending) order
+    *   NDCG@k = DCG@k / IDCG@k  (0 when IDCG is 0 — an all-irrelevant
+    *            group has no ideal to normalize against)
+    *
+    * Both orders break ties by ascending id, so the ranking — and the
+    * float result — is a pure function of the data. Float discipline
+    * (the [[graft.ops.TextAnalysis.bm25]] trick): each group's ≤ k
+    * discounted gains are folded IN POSITION ORDER via a sorted-array
+    * aggregate, and log2 is computed as ln(x)/ln(2) — both choices so
+    * an external engine replays the doubles bit-exactly. Rows with a
+    * NULL id, score, or relevance are excluded. Caller contract for
+    * that purity: ids must be UNIQUE within a query group (two rows
+    * with the same id AND score but different relevance would make the
+    * tie order — and the floats — partitioning-dependent). Relevance
+    * may be graded and fractional; it is cast to double, not truncated.
+    *
+    * Scale shape: one hash exchange on the query key feeds both
+    * row_number windows (the second ranking re-sorts the same
+    * partitions, no second exchange); everything past the windows
+    * carries at most k tiny structs per query. k is the only
+    * per-group state — a query with a million candidates still folds
+    * ten terms.
+    */
+  def ndcgAtK(df: DataFrame, queryCol: Column, idCol: Column,
+              scoreCol: Column, relCol: Column, k: Int,
+              roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(queryCol.as("query_id"), idCol.as("__id"),
+        scoreCol.as("__score"), relCol.cast("double").as("__rel"))
+      .where(col("__id").isNotNull && col("__score").isNotNull &&
+        col("__rel").isNotNull)
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("__id").asc)
+    val byRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("__rel").desc, col("__id").asc)
+    val gain = pow(lit(2.0), col("__rel")) - lit(1.0)
+    def disc(p: Column) = log(p.cast("double") + lit(1.0)) / log(lit(2.0))
+    def tagged(p: Column) =
+      when(p <= k, struct(p.as("p"), (gain / disc(p)).as("c")))
+    val contribs = base
+      .withColumn("__pos", row_number().over(byScore))
+      .withColumn("__ipos", row_number().over(byRel))
+      .select(col("query_id"),
+        tagged(col("__pos")).as("__dc"), tagged(col("__ipos")).as("__ic"))
+    def fold(c: Column) = aggregate(array_sort(collect_list(c)),
+      lit(0.0), (acc, x) => acc + x("c"))
+    contribs.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        fold(col("__dc")).as("__dcg"), fold(col("__ic")).as("__idcg"))
+      .select(col("query_id"), col("n_docs"),
+        graft.ops.Numeric.roundAway(col("__dcg"), roundTo).as("dcg"),
+        graft.ops.Numeric.roundAway(col("__idcg"), roundTo).as("idcg"),
+        graft.ops.Numeric.roundAway(
+          when(col("__idcg") > 0, col("__dcg") / col("__idcg"))
+            .otherwise(lit(0.0)), roundTo).as("ndcg"))
+  }
+
 }

@@ -30,6 +30,12 @@ object Preference {
     * join-back, and response payloads (the texts) never move — join
     * them back by id AFTER pairing if the trainer needs them.
     * Rows with a NULL id or score are excluded up front.
+    *
+    * CALLER CONTRACT: `idCol` must be SIGNED NUMERIC — the chosen-side
+    * tiebreak orders by its negation, which a string id would silently
+    * turn into a NULL sort key (arbitrary tie pick, no error) and
+    * which maps Long.MinValue to itself (inverted tiebreak for that
+    * one id). Hash or dense-rank non-numeric response ids first.
     */
   def pairs(responses: DataFrame, groupCol: Column, idCol: Column,
             scoreCol: Column, minGap: Long = 1L): DataFrame = {

@@ -225,7 +225,7 @@ object WebText {
     * drop-don't-guess, the curation default for unresolvable targets.
     */
   def resolveLink(href: Column, baseHost: Column): Column =
-    when(href.rlike("^https?://"), href)
+    when(href.rlike("(?i)^https?://"), href)
       .when(href.startsWith("//"), concat(lit("https:"), href))
       .when(href.startsWith("/"), concat(lit("https://"), baseHost, href))
       .otherwise(lit(null))

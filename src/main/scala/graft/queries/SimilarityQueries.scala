@@ -19,7 +19,7 @@ object SimilarityQueries {
     * CosineSimExpr: dot / (sqrt(na) * sqrt(nb)).
     */
   private def hpDot(k: Int): String =
-    s"""list_reduce(list_transform(generate_series(1, len(v)), i ->
+    s"""list_reduce(list_transform(generate_series(1, least(len(v), 64)), i ->
        |          CASE WHEN CAST(('0x' || substr(md5('hp:$k:' || CAST(i - 1 AS VARCHAR)), 1, 12)) AS UBIGINT) % 2 = 0
        |               THEN v[i] ELSE -v[i] END), (x, y) -> x + y)""".stripMargin
 
@@ -50,7 +50,8 @@ object SimilarityQueries {
   private val semDedupOracle: String = {
     val bucket = hpBucket(4)
     s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                    FROM embeddings WHERE embedding IS NOT NULL),
+                    FROM embeddings
+                    WHERE embedding IS NOT NULL AND len(embedding) >= 64),
         b AS (
           SELECT vec_id, v,
          $bucket AS bucket
@@ -81,7 +82,8 @@ object SimilarityQueries {
 
   private val embeddingNearDupOracle: String = {
     val bucket = hpBucket(4)
-    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE embedding IS NOT NULL AND len(embedding) >= 64),
         b AS (
           SELECT vec_id, v,
          $bucket AS bucket
@@ -107,7 +109,8 @@ object SimilarityQueries {
     */
   private val lshTopKOracle: String = {
     val bucket = hpBucket(8)
-    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE embedding IS NOT NULL AND len(embedding) >= 64),
         b AS (
           SELECT vec_id, v,
          $bucket AS bucket
@@ -147,7 +150,8 @@ object SimilarityQueries {
       .mkString(" + ")
     val marginCase = (0 until bits).map(k => s"WHEN $k THEN abs(d$k)")
       .mkString(" ")
-    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE embedding IS NOT NULL AND len(embedding) >= 64),
         cb AS (
           SELECT vec_id, v,
          ${hpBucket(bits)} AS bucket

@@ -22,10 +22,13 @@ object WebCurationQueries {
     * unresolvable mailto:. Returns resolved (doc_id, src_host,
     * dst_host) rows — one per extractable+resolvable anchor.
     */
+  private def srcHostCol: org.apache.spark.sql.Column =
+    concat(lit("s"), (col("doc_id") % 50).cast("string"),
+      lit(".example.org"))
+
   private def linkFixture(d: org.apache.spark.sql.DataFrame)
     : org.apache.spark.sql.DataFrame = {
-    val srcHost = concat(lit("s"), (col("doc_id") % 50).cast("string"),
-      lit(".example.org"))
+    val srcHost = srcHostCol
     val html = concat(
       lit("<html><body><p>"), substring(col("text"), 1, 40),
       lit("</p><a href=\"https://h"), (col("doc_id") % 97).cast("string"),
@@ -75,7 +78,7 @@ object WebCurationQueries {
              'href="([^"]+)"', 1)) AS href) u),
        resolved AS (
          SELECT doc_id, src_host,
-           CASE WHEN regexp_matches(href, '^https?://') THEN href
+           CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
                 WHEN href LIKE '//%' THEN 'https:' || href
                 WHEN href LIKE '/%'
                   THEN 'https://' || src_host || href
@@ -317,11 +320,14 @@ object WebCurationQueries {
     //      so the doc-side join adds zero exchanges. ----
     Q("q180_host_rank_prior",
       (s, dir) => {
-        val fx = linkFixture(Tables.load(s, dir, "documents"))
-        val edges = fx.select(col("src_host"), col("dst_host")).distinct()
+        val d = Tables.load(s, dir, "documents")
+        val edges = linkFixture(d)
+          .select(col("src_host"), col("dst_host")).distinct()
         val ranks = graft.ops.Graph.pageRank(edges, "src_host", "dst_host",
           iterations = 3, assumeDistinct = true)
-        fx.select(col("doc_id"), col("src_host")).distinct()
+        // doc side joins by the host EXPRESSION — never re-extracts
+        // links, so the HTML pass runs once (review round-12 finding)
+        d.select(col("doc_id"), srcHostCol.as("src_host"))
           .join(broadcast(ranks), col("src_host") === col("node"))
           .select(col("doc_id"), col("src_host"),
             col("rank_scaled").as("host_rank"))
@@ -360,6 +366,6 @@ object WebCurationQueries {
                               AS r
                      FROM nodes n LEFT JOIN c3 ON n.node = c3.dst)
               SELECT p.doc_id, p.src_host, CAST(r3.r AS BIGINT) AS host_rank
-              FROM (SELECT DISTINCT doc_id, src_host FROM hosts) p
+              FROM (SELECT doc_id, src_host FROM pages) p
               JOIN r3 ON p.src_host = r3.node""")))
 }

@@ -130,7 +130,7 @@ class WebTextSpec extends SparkSpec {
   test("resolveLink: absolute / protocol-relative / root-relative / junk") {
     import spark.implicits._
     val rows = Seq(
-      "https://a.example.com/x", "http://b.example.com/y",
+      "https://a.example.com/x", "HTTP://b.example.com/Y",
       "//cdn.example.net/z", "/page/1",
       "mailto:x@y.z", "javascript:void(0)", "#frag", "../up")
       .toDF("href")
@@ -138,7 +138,7 @@ class WebTextSpec extends SparkSpec {
         lit("host.example.org")).as("u"))
       .collect().map(r => Option(r.getString(0)))
     assert(rows.toSeq == Seq(
-      Some("https://a.example.com/x"), Some("http://b.example.com/y"),
+      Some("https://a.example.com/x"), Some("HTTP://b.example.com/Y"),
       Some("https://cdn.example.net/z"),
       Some("https://host.example.org/page/1"),
       None, None, None, None))
