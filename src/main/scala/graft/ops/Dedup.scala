@@ -121,13 +121,87 @@ object Dedup {
     * — its per-band min-id candidate scheme is O(bucket), not
     * O(bucket²) — so the cap lives only on this all-pairs variant.
     */
+  /** The banding → bucket-cap → bucket-self-join → distinct candidate
+    * pipeline shared by [[minhashNearDups]] and [[minhashRecallAudit]]:
+    * from a shingled frame (idCol, __sh) to ordered candidate id pairs.
+    * The cap is band-keyed like the self-join, so it adds an agg but no
+    * new partitioning, and is skipped entirely when uncapped.
+    */
+  private def bandedCandidatePairs(sh: DataFrame, idCol: String,
+                                   numHashes: Int, bands: Int,
+                                   maxBucketSize: Long,
+                                   portable: Boolean): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded0 = if (portable) portableBanded(sh, idCol, numHashes, bands)
+    else sh
+      .select(col(idCol), explode(
+        lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))
+        .as("__band"))
+    val banded = if (maxBucketSize == Long.MaxValue) banded0 else banded0.join(
+      banded0.groupBy(col("__band")).agg(count(lit(1)).as("__bn"))
+        .where(col("__bn") <= maxBucketSize)
+        .drop("__bn"),
+      Seq("__band"))
+    banded.select(col("__band"), col(idCol).as("id_a"))
+      .join(banded.select(col("__band"), col(idCol).as("id_b")), Seq("__band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Candidate-generation RECALL of the banded-LSH family, measured
+    * against exhaustive ground truth — the audit that turns "the recall
+    * floor is a spec assertion" into a number the oracle replays:
+    * exact pairs = every pair at shingle-Jaccard ≥ `threshold` in the
+    * audit slice, candidates = the banding's distinct pair set (cap
+    * applied, exactly as [[minhashNearDups]] would see them), and one
+    * row reports n_exact / n_candidates / n_hit with integer-ppm recall
+    * (hits over exact) and candidate precision (hits over candidates —
+    * how much verification work the bands waste).
+    *
+    * Ground truth comes from [[similarityJoinPrefix]] — the
+    * recall-EXACT prefix-filter join — so the audit is NOT quadratic:
+    * it costs one banding pass plus one PPJoin pass, both production
+    * paths. (The DuckDB oracle replays the exact side as literal
+    * all-pairs, which is the same set by the prefix principle — the
+    * oracle checks semantics, not the algorithm.) Callers still pass a
+    * bounded audit slice: the interesting number is the ratio, not a
+    * corpus-wide census.
+    */
+  def minhashRecallAudit(df: DataFrame, textCol: String, idCol: String,
+                         shingleN: Int = 3, numHashes: Int = 32,
+                         bands: Int = 8, threshold: Double = 0.6,
+                         maxBucketSize: Long = Long.MaxValue,
+                         portable: Boolean = false): DataFrame = {
+    val sh = df.select(col(idCol),
+      TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .localCheckpoint(false) // shingle once: banding + both exact sides
+    val cand =
+      bandedCandidatePairs(sh, idCol, numHashes, bands, maxBucketSize, portable)
+    val exact = similarityJoinPrefix(df, textCol, idCol,
+        shingleN = shingleN, threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+    exact
+      .join(cand.select(col("id_a"), col("id_b"), lit(1L).as("__c")),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_hit"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+        when(col("n_exact") > 0, expr("n_hit * 1000000 div n_exact"))
+          .as("recall_ppm"),
+        when(col("n_candidates") > 0,
+          expr("n_hit * 1000000 div n_candidates"))
+          .as("candidate_precision_ppm"))
+  }
+
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.6,
                       maxBucketSize: Long = Long.MaxValue,
                       portable: Boolean = false): DataFrame = {
     require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
-    val rowsPerBand = numHashes / bands
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
       .localCheckpoint(false) // shingle once: banding + both verify sides
@@ -135,23 +209,8 @@ object Dedup {
     // one ([[portableBanded]]): candidates, cap behavior, and the exact
     // Jaccard verification all become externally replayable (the q149
     // hash oracle), at the cost of one extra (id, 32 longs) shuffle.
-    val banded0 = if (portable) portableBanded(sh, idCol, numHashes, bands)
-    else sh
-      .select(col(idCol), explode(
-        lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rowsPerBand))
-        .as("__band"))
-    // band-keyed like the self-join below, so the cap adds an agg but no
-    // new partitioning; skipped entirely when uncapped
-    val banded = if (maxBucketSize == Long.MaxValue) banded0 else banded0.join(
-      banded0.groupBy(col("__band")).agg(count(lit(1)).as("__bn"))
-        .where(col("__bn") <= maxBucketSize)
-        .drop("__bn"),
-      Seq("__band"))
-    val candidates = banded.select(col("__band"), col(idCol).as("id_a"))
-      .join(banded.select(col("__band"), col(idCol).as("id_b")), Seq("__band"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val candidates =
+      bandedCandidatePairs(sh, idCol, numHashes, bands, maxBucketSize, portable)
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))

@@ -205,6 +205,63 @@ object TextQueries {
         FROM v WHERE j >= 0.6"""
   }
 
+  /** q184's oracle, generated: the q149 portable band family (cap
+    * replayed) gives the candidate set, an exhaustive shingle-Jaccard
+    * pass over the same slice gives ground truth, and the single output
+    * row recomputes every count and both ppm quotients — a missed
+    * band, a leaked candidate, or an exact-Jaccard divergence all move
+    * an integer and hash-mismatch.
+    */
+  private val minhashRecallOracle: String = {
+    val mins = minhashSlotMins
+    val bandSelects = minhashBandSelects
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        g AS (
+          SELECT doc_id, substr(text, CAST(i.i AS INTEGER), 3) AS sh
+          FROM d, LATERAL (
+            SELECT unnest(generate_series(1, length(text) - 2)) AS i) i
+          WHERE length(text) >= 3),
+        h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(sh), 1, 12)) AS UBIGINT) AS h1,
+                 CAST(('0x' || substr(md5(sh), 13, 12)) AS UBIGINT) | 1 AS h2
+          FROM g),
+        sig AS (
+          SELECT doc_id,
+               $mins
+          FROM h GROUP BY doc_id),
+        bands AS (
+             $bandSelects),
+        kept AS (SELECT key FROM bands GROUP BY key HAVING count(*) <= 1000),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN kept k ON k.key = a.key
+          JOIN bands b ON b.key = a.key AND a.doc_id < b.doc_id),
+        shs AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM g GROUP BY 1),
+        ex AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
+        hit AS (SELECT ex.id_a FROM ex
+                JOIN cand c ON ex.id_a = c.id_a AND ex.id_b = c.id_b),
+        n AS (SELECT
+                (SELECT count(*) FROM ex) AS n_exact,
+                (SELECT count(*) FROM cand) AS n_candidates,
+                (SELECT count(*) FROM hit) AS n_hit)
+        SELECT CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CASE WHEN n_exact > 0
+                    THEN CAST(n_hit * 1000000 // n_exact AS BIGINT) END
+                 AS recall_ppm,
+               CASE WHEN n_candidates > 0
+                    THEN CAST(n_hit * 1000000 // n_candidates AS BIGINT) END
+                 AS candidate_precision_ppm
+        FROM n"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- token counting (whitespace) + char stats ----
@@ -358,6 +415,19 @@ object TextQueries {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       },
       Some(minhashCappedOracle)),
+
+    // ---- candidate-generation recall of the q149 band family against
+    //      exhaustive ground truth on the same audit slice: the recall
+    //      floor as an ORACLED MEASUREMENT (n_exact / n_candidates /
+    //      n_hit + ppm recall and candidate precision), not a spec
+    //      assertion. Exact side is all-pairs BY DESIGN on the bounded
+    //      slice — the thresholdCalibration contract ----
+    Q("q184_lsh_recall",
+      (s, dir) => Dedup.minhashRecallAudit(
+        Tables.load(s, dir, "documents").where(col("doc_id") < 300),
+        "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8,
+        threshold = 0.6, maxBucketSize = 1000L, portable = true),
+      Some(minhashRecallOracle)),
 
     // ---- the audit leg of q149's armed bucket cap: LSH band keys whose
     //      buckets exceed the cap (dropped whole from the self-join).

@@ -392,6 +392,26 @@ class DedupTextSpec extends SparkSpec {
     assert(native == composable)
   }
 
+  test("minhashRecallAudit: exact dup always a candidate; count invariants") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+      (3L, "completely unrelated text talking about spark executors"))
+      .toDF("doc_id", "text")
+    val r = Dedup.minhashRecallAudit(df, "text", "doc_id",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.6,
+      portable = true).head()
+    val (nEx, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // pair (1,2) is the only exact pair; identical shingle sets give
+    // identical signatures, so every band matches and it MUST be a
+    // candidate — recall is exactly 1.0 regardless of the hash family
+    assert(nEx == 1L && nHit == 1L && r.getLong(3) == 1000000L)
+    assert(nHit <= nEx && nHit <= nCand)
+    // precision = hits over candidates, in ppm
+    assert(r.getLong(4) == 1000000L * nHit / nCand)
+  }
+
   test("minhashDedup propagationRounds=-1 collapses an arbitrary-length chain " +
     "to one root (connected components to fixpoint)") {
     // chain construction: doc_i = block_i ++ block_{i+1}, blocks are
