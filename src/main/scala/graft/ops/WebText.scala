@@ -230,6 +230,26 @@ object WebText {
       .when(href.startsWith("/"), concat(lit("https://"), baseHost, href))
       .otherwise(lit(null))
 
+  /** Join words hyphen-split across a line break — the PDF / hard-wrap
+    * extraction artifact ("exam-\nple" → "example"). The continuation
+    * must be LOWERCASE: "UTF-\nBased" keeps its hyphen (likely a real
+    * compound, not a wrap), the standard pdftotext-repair heuristic.
+    */
+  def dehyphenate(text: Column): Column =
+    regexp_replace(text, "([A-Za-z])-[ \\t]*\\n[ \\t]*([a-z])", "$1$2")
+
+  /** Reflow hard-wrapped lines: single line breaks become spaces, runs
+    * of blank lines collapse to ONE paragraph break. Uses U+0001 as an
+    * internal marker — upstream control-char scrubbing (the quality
+    * gates) guarantees it cannot occur in corpus text.
+    */
+  def reflowLines(text: Column): Column = {
+    val trimmed = regexp_replace(text, "[ \\t]*\\n[ \\t]*", "\n")
+    val marked = regexp_replace(trimmed, "\\n\\n+", "\u0001")
+    val spaced = regexp_replace(marked, "\\n", " ")
+    regexp_replace(spaced, "\u0001", "\n\n")
+  }
+
   /** Unicode NFC normalization (native codegen expression —
     * [[graft.expressions.NormalizeExprs]]): composes decomposed
     * accent sequences so byte-level hashing (exact dedup, shingles,

@@ -374,5 +374,66 @@ object WebTextQueries {
                      md5(nf) AS nfc_md5
               FROM n"""),
     ),
+
+    // ---- hard-wrap repair (the pdftotext artifact): the corpus is
+    //      deterministically re-wrapped — every "xxx yyy" 3-letter word
+    //      boundary becomes a hyphen + line break, and doc_id%5 docs
+    //      get sentence-level paragraph breaks — then repaired:
+    //      dehyphenate (lowercase continuations only) + reflow (single
+    //      breaks → spaces, blank-line runs → one paragraph break).
+    //      Both transforms are RE2-portable regex chains the oracle
+    //      replays verbatim; md5 pins the repaired bytes ----
+    Q("q185_line_repair",
+      (s, dir) => {
+        val base = when(col("doc_id") % 5 === 0,
+          replace(col("text"), lit(". "), lit(".\n\n")))
+          .otherwise(col("text"))
+        val wrapped =
+          regexp_replace(base, "([a-z]{3}) ([a-z]{3})", "$1-\n$2")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), wrapped.as("__w"))
+          .select(col("doc_id"),
+            (length(col("__w")) -
+              length(replace(col("__w"), lit("\n"), lit("")))).as("n_breaks"),
+            WT.reflowLines(WT.dehyphenate(col("__w"))).as("__r"))
+          .select(col("doc_id"), col("n_breaks"),
+            length(col("__r")).as("n_chars_repaired"),
+            md5(col("__r")).as("repaired_md5"))
+      },
+      Some("""WITH b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN replace(text, '. ',
+                                         '.' || chr(10) || chr(10))
+                            ELSE text END AS t
+                FROM documents),
+              w AS (
+                SELECT doc_id,
+                       regexp_replace(t, '([a-z]{3}) ([a-z]{3})',
+                         '\1-' || chr(10) || '\2', 'g') AS w
+                FROM b),
+              dh AS (
+                SELECT doc_id, w,
+                       regexp_replace(w,
+                         '([A-Za-z])-[ \t]*\n[ \t]*([a-z])', '\1\2', 'g')
+                         AS d
+                FROM w),
+              rf AS (
+                SELECT doc_id, w,
+                       replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(d, '[ \t]*\n[ \t]*', chr(10), 'g'),
+                             '\n\n+', chr(1), 'g'),
+                           '\n', ' ', 'g'),
+                         chr(1), chr(10) || chr(10)) AS r
+                FROM dh)
+              SELECT doc_id,
+                     CAST(length(w) - length(replace(w, chr(10), ''))
+                          AS INTEGER) AS n_breaks,
+                     CAST(length(r) AS INTEGER) AS n_chars_repaired,
+                     md5(r) AS repaired_md5
+              FROM rf"""),
+    ),
   )
 }

@@ -127,6 +127,23 @@ class WebTextSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("dehyphenate joins wrapped words, keeps real compounds") {
+    import spark.implicits._
+    val got = Seq("exam-\nple", "UTF-\nBased", "pre- \n  fix", "a-b")
+      .toDF("t").select(WebText.dehyphenate(col("t")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    // uppercase continuation = likely compound: hyphen survives
+    assert(got == Seq("example", "UTF-\nBased", "prefix", "a-b"))
+  }
+
+  test("reflowLines: single breaks to spaces, paragraph runs survive as one") {
+    import spark.implicits._
+    val got = Seq("a\nb", "a \n  b", "a\n\nb", "a\n\n\n\nb", "a\n \nb")
+      .toDF("t").select(WebText.reflowLines(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a b", "a b", "a\n\nb", "a\n\nb", "a\n\nb"))
+  }
+
   test("resolveLink: absolute / protocol-relative / root-relative / junk") {
     import spark.implicits._
     val rows = Seq(
