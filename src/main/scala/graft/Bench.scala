@@ -17,6 +17,10 @@ object Bench {
     * just died with the query plan.
     */
   private def resetEngineState(spark: SparkSession): Unit = {
+    // drain handles parked by Checkpoints.sessionCk first (they become
+    // no-ops once the sweep below has unpersisted their RDDs, but the
+    // queue itself must not grow for the run's life)
+    graft.core.Checkpoints.releaseSessionSnapshots()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     spark.sharedState.cacheManager.clearCache()
@@ -26,14 +30,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
+    // benches must run under the same pinned runtime-replan trio the
+    // engine sessions use (skew split / bloom / DPP — Sessions scaladoc)
+    graft.core.Sessions.engineConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new GraftExtensions().registerOn(spark)
     // absorb JVM/codegen/scan warm-up so per-query timings are

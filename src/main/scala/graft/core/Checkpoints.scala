@@ -68,6 +68,38 @@ object Checkpoints {
     }
   }
 
+  /** Snapshot for an operator that RETURNS a lazy frame built on the
+    * checkpoint (lshTopK, embeddingNearDups, semDedup, backoffScore):
+    * the snapshot's last reader is the CALLER's terminal action, so no
+    * release point exists inside the operator. The handle is parked in
+    * a session registry instead — a harness (or library user) calls
+    * [[releaseSessionSnapshots]] between queries, after each terminal
+    * action, and every parked snapshot is dropped at once. Un-drained,
+    * the leak is bounded by calls-per-session of non-evictable blocks
+    * (round-11 advice: each such call otherwise pins its blocks for the
+    * session's life with no release path at all); the registry itself
+    * holds only tiny closures.
+    */
+  def sessionCk(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(false)
+    parked.add(releaseHandle(ck))
+    ck
+  }
+
+  /** Release every snapshot parked by [[sessionCk]] since the last
+    * drain. SAFE ONLY between queries: a still-lazy plan over a parked
+    * snapshot has no lineage to recompute from. Returns the number of
+    * handles drained. Blocks already unpersisted elsewhere (e.g. a
+    * bench harness's unpersist-all sweep) make the handle a no-op. */
+  def releaseSessionSnapshots(): Int = {
+    var n = 0
+    var h = parked.poll()
+    while (h != null) { h(); n += 1; h = parked.poll() }
+    n
+  }
+
+  private val parked =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
   private val noops = new java.util.concurrent.atomic.AtomicLong(0L)
   private val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
 

@@ -15,22 +15,32 @@ object Scratch {
     * caller's own overwrite-mode write may have clobbered. */
   private val MaxAgeMs = 2L * 60 * 60 * 1000
 
+  /** Run paths issued by THIS jvm and not yet released — these are never
+    * reclaimed, however old: both production call sites return LAZY
+    * frames that re-read the scratch files at the caller's action time,
+    * so a same-JVM run older than the grace window can still have a
+    * live reader (round-11 advice: treating pid == self as abandoned
+    * raced exactly that reader). A dead pid in `.owner` still proves
+    * abandonment for OTHER jvms' runs, and this jvm's unreleased runs
+    * are reclaimed by the next session once this pid dies. */
+  private val live = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
   /** A fresh, empty directory under the tag's fixed slot. A prior run is
     * reclaimed only when BOTH (a) it is provably abandoned — its owner
     * JVM (pid recorded in `.owner` at creation; unreadable counts as
-    * dead) is not alive, OR the owner is THIS jvm (a long-lived session
-    * must reclaim its own aged runs, else every Bench pass accumulates a
-    * corpus copy for the session's life) — and (b) it is older than the
-    * grace window, so a CONCURRENT process on the same tag can never
-    * have its active run wiped mid-read (round-10 advice: `synchronized`
-    * is JVM-local, a whole-slot wipe raced other JVMs), and a same-JVM
-    * reader inside its read window is equally safe. Correctness never
-    * rests on reclaim: the returned directory is a NEWLY CREATED unique
-    * subdir, so stale files can neither leak into this run's results nor
-    * race its reads — reclaim bounds accumulation (≤ one grace window of
-    * abandoned runs, any mix of owners), the unique subdir guarantees
-    * isolation. Residual exposure: an unrelated process reusing a dead
-    * owner's pid delays that run's reclaim until the squatter exits.
+    * dead) is not alive, or the owner is this jvm AND the caller
+    * explicitly [[release]]d the path (issued-and-unreleased paths stay
+    * pinned: a lazy frame may still read them) — and (b) it is older
+    * than the grace window, so a CONCURRENT process on the same tag can
+    * never have its active run wiped mid-read (round-10 advice:
+    * `synchronized` is JVM-local, a whole-slot wipe raced other JVMs).
+    * Correctness never rests on reclaim: the returned directory is a
+    * NEWLY CREATED unique subdir, so stale files can neither leak into
+    * this run's results nor race its reads — reclaim bounds
+    * accumulation (≤ one grace window of abandoned runs, any mix of
+    * owners), the unique subdir guarantees isolation. Residual
+    * exposure: an unrelated process reusing a dead owner's pid delays
+    * that run's reclaim until the squatter exits.
     */
   def dir(tag: String): String = synchronized {
     val root = java.nio.file.Paths.get(
@@ -42,16 +52,25 @@ object Scratch {
       val abandoned = try {
         val pid = new String(java.nio.file.Files.readAllBytes(
           f.toPath.resolve(".owner"))).trim.toLong
-        pid == self ||
-          !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+        if (pid == self) !live.containsKey(f.getAbsolutePath)
+        else !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
       } catch { case _: Exception => true }
       if (abandoned && f.lastModified() < cutoff) delete(f)
     }
     val run = java.nio.file.Files.createTempDirectory(root, "run")
     java.nio.file.Files.write(run.resolve(".owner"),
       ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+    live.put(run.toAbsolutePath.toString, true)
     run.toString
   }
+
+  /** Declare this jvm done with a run dir issued by [[dir]]: the path
+    * becomes reclaim-eligible once past the grace window. Optional —
+    * an unreleased run is reclaimed by a later session after this jvm
+    * exits; releasing just lets a long-lived session bound its own
+    * accumulation when the caller KNOWS no lazy frame still reads it. */
+  def release(path: String): Unit =
+    live.remove(new java.io.File(path).getAbsolutePath)
 
   private[core] def delete(f: java.io.File): Unit = {
     if (f.isDirectory)

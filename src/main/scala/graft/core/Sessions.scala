@@ -11,18 +11,35 @@ import org.apache.spark.sql.SparkSession
   * pins tz="UTC", see /root/reference/R/_analyze_data.R:229-231).
   */
 object Sessions {
+
+  /** The engine's non-negotiable conf set, pinned EXPLICITLY rather
+    * than inherited from Spark defaults. The runtime-replan trio —
+    * AQE skew-join splitting (hot join partitions split at runtime),
+    * runtime bloom filters (27×/33× fewer fact rows/bytes shuffled on
+    * non-partition keys, PLANS.md ×100 probe), and dynamic partition
+    * pruning (the partition-key leg) — is probe-proven scale
+    * infrastructure; a Spark default change or a stray conf file
+    * disabling any of them would silently re-open a measured 100-TB
+    * bottleneck. SessionsSpec fails if any is off (round-11 verdict
+    * ask #6). */
+  val engineConfs: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
+    engineConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // builder-time extensions only apply at first construction; a warm
     // JVM (tests, sbt) reuses the session, so register post-hoc too

@@ -46,9 +46,21 @@ object Tables {
     */
   def media(spark: SparkSession, dir: String, name: String)
            (synth: => DataFrame): DataFrame =
-    if (new java.io.File(s"$dir/$name.parquet/_SUCCESS").exists())
+    if (fsExists(spark, s"$dir/$name.parquet/_SUCCESS"))
       spark.read.parquet(s"$dir/$name.parquet")
     else synth
+
+  /** Filesystem probe through the Hadoop FS API, so the check resolves
+    * on ANY Spark-supported filesystem (hdfs://, s3a://, file:, ...).
+    * A `java.io.File` probe here only ever resolved local paths, so a
+    * warehouse on a distributed store silently failed the `_SUCCESS`
+    * check and fell back to synthesis — re-introducing at real scale
+    * exactly the synthesis-vs-decode conflation the materialized media
+    * tables fixed (round-11 advice). */
+  private def fsExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 
   /** Warehouse-style read (directory, possibly hive-partitioned). */
   def loadDir(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -46,7 +46,7 @@ object NgramLm {
         slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
-      .localCheckpoint(false) // feeds counts AND the scoring join
+      .transform(graft.core.Checkpoints.sessionCk) // feeds counts AND the scoring join
     val c12 = bigrams.groupBy(col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__c12"))
     val c1 = bigrams.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
@@ -107,7 +107,7 @@ object NgramLm {
       .withColumn("__w2", lead(col("__w"), 1).over(wDoc))
       .withColumn("__w3", lead(col("__w"), 2).over(wDoc))
 
-    val trainToks = toks.where(isTrain).localCheckpoint(false)
+    val trainToks = toks.where(isTrain).transform(graft.core.Checkpoints.sessionCk)
     val tg = grams(trainToks)
     val c1 = trainToks.groupBy(col("__w")).agg(count(lit(1)).as("__c1"))
     val nTot = trainToks.agg(count(lit(1)).as("__n"))
@@ -374,7 +374,7 @@ object NgramLm {
       .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
     val c12 = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("pair_n"))
-      .localCheckpoint(false) // feeds marginals, total, and the scored cut
+      .transform(graft.core.Checkpoints.sessionCk) // feeds marginals, total, and the scored cut
     val left = c12.groupBy(col("w1")).agg(sum(col("pair_n")).as("__c1"))
     val right = c12.groupBy(col("w2")).agg(sum(col("pair_n")).as("__c2"))
     val total = c12.agg(sum(col("pair_n")).as("__n"))

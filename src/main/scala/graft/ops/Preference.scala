@@ -40,6 +40,14 @@ object Preference {
   def pairs(responses: DataFrame, groupCol: Column, idCol: Column,
             scoreCol: Column, minGap: Long = 1L): DataFrame = {
     require(minGap >= 0, s"minGap must be >= 0, got $minGap")
+    // fail fast on the SIGNED-NUMERIC contract instead of leaning on the
+    // scaladoc (round-11 advice): a string id would make -col(__id) a
+    // NULL sort key — a silent arbitrary tie pick, no error
+    val idType = responses.select(idCol.as("__id")).schema.head.dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"idCol must resolve to a signed numeric type (tiebreak negates " +
+        s"it); got ${idType.simpleString} — hash or dense-rank " +
+        "non-numeric response ids first")
     responses
       .select(groupCol.as("prompt_id"), idCol.as("__id"), scoreCol.as("__s"))
       .where(col("__id").isNotNull && col("__s").isNotNull)

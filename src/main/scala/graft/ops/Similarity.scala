@@ -143,7 +143,7 @@ object Similarity {
         else lshSignature(col("__v"), bits))
     // same measured reasoning as [[lshTopK]]: one snapshot beats two
     // evaluations of the signature loop across the self-join sides
-    val sig = if (portableDim > 0) sig0.localCheckpoint(false) else sig0
+    val sig = if (portableDim > 0) graft.core.Checkpoints.sessionCk(sig0) else sig0
     val a = sig.select(col("__bucket"), col(idCol).as("id_a"), col("__v").as("__va"))
     val b = sig.select(col("__bucket"), col(idCol).as("id_b"), col("__v").as("__vb"))
     a.join(b, Seq("__bucket"))
@@ -263,7 +263,7 @@ object Similarity {
     // materialize the signature once for the self-join (measured at ×100:
     // q41 20.3 vs 20.7 s, q43 38.1 vs 45.1 s — recomputing the native
     // loop per side loses to one narrow (id, bucket, vec) snapshot)
-    val sig = if (portableDim > 0) sig0.localCheckpoint(false) else sig0
+    val sig = if (portableDim > 0) graft.core.Checkpoints.sessionCk(sig0) else sig0
     val a = sig.select(col("__bucket"), col(idCol).as("query_id"), col("__v").as("__qv"))
     val b = sig.select(col("__bucket"), col(idCol).as("neighbor_id"), col("__v").as("__cv"))
     val scored = a.join(b, Seq("__bucket"))
@@ -357,7 +357,7 @@ object Similarity {
     val sliced = c.select(
       col(idCol) +: (0 until m).map(s =>
         slice(col("__v"), s * sub + 1, sub).as(s"__s$s")): _*)
-      .localCheckpoint(false)
+      .transform(graft.core.Checkpoints.sessionCk)
     // init: ONE deterministic hash-sample job seeds every subspace (the
     // same ksub corpus rows contribute their s-th subvector to book s)
     val initRows = sliced
@@ -396,7 +396,7 @@ object Similarity {
       array((0 until m).map(s =>
         nearestCentroids(col(s"__s$s"), books(s), 1, l2 = true).getItem(0)): _*)
         .as("__codes"))
-      .localCheckpoint(false) // scanned once by the ADC pass below
+      .transform(graft.core.Checkpoints.sessionCk) // scanned once by the ADC pass below
     // small-batch contract: queries fit the driver (same as ANN practice)
     val qRows = queries.select(col(idCol), toDoubleVec(col(vecCol)).as("__qv"))
       .collect()
@@ -508,7 +508,7 @@ object Similarity {
     val sliced = resid.select(
       col(idCol) +: col("__cell") +: (0 until m).map(s =>
         slice(col("__r"), s * sub + 1, sub).as(s"__s$s")): _*)
-      .localCheckpoint(false) // feeds codebook training + encoding
+      .transform(graft.core.Checkpoints.sessionCk) // feeds codebook training + encoding
     // shared residual codebooks: same one-job-per-iteration Lloyd as
     // pqTopK — only (subspace, cell) partial sums cross the wire
     val initRows = sliced
@@ -543,7 +543,7 @@ object Similarity {
       array((0 until m).map(s =>
         nearestCentroids(col(s"__s$s"), books(s), 1, l2 = true).getItem(0)): _*)
         .as("__codes"))
-      .localCheckpoint(false) // scanned once per ADC pass
+      .transform(graft.core.Checkpoints.sessionCk) // scanned once per ADC pass
     // small-batch query contract: probe list, ⟨q,c⟩ terms, and LUTs are
     // all driver-built and ride as ONE broadcast (query × nProbe rows)
     val qRows = queries.select(col(idCol), toDoubleVec(col(vecCol)).as("__qv"))
@@ -646,7 +646,7 @@ object Similarity {
       // map-side cell assignment; materialized once for the self-join
       nonNull.select(col(idCol),
         nearestCentroids(col("__v"), cents, 1).getItem(0).as("__cell"), col("__v"))
-    }).localCheckpoint(false)
+    }).transform(graft.core.Checkpoints.sessionCk)
     val pairs = assigned
       .join(assigned.select(col("__cell"), col(idCol).as("__cand"),
         col("__v").as("__cv")), Seq("__cell"))

@@ -86,6 +86,21 @@ class CheckpointsSpec extends SparkSpec {
     assert(Checkpoints.noopHandleCount == before + 1)
   }
 
+  test("sessionCk parks a handle; releaseSessionSnapshots drains exactly " +
+    "the parked blocks") {
+    val sc = spark.sparkContext
+    Checkpoints.releaseSessionSnapshots() // drain anything a prior suite parked
+    val before = sc.getPersistentRDDs.size
+    val a = Checkpoints.sessionCk(Seq(1L, 2L).toDF("x"))
+    val b = Checkpoints.sessionCk(Seq(3L).toDF("x"))
+    assert(a.count() == 2 && b.count() == 1) // materialize both snapshots
+    assert(sc.getPersistentRDDs.size == before + 2)
+    assert(Checkpoints.releaseSessionSnapshots() == 2)
+    assert(sc.getPersistentRDDs.size == before,
+      "parked snapshots must be fully released by one drain")
+    assert(Checkpoints.releaseSessionSnapshots() == 0, "drain is idempotent")
+  }
+
   test("compact-storage mode: CC stays correct end to end") {
     spark.conf.set("graft.graph.compactStorage", "true")
     try {

@@ -8,19 +8,26 @@ class ScratchSpec extends AnyFunSuite {
     assert(dir.setLastModified(
       System.currentTimeMillis() - hours.toLong * 3600 * 1000))
 
-  test("a long-lived JVM reclaims its OWN aged runs (no per-session " +
-    "accumulation), but never a run inside the grace window") {
+  test("an UNRELEASED self-owned run survives any age (a lazy frame may " +
+    "still read it); a RELEASED aged run is reclaimed; young runs are " +
+    "always protected") {
     val tag = s"spec_self_${System.nanoTime()}"
     val first = new java.io.File(Scratch.dir(tag))
     val second = new java.io.File(Scratch.dir(tag))
     // both young and self-owned: the grace window protects them
     assert(first.exists() && second.exists())
-    backdate(first, 3) // past the 2h grace
+    backdate(first, 3) // past the 2h grace — but never released
     val third = new java.io.File(Scratch.dir(tag))
-    assert(!first.exists(), "aged self-owned run must be reclaimed")
-    assert(second.exists(), "young run stays protected")
-    assert(third.exists())
-    Scratch.delete(third.getParentFile)
+    assert(first.exists(),
+      "aged but unreleased self-owned run must survive: round-11 advice " +
+        "— a same-JVM lazy reader may still scan it")
+    Scratch.release(first.getAbsolutePath)
+    backdate(first, 3) // creating `third` bumped nothing, but re-pin age
+    val fourth = new java.io.File(Scratch.dir(tag))
+    assert(!first.exists(), "released aged run must be reclaimed")
+    assert(second.exists() && third.exists(), "young runs stay protected")
+    assert(fourth.exists())
+    Scratch.delete(fourth.getParentFile)
   }
 
   test("an aged run with an unreadable owner counts as abandoned; a " +

@@ -43,4 +43,16 @@ class PreferenceSpec extends SparkSpec {
     // survivors are ids 1 and 3; n_responses counts only them
     assert((r.getLong(1), r.getLong(2), r.getLong(6)) == ((1L, 3L, 2L)))
   }
+
+  test("a non-numeric id fails FAST, not as a silent NULL tiebreak") {
+    // round-11 advice: the signed-numeric contract was scaladoc-only —
+    // a string id made -col(__id) a NULL sort key (arbitrary tie pick,
+    // no error). Now it's a require at call time.
+    val df = Seq(("g", "resp-1", 10L), ("g", "resp-2", 20L))
+      .toDF("p", "id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Preference.pairs(df, col("p"), col("id"), col("s"))
+    }
+    assert(e.getMessage.contains("signed numeric"))
+  }
 }
