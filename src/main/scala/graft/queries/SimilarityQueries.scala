@@ -216,7 +216,7 @@ object SimilarityQueries {
           .select(col("vec_id"), col("rep_id"),
             round(col("sim"), 6).as("sim"), col("is_dup"))
       },
-      Some(semDedupOracle)),
+      Some(semDedupOracle), materialize = true),
 
     // ---- brute-force exact cosine top-k (ANN baseline) ----
     Q("q40_cosine_topk",

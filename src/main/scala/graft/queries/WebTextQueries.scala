@@ -373,7 +373,7 @@ object WebTextQueries {
                      nf <> t AS changed,
                      md5(nf) AS nfc_md5
               FROM n"""),
-    ),
+      materialize = true),
 
     // ---- hard-wrap repair (the pdftotext artifact): the corpus is
     //      deterministically re-wrapped — every "xxx yyy" 3-letter word
@@ -434,6 +434,6 @@ object WebTextQueries {
                      CAST(length(r) AS INTEGER) AS n_chars_repaired,
                      md5(r) AS repaired_md5
               FROM rf"""),
-    ),
+      materialize = true),
   )
 }

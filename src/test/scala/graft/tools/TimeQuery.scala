@@ -58,7 +58,9 @@ object TimeQuery {
       }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // same per-query action as Bench: noop-sink materialization for
+        // scan-shaped rows, count() for the rest
+        graft.queries.Registry.consume(name, fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         reset()
         dt
