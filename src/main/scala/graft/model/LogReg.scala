@@ -35,16 +35,38 @@ object LogReg {
     */
   def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
                      dim: Int): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(graft.ops.TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
-    val counts = toks
-      .withColumn("bucket", pmod(xxhash64(col("__t")), lit(dim.toLong)).cast("int"))
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__c"))
+    val counts = hashedCounts(df, textCol, idCol, dim)
+      .withColumnRenamed("c", "__c")
     val norms = counts.groupBy(col(idCol)).agg(sum(col("__c")).as("__n"))
     counts.join(norms, Seq(idCol))
       .select(col(idCol), col("bucket"),
         (col("__c").cast("double") / col("__n").cast("double")).as("x"))
       .unionByName(df.select(col(idCol), lit(dim).as("bucket"), lit(1.0).as("x")))
+  }
+
+  /** The classifier's DETERMINISTIC feature leg on its own: per-doc
+    * hashed-bag-of-words bucket COUNTS (tokenize -> hash -> pmod dim ->
+    * count), before the float L1 normalization and the float GD fit.
+    * `portable = false` is q84's xxhash64 family (what `hashed_bow`
+    * compiles); `portable = true` swaps the token hash for the
+    * md5-derived 48-bit family, so an external md5-capable engine
+    * re-derives every bucket and count exactly — the q187 oracle leg
+    * (round-11 verdict ask #4, the q44 integer/float split). Tokens
+    * follow [[graft.ops.TextAnalysis.tokens]] verbatim, including the
+    * one-empty-token behavior on empty/whitespace text, which DuckDB's
+    * regexp_split reproduces.
+    */
+  def hashedCounts(df: DataFrame, textCol: String, idCol: String,
+                   dim: Int, portable: Boolean = false): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(graft.ops.TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+    val bucket =
+      if (portable)
+        pmod(graft.ops.TextAnalysis.portableHash48(col("__t")), lit(dim.toLong))
+          .cast("int")
+      else pmod(xxhash64(col("__t")), lit(dim.toLong)).cast("int")
+    toks.withColumn("bucket", bucket)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
   }
 
   /** Pivot sparse (id, bucket, x) rows to one row per doc with sorted

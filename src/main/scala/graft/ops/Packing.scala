@@ -75,21 +75,39 @@ object Packing {
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     maxTokens: Long): DataFrame = {
-    require(maxTokens > 0, s"maxTokens must be > 0, got $maxTokens")
     val counted = df.where(length(trim(col(textCol))) > 0)
       .select(col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("__n"))
-    val cum = Windows.globalRunningSum(counted, idCol, "__n", "__ca")
-      .withColumn("__cb", col("__ca") - col("__n"))
+    packCounted(counted, idCol, "__n", maxTokens)
+      .select(col("pack_id"), col(idCol), col("tok_start"),
+        col("n_pack_tokens"), col("pack_offset"))
+  }
+
+  /** [[packSequences]] over PRE-COUNTED units: one input row per unit
+    * with a positive token count in `nCol` and a globally-unique
+    * numeric order key in `orderCol` (the concatenation order). All
+    * other input columns ride through to the emitted segments — the
+    * form a composed pipeline needs when a unit is not a bare document
+    * (an epoch-mixed (id, copy) pair, a conversation, a chunk) and its
+    * text/count was already computed upstream. Same two-phase
+    * range-partitioned prefix sum as [[packSequences]]; same output
+    * segment math.
+    */
+  def packCounted(df: DataFrame, orderCol: String, nCol: String,
+                  maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be > 0, got $maxTokens")
+    val keep = df.columns.map(col)
+    val cum = Windows.globalRunningSum(df, orderCol, nCol, "__ca")
+      .withColumn("__cb", col("__ca") - col(nCol))
     cum
-      .select(col(idCol), col("__n"), col("__cb"),
+      .select(keep :+ col("__cb") :+
         explode(sequence(idiv(col("__cb"), maxTokens),
-          idiv(col("__ca") - 1, maxTokens))).as("pack_id"))
+          idiv(col("__ca") - 1, maxTokens))).as("pack_id"): _*)
       .withColumn("__ts", greatest(col("pack_id") * maxTokens - col("__cb"), lit(0L)))
-      .select(col("pack_id"), col(idCol),
-        col("__ts").as("tok_start"),
-        (least((col("pack_id") + 1) * maxTokens - col("__cb"), col("__n")) -
-          col("__ts")).as("n_pack_tokens"),
-        (col("__cb") + col("__ts") - col("pack_id") * maxTokens).as("pack_offset"))
+      .select(keep :+ col("pack_id") :+
+        col("__ts").as("tok_start") :+
+        (least((col("pack_id") + 1) * maxTokens - col("__cb"), col(nCol)) -
+          col("__ts")).as("n_pack_tokens") :+
+        (col("__cb") + col("__ts") - col("pack_id") * maxTokens).as("pack_offset"): _*)
   }
 }

@@ -198,7 +198,7 @@ object Sampling {
     */
   def epochMix(df: DataFrame, idCol: Column, domainCol: Column,
                epochsPpm: Map[String, Long], defaultPpm: Long = 1000000L,
-               salt: String = ""): DataFrame = {
+               salt: String = "", carryCols: Seq[String] = Nil): DataFrame = {
     require(defaultPpm >= 0 && epochsPpm.values.forall(_ >= 0),
       "epoch weights must be >= 0 ppm")
     def thr(ppm: Long): Long = ((BigInt(ppm % 1000000L) << 48) / 1000000L).toLong
@@ -209,14 +209,17 @@ object Sampling {
       .toDF("__dom", "__base", "__thr")
     val draw = TextAnalysis.portableHash48(
       concat(lit("mix:"), lit(salt), col("id").cast("string")))
-    df.select(idCol.as("id"), domainCol.as("domain"))
+    // carryCols ride unit-functional payload (precomputed token counts,
+    // lengths) through the replication so composed pipelines need no
+    // join-back to recover them per copy
+    df.select(idCol.as("id") +: domainCol.as("domain") +: carryCols.map(col): _*)
       .join(broadcast(doms), col("domain") === col("__dom"), "left")
       .withColumn("__copies",
         coalesce(col("__base"), lit(defaultPpm / 1000000L)) +
           when(draw < coalesce(col("__thr"), lit(thr(defaultPpm))), 1L)
             .otherwise(0L))
       .where(col("__copies") > 0)
-      .select(col("id"), col("domain"),
-        explode(sequence(lit(1L), col("__copies"))).as("epoch_copy"))
+      .select(col("id") +: col("domain") +: carryCols.map(col) :+
+        explode(sequence(lit(1L), col("__copies"))).as("epoch_copy"): _*)
   }
 }

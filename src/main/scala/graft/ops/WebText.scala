@@ -100,24 +100,42 @@ object WebText {
     */
   def sentenceDedup(df: org.apache.spark.sql.DataFrame,
                     textCol: String, idCol: String)
+      : org.apache.spark.sql.DataFrame =
+    sentenceDedupText(df, textCol, idCol)
+      .select(col(idCol), col("n_sents"), col("n_kept"),
+        md5(col("clean")).as("clean_md5"))
+
+  /** [[sentenceDedup]] keeping the REASSEMBLED text (`clean` = the
+    * surviving sentences rejoined with spaces in original order, ''
+    * when every sentence was a later copy) — the form a pipeline
+    * composes: downstream stages (near-dup dedup, token counting,
+    * packing) consume the deduplicated text itself, not its digest.
+    * `carryCols` rides doc-functional columns (source, lang) through
+    * the aggregation without a join-back; they join the grouping key,
+    * which costs nothing because they are constant per id.
+    */
+  def sentenceDedupText(df: org.apache.spark.sql.DataFrame,
+                        textCol: String, idCol: String,
+                        carryCols: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sents = df.select(col(idCol),
-      posexplode(sentenceSplit(col(textCol))).as(Seq("sent_idx", "sentence")))
+    val keys = col(idCol) +: carryCols.map(col)
+    val sents = df.select(keys :+
+      posexplode(sentenceSplit(col(textCol))).as(Seq("sent_idx", "sentence")): _*)
     val ranked = sents.withColumn("__rn",
       row_number().over(
         Window.partitionBy(col("sentence"))
           .orderBy(col(idCol), col("sent_idx"))))
-    ranked.groupBy(col(idCol))
+    ranked.groupBy(keys: _*)
       .agg(count(lit(1)).as("n_sents"),
         sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-        md5(array_join(
+        array_join(
           transform(
             array_sort(collect_list(
               when(col("__rn") === 1,
                 struct(col("sent_idx"), col("sentence"))))),
             x => x.getField("sentence")),
-          " ")).as("clean_md5"))
+          " ").as("clean"))
   }
 
   /** Corpus-level boilerplate line removal (RefinedWeb/CCNet-style):

@@ -238,10 +238,36 @@ object CurationQueries {
               LEFT JOIN ex ON md5(n.text) = ex.k
               LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.nid""")),
 
+    // ---- q84's deterministic feature leg under the FULL oracle (the
+    //      q44 integer/float split): hashed-BoW bucket counts with the
+    //      portable md5-derived token hash, every (doc, bucket, count)
+    //      row replayed by DuckDB. The float remainder of q84 — L1
+    //      shares and the GD fit — is spec-anchored (LogRegSpec); the
+    //      native xxhash64 family stays q84's hot path ----
+    Q("q187_bow_features",
+      (s, dir) => graft.model.LogReg.hashedCounts(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        dim = 128, portable = true),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                         '\s+')) AS tk
+                FROM documents),
+              h AS (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || substr(md5(tk), 1, 12)) AS UBIGINT)
+                            % 128 AS INTEGER) AS bucket
+                FROM t)
+              SELECT doc_id, bucket, count(*) AS c
+              FROM h GROUP BY 1, 2""")),
+
     // ---- fastText-style quality classifier: hashed-BoW logistic
     //      regression trained distributed (two hash-aggs per GD step,
     //      model collect is ≤ dim+1 rows) on the weak label lang='en',
-    //      scoring the whole corpus. Iterative float fit → rows-only ----
+    //      scoring the whole corpus. Rows-only because of the FIT alone
+    //      (iterative float gradient descent — lr/L2/sigmoid in IEEE
+    //      accumulation order no SQL engine replays); the deterministic
+    //      feature leg is fully oracled as q187 ----
     Q("q84_quality_classifier",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")

@@ -493,6 +493,210 @@ object PipelineQueries {
                      chosen_score - rejected_score AS score_gap,
                      n AS n_responses
               FROM c JOIN j USING (prompt_id)
-              WHERE n >= 2 AND chosen_score - rejected_score >= 1"""))
+              WHERE n >= 2 AND chosen_score - rejected_score >= 1""")),
+
+    // ---- the end-to-end trainer feed (round-11 verdict ask #3): the
+    //      full curate -> near-dup dedup -> epoch-mix -> pack -> shard
+    //      -> export chain as ONE dataflow under ONE oracle. Every
+    //      stage is individually oracled (q164 / q35 / q173 / q172 /
+    //      q177); this query grades their COMPOSITION — the shape a
+    //      real crawl-to-trainer run has (reference analogue: the pull
+    //      half runs scrub -> agg -> impute -> write as one DAG,
+    //      R/_pull_data.R:368-719). Output: one row per 512-token
+    //      training pack with its rendezvous shard and an md5 over the
+    //      ordered (doc, copy, start, len) segment descriptors — a
+    //      drift anywhere in the chain (a gate flip, a dedup decision,
+    //      a mix copy, a pack boundary, a shard pick) moves a digest.
+    //      Scale shape: the document text is scanned ONCE into the
+    //      curated snapshot; dedup, token counting, and the keep join
+    //      read the snapshot; mix is a broadcast join + explode over a
+    //      NARROW (id, source, n) frame — text never replicates; the
+    //      pack prefix-sum is the two-phase range-partitioned form;
+    //      shard assignment is a pure expression; the export writes
+    //      segment descriptors partitioned by shard. ----
+    Q("q186_trainer_feed",
+      (s, dir) => {
+        val segs = trainerFeedSegments(s, dir)
+        val out = graft.core.Scratch.dir("q186_trainer_feed")
+        segs.select(col("__ord"), col("id"), col("epoch_copy"),
+            col("pack_id"), col("tok_start"), col("n_pack_tokens"),
+            col("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("pack_id"), col("shard"))
+          .agg(count(lit(1)).as("n_segs"),
+            sum(col("n_pack_tokens")).as("n_pack_tokens"),
+            md5(array_join(transform(array_sort(collect_list(struct(
+              col("__ord"),
+              concat_ws(":", col("id").cast("string"),
+                col("epoch_copy").cast("string"),
+                col("tok_start").cast("string"),
+                col("n_pack_tokens").cast("string")).as("d")))),
+              x => x.getField("d")), ",")).as("pack_md5"))
+      },
+      Some(trainerFeedOracle))
   )
+
+  /** q186's pre-export chain (curate -> dedup -> mix -> pack -> shard),
+    * exposed for plan probes (exchange-count reading in PLANS.md): the
+    * export write consumes exactly this frame.
+    */
+  private[graft] def trainerFeedSegments(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.ops.{Dedup, Layout, TextAnalysis => TA, WebText => WT}
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val html = concat(lit(WebTextQueries.pagePrefix),
+      col("doc_id").cast("string"), lit(WebTextQueries.pageMid),
+      col("text"), lit(WebTextQueries.pageSuffix))
+    val cleaned = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), WT.htmlToText(html).as("clean0"))
+    val gated = cleaned.where(
+      graft.ops.Numeric.roundAway(
+        TA.qualityScore(col("clean0"), stop), 6) >= 0.5)
+    // snapshot the curated corpus once: the dedup decision, the
+    // token-count leg, and the keep join all fan out from it
+    val curated = graft.core.Checkpoints.sessionCk(
+      WT.sentenceDedupText(gated, "clean0", "doc_id",
+        carryCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("clean")))
+    val dec = Dedup.minhashDedup(curated, "clean", "doc_id",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5,
+      portable = true)
+    val keepIds = dec.where(!col("is_dup")).select(col("doc_id"))
+    // narrow feed: text stays in the snapshot, only (id, source, n)
+    // flows into mix/pack — copies replicate counts, never bytes
+    val narrow = curated
+      .where(length(trim(col("clean"))) > 0)
+      .select(col("doc_id"), col("source"),
+        TA.tokenCount(col("clean")).cast("long").as("__n"))
+      .join(keepIds, Seq("doc_id"))
+    val mixed = Sampling.epochMix(narrow, col("doc_id"), col("source"),
+      epochsPpm = Map("src1" -> 2250000L, "src2" -> 500000L,
+        "src3" -> 3000000L), carryCols = Seq("__n"))
+    val stream = mixed.select(
+      (col("id") * 4 + col("epoch_copy") - 1).as("__ord"),
+      col("id"), col("epoch_copy"), col("__n"))
+    Packing.packCounted(stream, "__ord", "__n", maxTokens = 512L)
+      .withColumn("shard", Layout.rendezvousShard(col("pack_id"), 8))
+  }
+
+  /** q186's oracle: the ONE SQL statement that replays the whole
+    * trainer-feed chain — q164's curation CTEs (shared text, zero
+    * drift), the portable Carter-Wegman minhash decision (q35's
+    * family over the CURATED text), the q173 mix draws, the q172
+    * sequential prefix-sum pack, and the q177 HRW shard — down to a
+    * per-pack md5 of the ordered segment descriptors.
+    */
+  private def trainerFeedOracle: String = {
+    val mins = TextQueries.minhashSlotMins
+    val bandSelects = TextQueries.minhashBandSelects("sig2")
+    s"""WITH ${WebTextQueries.curationCtes},
+        cur AS (
+          SELECT doc_id,
+                 coalesce(string_agg(CASE WHEN rn = 1 THEN sentence END,
+                   ' ' ORDER BY sent_idx), '') AS clean
+          FROM rr GROUP BY doc_id),
+        g2 AS (
+          SELECT doc_id, substr(clean, CAST(i.i AS INTEGER), 3) AS sh
+          FROM cur, LATERAL (
+            SELECT unnest(generate_series(1, length(clean) - 2)) AS i) i
+          WHERE length(clean) >= 3),
+        h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(sh), 1, 12)) AS UBIGINT) AS h1,
+                 CAST(('0x' || substr(md5(sh), 13, 12)) AS UBIGINT) | 1 AS h2
+          FROM g2),
+        sig2 AS (
+          SELECT doc_id,
+               $mins
+          FROM h GROUP BY doc_id),
+        bands AS (
+             $bandSelects),
+        bandmin AS (SELECT key, min(doc_id) AS bmin FROM bands GROUP BY 1),
+        cand0 AS (
+          SELECT b.doc_id, m.bmin
+          FROM bands b JOIN bandmin m USING (key)
+          WHERE m.bmin < b.doc_id),
+        cands AS (
+          SELECT doc_id, list_sort(list_distinct(list(bmin)))[1:3] AS cl
+          FROM cand0 GROUP BY 1),
+        shs AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM g2 GROUP BY 1),
+        pairs AS (SELECT doc_id, unnest(cl) AS rep FROM cands),
+        verified AS (
+          SELECT p.doc_id,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))) AS j
+          FROM pairs p
+          JOIN shs a ON a.doc_id = p.doc_id
+          JOIN shs b ON b.doc_id = p.rep),
+        dup AS (SELECT doc_id FROM verified GROUP BY doc_id
+                HAVING max(j) >= 0.5),
+        keep AS (
+          SELECT c.doc_id, dsrc.source, c.clean
+          FROM cur c
+          JOIN documents dsrc USING (doc_id)
+          LEFT JOIN dup ON dup.doc_id = c.doc_id
+          WHERE dup.doc_id IS NULL AND trim(c.clean) <> ''),
+        mx AS (
+          SELECT doc_id, source, clean,
+                 CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                   1, 12)) AS UBIGINT) AS draw
+          FROM keep),
+        cp AS (
+          SELECT doc_id, clean,
+                 CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 0
+                             WHEN 'src3' THEN 3 ELSE 1 END
+                 + CASE WHEN draw < (CASE source
+                         WHEN 'src1' THEN 70368744177664
+                         WHEN 'src2' THEN 140737488355328
+                         ELSE 0 END) THEN 1 ELSE 0 END AS copies
+          FROM mx),
+        ex AS (
+          SELECT doc_id, clean, ecs.ec
+          FROM cp, LATERAL (
+            SELECT unnest(generate_series(1, copies)) AS ec) ecs
+          WHERE copies > 0),
+        tc AS (
+          SELECT doc_id, ec, doc_id * 4 + ec - 1 AS ord,
+                 CAST(len(regexp_split_to_array(trim(clean), '\\s+'))
+                   AS BIGINT) AS n
+          FROM ex),
+        cc AS (
+          SELECT doc_id, ec, ord, n,
+                 CAST(sum(n) OVER (ORDER BY ord) AS BIGINT) AS ca
+          FROM tc),
+        b2 AS (SELECT doc_id, ec, ord, n, ca, ca - n AS cb FROM cc),
+        e3 AS (
+          SELECT doc_id, ec, ord, n, cb,
+                 unnest(generate_series(cb // 512, (ca - 1) // 512))
+                   AS pack_id
+          FROM b2),
+        seg AS (
+          SELECT CAST(pack_id AS BIGINT) AS pack_id, doc_id, ec, ord,
+                 CAST(greatest(pack_id * 512 - cb, 0) AS BIGINT) AS ts,
+                 CAST(least((pack_id + 1) * 512 - cb, n)
+                      - greatest(pack_id * 512 - cb, 0) AS BIGINT) AS len
+          FROM e3),
+        hp AS (SELECT DISTINCT pack_id FROM seg),
+        hw AS (
+          SELECT pack_id, sidx.s AS s,
+                 CAST(('0x' || substr(md5('hrw:' || CAST(pack_id AS VARCHAR)
+                   || ':' || CAST(sidx.s AS VARCHAR)), 1, 12)) AS UBIGINT)
+                   AS w
+          FROM hp, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) sidx),
+        sdx AS (
+          SELECT pack_id, CAST(max(w * 64 + s) % 64 AS INTEGER) AS shard
+          FROM hw GROUP BY 1)
+        SELECT sg.pack_id, sdx.shard,
+               count(*) AS n_segs,
+               CAST(sum(sg.len) AS BIGINT) AS n_pack_tokens,
+               md5(string_agg(CAST(sg.doc_id AS VARCHAR) || ':' ||
+                     CAST(sg.ec AS VARCHAR) || ':' ||
+                     CAST(sg.ts AS VARCHAR) || ':' ||
+                     CAST(sg.len AS VARCHAR), ',' ORDER BY sg.ord))
+                 AS pack_md5
+        FROM seg sg JOIN sdx USING (pack_id)
+        GROUP BY 1, 2"""
+  }
 }

@@ -98,18 +98,19 @@ object TextQueries {
     * four-slot literal band keys — the exact family
     * graft.expressions.PortableMinHashSigExpr computes.
     */
-  private def minhashSlotMins: String = (0 until 32).map { k =>
+  private[queries] def minhashSlotMins: String = (0 until 32).map { k =>
     f"CAST(min((h1 + $k%d * h2) & 281474976710655) AS BIGINT) AS mh$k%02d"
   }.mkString(",\n               ")
 
-  private def minhashBandSelects: String = (0 until 8).map { b =>
-    val slots = (0 until 4).map(r => f"mh${b * 4 + r}%02d").mkString(", ")
-    s"SELECT doc_id, concat_ws(',', '$b', $slots) AS key FROM sig"
-  }.mkString("\n             UNION ALL ")
+  private[queries] def minhashBandSelects(from: String = "sig"): String =
+    (0 until 8).map { b =>
+      val slots = (0 until 4).map(r => f"mh${b * 4 + r}%02d").mkString(", ")
+      s"SELECT doc_id, concat_ws(',', '$b', $slots) AS key FROM $from"
+    }.mkString("\n             UNION ALL ")
 
   private val minhashDedupOracle: String = {
     val mins = minhashSlotMins
-    val bandSelects = minhashBandSelects
+    val bandSelects = minhashBandSelects()
     s"""WITH g AS (
           SELECT doc_id, substr(text, CAST(i.i AS INTEGER), 3) AS sh
           FROM documents, LATERAL (
@@ -169,7 +170,7 @@ object TextQueries {
     */
   private val minhashCappedOracle: String = {
     val mins = minhashSlotMins
-    val bandSelects = minhashBandSelects
+    val bandSelects = minhashBandSelects()
     s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 600),
         g AS (
           SELECT doc_id, substr(text, CAST(i.i AS INTEGER), 3) AS sh
@@ -214,7 +215,7 @@ object TextQueries {
     */
   private val minhashRecallOracle: String = {
     val mins = minhashSlotMins
-    val bandSelects = minhashBandSelects
+    val bandSelects = minhashBandSelects()
     s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
         g AS (
           SELECT doc_id, substr(text, CAST(i.i AS INTEGER), 3) AS sh

@@ -26,16 +26,94 @@ object WebTextQueries {
     * has no raw HTML, so both engines derive the page from `text` the
     * same way; the graded behavior is the EXTRACTION.
     */
-  private val pagePrefix =
+  private[queries] val pagePrefix =
     "<html><head><title>Doc "
-  private val pageMid =
+  private[queries] val pageMid =
     "</title><style>p{margin:0}</style>" +
       "<script>var t=\"<p>not text</p>\";</script></head>" +
       "<body><nav>home | about | <b>search</b></nav><!-- begin -->" +
       "<p>"
-  private val pageSuffix =
+  private[queries] val pageSuffix =
     "</p><div>&quot;quoted&quot; &amp;amp; tail</div>" +
       "<footer>&#39;footer&#39; boilerplate</footer></body></html>"
+
+  /** The q164 crawl-to-corpus CTE chain (page synthesis -> html clean ->
+    * quality gate -> per-sentence first-occurrence ranks), shared with
+    * the q186 trainer-feed composite so the two oracles can never
+    * drift: q164 finishes it with a per-doc digest, q186 continues the
+    * chain into dedup -> mix -> pack -> shard. Ends at `rr`
+    * (doc_id, sent_idx, sentence, rn). */
+  private[queries] val curationCtes: String = s"""pg AS (
+                SELECT doc_id,
+                       '$pagePrefix' || CAST(doc_id AS VARCHAR) ||
+                       '${pageMid.replace("'", "''")}' || text ||
+                       '${pageSuffix.replace("'", "''")}' AS h
+                FROM documents),
+              a AS (SELECT doc_id,
+                      regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h
+                    FROM pg),
+              b AS (SELECT doc_id,
+                      regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(h,
+                        '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                        '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                        '(?is)<nav\\b[^>]*>.*?</nav\\s*>', ' ', 'g'),
+                        '(?is)<header\\b[^>]*>.*?</header\\s*>', ' ', 'g'),
+                        '(?is)<footer\\b[^>]*>.*?</footer\\s*>', ' ', 'g'),
+                        '(?is)<aside\\b[^>]*>.*?</aside\\s*>', ' ', 'g'),
+                        '(?is)<noscript\\b[^>]*>.*?</noscript\\s*>', ' ', 'g')
+                        AS h
+                    FROM a),
+              c AS (SELECT doc_id,
+                      regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h
+                    FROM b),
+              d AS (SELECT doc_id,
+                      replace(replace(replace(replace(replace(replace(h,
+                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS h
+                    FROM c),
+              e AS (SELECT doc_id,
+                      trim(regexp_replace(h, '[ \t\n\r]+', ' ', 'g')) AS h
+                    FROM d),
+              f AS (SELECT doc_id, h,
+                      regexp_split_to_array(trim(lower(h)), '\\s+') AS toks,
+                      len(regexp_split_to_array(trim(h), '\\s+')) AS n,
+                      length(h) AS nc,
+                      length(regexp_replace(h, '[^A-Za-z0-9 ]', '', 'g'))
+                        AS nstrip
+                    FROM e),
+              r AS (SELECT doc_id, h,
+                      CASE WHEN len(toks) > 0
+                           THEN CAST(len(list_filter(toks, t ->
+                                  list_contains(['the', 'a', 'of', 'and',
+                                    'to', 'in', 'is'], t))) AS DOUBLE)
+                                / len(toks)
+                           ELSE 0.0 END AS stop_ratio,
+                      CASE WHEN nc > 0
+                           THEN CAST(nc - nstrip AS DOUBLE) / nc
+                           ELSE 0.0 END AS punct_ratio,
+                      CAST(n AS DOUBLE) AS nd
+                    FROM f),
+              g AS (SELECT doc_id, h FROM r
+                    WHERE round(greatest(0.0, least(1.0,
+                            least(nd / 20.0, 1.0) * 0.4
+                            + least(stop_ratio * 5.0, 1.0) * 0.4
+                            + (1.0 - punct_ratio) * 0.2)), 6) >= 0.5),
+              sp AS (SELECT doc_id,
+                       [trim(x) FOR x IN regexp_extract_all(h,
+                          '[^.!?]+[.!?]+|[^.!?]+$$')
+                         IF trim(x) <> ''] AS ss
+                     FROM g),
+              u AS (SELECT doc_id,
+                       CAST(generate_subscripts(ss, 1) - 1 AS INTEGER)
+                         AS sent_idx,
+                       unnest(ss) AS sentence
+                     FROM sp),
+              rr AS (SELECT doc_id, sent_idx, sentence,
+                       row_number() OVER (PARTITION BY sentence
+                                          ORDER BY doc_id, sent_idx) AS rn
+                     FROM u)"""
 
   val qs: Seq[Q] = Seq(
 
@@ -215,77 +293,7 @@ object WebTextQueries {
           round(TA.qualityScore(col("clean"), stop), 6) >= 0.5)
         WT.sentenceDedup(gated, "clean", "doc_id")
       },
-      Some(s"""WITH pg AS (
-                SELECT doc_id,
-                       '$pagePrefix' || CAST(doc_id AS VARCHAR) ||
-                       '${pageMid.replace("'", "''")}' || text ||
-                       '${pageSuffix.replace("'", "''")}' AS h
-                FROM documents),
-              a AS (SELECT doc_id,
-                      regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h
-                    FROM pg),
-              b AS (SELECT doc_id,
-                      regexp_replace(regexp_replace(regexp_replace(
-                      regexp_replace(regexp_replace(regexp_replace(
-                      regexp_replace(h,
-                        '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
-                        '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
-                        '(?is)<nav\\b[^>]*>.*?</nav\\s*>', ' ', 'g'),
-                        '(?is)<header\\b[^>]*>.*?</header\\s*>', ' ', 'g'),
-                        '(?is)<footer\\b[^>]*>.*?</footer\\s*>', ' ', 'g'),
-                        '(?is)<aside\\b[^>]*>.*?</aside\\s*>', ' ', 'g'),
-                        '(?is)<noscript\\b[^>]*>.*?</noscript\\s*>', ' ', 'g')
-                        AS h
-                    FROM a),
-              c AS (SELECT doc_id,
-                      regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h
-                    FROM b),
-              d AS (SELECT doc_id,
-                      replace(replace(replace(replace(replace(replace(h,
-                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS h
-                    FROM c),
-              e AS (SELECT doc_id,
-                      trim(regexp_replace(h, '[ \t\n\r]+', ' ', 'g')) AS h
-                    FROM d),
-              f AS (SELECT doc_id, h,
-                      regexp_split_to_array(trim(lower(h)), '\\s+') AS toks,
-                      len(regexp_split_to_array(trim(h), '\\s+')) AS n,
-                      length(h) AS nc,
-                      length(regexp_replace(h, '[^A-Za-z0-9 ]', '', 'g'))
-                        AS nstrip
-                    FROM e),
-              r AS (SELECT doc_id, h,
-                      CASE WHEN len(toks) > 0
-                           THEN CAST(len(list_filter(toks, t ->
-                                  list_contains(['the', 'a', 'of', 'and',
-                                    'to', 'in', 'is'], t))) AS DOUBLE)
-                                / len(toks)
-                           ELSE 0.0 END AS stop_ratio,
-                      CASE WHEN nc > 0
-                           THEN CAST(nc - nstrip AS DOUBLE) / nc
-                           ELSE 0.0 END AS punct_ratio,
-                      CAST(n AS DOUBLE) AS nd
-                    FROM f),
-              g AS (SELECT doc_id, h FROM r
-                    WHERE round(greatest(0.0, least(1.0,
-                            least(nd / 20.0, 1.0) * 0.4
-                            + least(stop_ratio * 5.0, 1.0) * 0.4
-                            + (1.0 - punct_ratio) * 0.2)), 6) >= 0.5),
-              sp AS (SELECT doc_id,
-                       [trim(x) FOR x IN regexp_extract_all(h,
-                          '[^.!?]+[.!?]+|[^.!?]+$$')
-                         IF trim(x) <> ''] AS ss
-                     FROM g),
-              u AS (SELECT doc_id,
-                       CAST(generate_subscripts(ss, 1) - 1 AS INTEGER)
-                         AS sent_idx,
-                       unnest(ss) AS sentence
-                     FROM sp),
-              rr AS (SELECT doc_id, sent_idx, sentence,
-                       row_number() OVER (PARTITION BY sentence
-                                          ORDER BY doc_id, sent_idx) AS rn
-                     FROM u)
+      Some(s"""WITH $curationCtes
               SELECT doc_id, count(*) AS n_sents,
                      CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_kept,

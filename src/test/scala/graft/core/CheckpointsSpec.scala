@@ -88,15 +88,23 @@ class CheckpointsSpec extends SparkSpec {
 
   test("sessionCk parks a handle; releaseSessionSnapshots drains exactly " +
     "the parked blocks") {
+    // asserts on the SPECIFIC checkpoint RDD ids, not global persistent
+    // counts — ContextCleaner unpersists garbage from earlier suites
+    // asynchronously, so size-based equality is inherently racy
     val sc = spark.sparkContext
     Checkpoints.releaseSessionSnapshots() // drain anything a prior suite parked
-    val before = sc.getPersistentRDDs.size
     val a = Checkpoints.sessionCk(Seq(1L, 2L).toDF("x"))
     val b = Checkpoints.sessionCk(Seq(3L).toDF("x"))
+    def ckId(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+        case other => fail(s"checkpoint plan is not a LogicalRDD: $other")
+      }
+    val (ia, ib) = (ckId(a), ckId(b))
     assert(a.count() == 2 && b.count() == 1) // materialize both snapshots
-    assert(sc.getPersistentRDDs.size == before + 2)
+    assert(sc.getPersistentRDDs.contains(ia) && sc.getPersistentRDDs.contains(ib))
     assert(Checkpoints.releaseSessionSnapshots() == 2)
-    assert(sc.getPersistentRDDs.size == before,
+    assert(!sc.getPersistentRDDs.contains(ia) && !sc.getPersistentRDDs.contains(ib),
       "parked snapshots must be fully released by one drain")
     assert(Checkpoints.releaseSessionSnapshots() == 0, "drain is idempotent")
   }

@@ -75,4 +75,24 @@ class PackingSpec extends SparkSpec {
     }.sortBy(_.mkString("|"))
     assert(rows(got) == expect)
   }
+
+  test("packCounted: pre-counted units pack identically to packSequences " +
+    "and passthrough columns ride to every emitted segment") {
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 40).map(i =>
+      (i.toLong, ("w " * (i % 5 + 1)).trim, s"src${i % 3}"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val viaText = Packing.packSequences(df, "doc_id", "text", 16L)
+    val counted = df.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("__n"))
+    val viaCount = Packing.packCounted(counted, "doc_id", "__n", 16L)
+    assert(rows(viaCount.select(
+        col("pack_id"), col("doc_id"), col("tok_start"),
+        col("n_pack_tokens"), col("pack_offset")))
+      == rows(viaText))
+    // the carried column is correct on every segment, including docs
+    // split across packs
+    assert(viaCount.where(col("source") =!=
+      concat(lit("src"), pmod(col("doc_id"), lit(3)).cast("string"))).count() == 0)
+  }
 }

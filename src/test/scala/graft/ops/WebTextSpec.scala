@@ -97,6 +97,27 @@ class WebTextSpec extends SparkSpec {
     assert(out(3L) == (2L, 1L, m("Zeta")))
   }
 
+  test("sentenceDedupText: clean is the pre-digest text (md5 agrees with " +
+    "sentenceDedup) and carryCols ride the aggregation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "Alpha beta. Accept cookies. Gamma!"),
+      (2L, "srcB", "Accept cookies. Delta epsilon. Accept cookies."),
+      (3L, "srcA", "Delta epsilon. Zeta")).toDF("doc_id", "source", "text")
+    val out = WebText.sentenceDedupText(docs, "text", "doc_id",
+      carryCols = Seq("source"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == (("srcA", 3L, 3L, "Alpha beta. Accept cookies. Gamma!")))
+    assert(out(2L) == (("srcB", 3L, 1L, "Delta epsilon.")))
+    assert(out(3L) == (("srcA", 2L, 1L, "Zeta")))
+    // a doc whose every sentence is a later copy reassembles to ''
+    val all = Seq((1L, "Same line."), (2L, "Same line.")).toDF("doc_id", "text")
+    val e = WebText.sentenceDedupText(all, "text", "doc_id")
+      .where($"doc_id" === 2L).head()
+    assert(e.getLong(2) == 0L && e.getString(3) == "")
+  }
+
   test("extractLinks pulls every href value, ignores src and text") {
     import spark.implicits._
     val h = "<a href=\"https://a.example.com/x\">a</a>" +

