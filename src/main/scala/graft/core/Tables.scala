@@ -12,7 +12,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else spark.read.parquet(splitCached(spark, s"$dir/$name.parquet"))
+
+  /** Single-file fixture tables serialize every scan: one parquet file
+    * with one row group is ONE Spark input split, so a scan-heavy ×1
+    * bench row runs on one core no matter how many the session has
+    * (round-11 verdict #5: q174 measured ~80 µs/doc single-threaded
+    * because sf0.1 `documents.parquet` is one 0.6 MB file). The driver
+    * fixtures are read-only, so the fix lives in the reader: a
+    * mid-size SINGLE-FILE table is rewritten ONCE into an 8-file copy
+    * under a tmpdir cache keyed by (path, length, mtime) and every
+    * later read scans the split copy in parallel. Values are
+    * byte-identical (a parquet round trip of the same rows); only scan
+    * parallelism changes. Multi-file dirs (the ScaleUp corpora, real
+    * warehouses) and tiny dims pass through untouched. Concurrent
+    * JVMs race benignly: each writes a private tmp dir and the first
+    * atomic rename wins; losers read the winner's copy. A corrupt
+    * (_SUCCESS-less) cache entry is ignored and rebuilt.
+    */
+  private def splitCached(spark: SparkSession, path: String): String = {
+    val src = new java.io.File(path)
+    if (!src.isFile || src.length < 64L * 1024 || src.length > 256L * 1024 * 1024)
+      return path
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val slot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_fixture_splits", key)
+    if (!java.nio.file.Files.exists(slot.resolve("_SUCCESS"))) {
+      val tmp = slot.getParent.resolve(
+        s"${key}.tmp-${ProcessHandle.current().pid()}")
+      java.nio.file.Files.createDirectories(slot.getParent)
+      spark.read.parquet(path).repartition(8)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try java.nio.file.Files.move(tmp, slot,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: Exception => // another JVM won the race
+        Scratch.delete(tmp.toFile)
+      }
+    }
+    if (java.nio.file.Files.exists(slot.resolve("_SUCCESS"))) slot.toString
+    else path
+  }
 
   /** The events table has shipped with two physical `ts` encodings across
     * fixture generations: TIMESTAMP(NANOS) (which Spark's vectorized
@@ -25,7 +66,7 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(splitCached(spark, s"$dir/events.parquet"))
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => raw
