@@ -21,6 +21,10 @@ object Bench {
     // no-ops once the sweep below has unpersisted their RDDs, but the
     // queue itself must not grow for the run's life)
     graft.core.Checkpoints.releaseSessionSnapshots()
+    // same safe point for scratch runs: the finished query's terminal
+    // action has run, so its export dirs have no live lazy readers and
+    // may age out of the grace window instead of pinning forever
+    graft.core.Scratch.releaseAll()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     spark.sharedState.cacheManager.clearCache()
@@ -116,21 +120,23 @@ object Bench {
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
     val slowestFirst = results.sortBy(-_._2)
       .map { case (k, v, _) => "\"" + key(k) + "\":" + f2(v) }
-    val budget = 1400 -
-      (s"""{"metric":"total","unit":"sec","n_queries":${results.size},""" +
-       s""""queries":{},"queries_omitted":000,"queries_file":"BENCH_FULL.json",""" +
-       s""""errors":$errs,"sf":"$sfDir","value":${f3(total)}}""").length
+    // ONE skeleton builder serves both the budget measurement and the
+    // final print (review round-12: two hand-maintained copies of the
+    // JSON skeleton would let a future field edit silently re-break the
+    // 2000-byte tail guarantee). "value" placed last: even if some
+    // wrapper truncates the front, the headline total survives.
+    def shortLine(queriesJson: String, omitted: Int): String =
+      s"""{"metric":"total","unit":"sec","n_queries":${results.size},""" +
+        s""""queries":$queriesJson,"queries_omitted":$omitted,""" +
+        s""""queries_file":"BENCH_FULL.json","errors":$errs,""" +
+        s""""sf":"$sfDir","value":${f3(total)}}"""
+    val budget = 1400 - shortLine("{}", results.size).length
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
     slowestFirst.foreach { entry =>
       if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
     }
-    val omitted = results.size - kept.size
-    // "value" placed last: even if some wrapper truncates the front,
-    // the headline total survives
-    println(s"""{"metric":"total","unit":"sec","n_queries":${results.size},""" +
-      s""""queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,""" +
-      s""""queries_file":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir","value":${f3(total)}}""")
+    println(shortLine(kept.mkString("{", ",", "}"), results.size - kept.size))
     spark.stop()
   }
 }

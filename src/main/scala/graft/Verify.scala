@@ -32,6 +32,7 @@ object Verify {
         // snapshot an operator parked is now safe to drop, and keeping
         // them would pin O(queries) non-evictable blocks for the run
         graft.core.Checkpoints.releaseSessionSnapshots()
+        graft.core.Scratch.releaseAll()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }

@@ -16,13 +16,17 @@ object Scratch {
   private val MaxAgeMs = 2L * 60 * 60 * 1000
 
   /** Run paths issued by THIS jvm and not yet released — these are never
-    * reclaimed, however old: both production call sites return LAZY
-    * frames that re-read the scratch files at the caller's action time,
-    * so a same-JVM run older than the grace window can still have a
-    * live reader (round-11 advice: treating pid == self as abandoned
-    * raced exactly that reader). A dead pid in `.owner` still proves
-    * abandonment for OTHER jvms' runs, and this jvm's unreleased runs
-    * are reclaimed by the next session once this pid dies. */
+    * reclaimed, however old: the production call sites (q157, q161,
+    * q186) return LAZY frames that re-read the scratch files at the
+    * caller's action time, so a same-JVM run older than the grace
+    * window can still have a live reader (round-11 advice: treating
+    * pid == self as abandoned raced exactly that reader). A dead pid in
+    * `.owner` still proves abandonment for OTHER jvms' runs, and this
+    * jvm's unreleased runs are reclaimed by the next session once this
+    * pid dies. Harnesses bound in-session accumulation by calling
+    * [[releaseAll]] between queries, at the same safe point they drain
+    * checkpoint snapshots (a query's terminal action has run, so no
+    * lazy frame still reads the previous run's files). */
   private val live = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
   /** A fresh, empty directory under the tag's fixed slot. A prior run is
@@ -71,6 +75,18 @@ object Scratch {
     * accumulation when the caller KNOWS no lazy frame still reads it. */
   def release(path: String): Unit =
     live.remove(new java.io.File(path).getAbsolutePath)
+
+  /** Release every run this jvm issued. SAFE ONLY between queries —
+    * the same contract as `Checkpoints.releaseSessionSnapshots`, and
+    * wired at the same harness points (Bench's engine reset, Verify's
+    * post-write cleanup). Reclaim still waits for the grace window, so
+    * even a mistaken release cannot wipe a dir a concurrent process
+    * just started reading. Returns how many paths were released. */
+  def releaseAll(): Int = {
+    val n = live.size()
+    live.clear()
+    n
+  }
 
   private[core] def delete(f: java.io.File): Unit = {
     if (f.isDirectory)

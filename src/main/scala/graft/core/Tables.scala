@@ -25,11 +25,18 @@ object Tables {
     * later read scans the split copy in parallel. Values are
     * byte-identical (a parquet round trip of the same rows); only scan
     * parallelism changes. Multi-file dirs (the ScaleUp corpora, real
-    * warehouses) and tiny dims pass through untouched. Concurrent
-    * JVMs race benignly: each writes a private tmp dir and the first
-    * atomic rename wins; losers read the winner's copy. A corrupt
-    * (_SUCCESS-less) cache entry is ignored and rebuilt.
+    * warehouses) and tiny dims pass through untouched. Same-JVM
+    * builders serialize on `splitLock` and write thread-distinct tmp
+    * dirs (review round-12: a shared `<key>.tmp-<pid>` path let two
+    * threads interleave part-files and install a corrupt copy);
+    * concurrent JVMs race benignly — first atomic rename wins, losers
+    * delete their tmp and read the winner's copy. A stale _SUCCESS-less
+    * slot (tmpdir reaping, a crashed installer) is deleted and rebuilt,
+    * not skipped forever: ATOMIC_MOVE onto a non-empty slot always
+    * fails, so without the delete every later load would pay a full
+    * rewrite job and then discard it.
     */
+  private val splitLock = new Object
   private def splitCached(spark: SparkSession, path: String): String = {
     val src = new java.io.File(path)
     if (!src.isFile || src.length < 64L * 1024 || src.length > 256L * 1024 * 1024)
@@ -39,16 +46,23 @@ object Tables {
         .getBytes("UTF-8")).map("%02x".format(_)).mkString
     val slot = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_fixture_splits", key)
-    if (!java.nio.file.Files.exists(slot.resolve("_SUCCESS"))) {
-      val tmp = slot.getParent.resolve(
-        s"${key}.tmp-${ProcessHandle.current().pid()}")
-      java.nio.file.Files.createDirectories(slot.getParent)
-      spark.read.parquet(path).repartition(8)
-        .write.mode("overwrite").parquet(tmp.toString)
-      try java.nio.file.Files.move(tmp, slot,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: Exception => // another JVM won the race
-        Scratch.delete(tmp.toFile)
+    splitLock.synchronized {
+      if (!java.nio.file.Files.exists(slot.resolve("_SUCCESS"))) {
+        // a slot dir without _SUCCESS is stale/corrupt — clear it so the
+        // rename below can install the rebuild (same-JVM only: another
+        // LIVE jvm mid-install is protected by its own tmp staging, and
+        // its final rename fails benignly if we won)
+        if (java.nio.file.Files.exists(slot)) Scratch.delete(slot.toFile)
+        val tmp = slot.getParent.resolve(
+          s"$key.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+        java.nio.file.Files.createDirectories(slot.getParent)
+        spark.read.parquet(path).repartition(8)
+          .write.mode("overwrite").parquet(tmp.toString)
+        try java.nio.file.Files.move(tmp, slot,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: Exception => // another JVM won the race
+          Scratch.delete(tmp.toFile)
+        }
       }
     }
     if (java.nio.file.Files.exists(slot.resolve("_SUCCESS"))) slot.toString

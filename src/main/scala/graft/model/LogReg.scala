@@ -168,7 +168,7 @@ object LogReg {
     // one materialized doc-array frame feeds every iteration — at
     // cluster scale this is the cached/checkpointed training set
     val f = docFeatures(features, idCol).join(lab, Seq(idCol))
-      .localCheckpoint(false)
+      .transform(graft.core.Checkpoints.sessionCk)
     val nDocs = math.max(f.count(), 1L).toDouble
     trainDocs(f, dim, iters, lr, l2, nDocs)
   }
@@ -208,7 +208,7 @@ object LogReg {
         label.cast("int").cast("double").as("__y"))
       .select(col(idCol), col("__bx.b").as("__b"), col("__bx.x").as("__x"),
         col("__y"))
-      .localCheckpoint(false) // feeds every GD iteration + final scoring
+      .transform(graft.core.Checkpoints.sessionCk) // feeds every GD iteration + final scoring
     val train = f.where(col("__y").isNotNull)
     val nDocs = math.max(train.count(), 1L).toDouble
     val model = trainDocs(train, dim, iters, lr, l2 = 1e-4, nDocs = nDocs)

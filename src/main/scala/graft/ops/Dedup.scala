@@ -176,7 +176,7 @@ object Dedup {
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
       .where(size(col("__sh")) > 0)
-      .localCheckpoint(false) // shingle once: banding + both exact sides
+      .transform(graft.core.Checkpoints.sessionCk) // shingle once: banding + both exact sides
     val cand =
       bandedCandidatePairs(sh, idCol, numHashes, bands, maxBucketSize, portable)
     val exact = similarityJoinPrefix(df, textCol, idCol,
@@ -204,7 +204,7 @@ object Dedup {
     require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
-      .localCheckpoint(false) // shingle once: banding + both verify sides
+      .transform(graft.core.Checkpoints.sessionCk) // shingle once: banding + both verify sides
     // portable = true swaps the XXH64 band family for the md5-derived
     // one ([[portableBanded]]): candidates, cap behavior, and the exact
     // Jaccard verification all become externally replayable (the q149
@@ -324,7 +324,7 @@ object Dedup {
     // the single-JVM equivalent (lazy: materializes on first use).
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
-      .localCheckpoint(false)
+      .transform(graft.core.Checkpoints.sessionCk)
     val toks = sh.select(col(idCol), size(col("__sh")).as("__len"),
       explode(col("__sh")).as("__tok"))
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
@@ -339,7 +339,7 @@ object Dedup {
       // ordering, then hot tokens are removed — never adds candidates
       .where(col("__freq") <= maxPostings)
       .select(col("__tok"), col(idCol), col("__len"), col("__r"))
-      .localCheckpoint(false) // self-joined below: run freq+window once
+      .transform(graft.core.Checkpoints.sessionCk) // self-joined below: run freq+window once
     // Saturation guard: Σ pf² over prefix tokens IS the candidate-join
     // output size (pre length-filter). Checked EAGERLY at call time —
     // the prefix table just materialized for the self-join anyway, so
@@ -448,7 +448,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
-      .localCheckpoint(false) // feeds ranking + both verify sides
+      .transform(graft.core.Checkpoints.sessionCk) // feeds ranking + both verify sides
     val toks = sh.select(col(idCol), size(col("__sh")).cast("long").as("__len"),
       explode(col("__sh")).as("__tok"))
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
@@ -456,7 +456,7 @@ object Dedup {
       .withColumn("__r", row_number().over(Window.partitionBy(col(idCol))
         .orderBy(col("__freq").asc, col("__tok").asc)))
       .select(col("__tok"), col(idCol), col("__len"), col("__r"))
-      .localCheckpoint(false) // consumed twice: prefix side + full side
+      .transform(graft.core.Checkpoints.sessionCk) // consumed twice: prefix side + full side
     // integer ceil: ⌈len·t⌉ = (len·tPpm + 999999) div 1e6 — no float eps
     val prefix = ranked.where(col("__r") <=
       col("__len") - expr(s"(__len * $thresholdPpm + 999999) div 1000000") + 1)
@@ -525,7 +525,7 @@ object Dedup {
     // shingle once, serve everyone (a durable intermediate at cluster scale)
     val sh = df.select(col(idCol),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
-      .localCheckpoint(false)
+      .transform(graft.core.Checkpoints.sessionCk)
     // `portable = true` swaps BOTH hash legs for the md5-derived
     // Carter-Wegman family (graft.expressions.PortableMinHashSigExpr: ONE
     // md5 per shingle, slot k = (h1 + k*h2) mod 2^48) with
@@ -568,7 +568,7 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(slice(array_sort(collect_set(col("__bmin"))), 1, verifyCandidates)
         .as("__cands"))
-      .localCheckpoint(false) // lazy: truncates the plan, materializes
+      .transform(graft.core.Checkpoints.sessionCk) // lazy: truncates the plan, materializes
                               // inside the next job (no blocking barrier)
     def verify(pairs: DataFrame): DataFrame = pairs
       .join(sh.select(col(idCol), col("__sh")), Seq(idCol))
@@ -583,7 +583,7 @@ object Dedup {
     // that is tiny at any scale. The outcome is identical to verifying
     // all k upfront: the smallest passing candidate wins either way.
     val v1 = verify(cands.select(col(idCol), col("__cands").getItem(0).as("__rep")))
-      .localCheckpoint(false) // referenced twice (pass + escalation filter)
+      .transform(graft.core.Checkpoints.sessionCk) // referenced twice (pass + escalation filter)
     val failed1 = v1.where(col("jaccard") < threshold).select(col(idCol))
     val tier2 = cands.where(size(col("__cands")) > 1)
       .join(failed1, Seq(idCol), "leftsemi")
@@ -837,7 +837,7 @@ object Dedup {
       .unionByName(store.select(col(idCol), col(textCol), lit(false).as("__new")))
     val sh = tagged.select(col(idCol), col("__new"),
       TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
-      .localCheckpoint(false) // feeds the token explode + both verify sides
+      .transform(graft.core.Checkpoints.sessionCk) // feeds the token explode + both verify sides
     val toks = sh.select(col(idCol), col("__new"), size(col("__sh")).as("__len"),
       explode(col("__sh")).as("__tok"))
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
@@ -849,7 +849,7 @@ object Dedup {
         .orderBy(col("__freq").asc, col("__tok").asc)))
       .where(col("__r") <= col("__len") - ceil(lit(threshold) * col("__len") - lit(1e-9)) + 1)
       .select(col("__tok"), col(idCol), col("__new"), col("__len"))
-      .localCheckpoint(false) // joined twice below: run freq+window once
+      .transform(graft.core.Checkpoints.sessionCk) // joined twice below: run freq+window once
     val candidates = prefix.where(col("__new"))
       .select(col("__tok"), col(idCol).as("__nid"), col("__len").as("__ln"))
       .join(prefix.where(!col("__new"))
@@ -924,7 +924,7 @@ object Dedup {
       .repartition(col(idCol))
       .select(col(idCol), TextAnalysis.charNgrams(col(textCol), shingleN).as("__sh"))
       .where(size(col("__sh")) > 0)
-      .localCheckpoint(false) // both sides of the pair join: shingle once
+      .transform(graft.core.Checkpoints.sessionCk) // both sides of the pair join: shingle once
     val pairs = sh.select(col(idCol).as("__ia"), col("__sh").as("__sa"))
       .join(broadcast(sh.select(col(idCol).as("__ib"), col("__sh").as("__sb"))),
         col("__ia") < col("__ib"))

@@ -44,7 +44,7 @@ object Funnel {
               Seq("__u"))
             .where(col("__ts") > col("__tprev"))
         acc :+ gated.groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
-          .localCheckpoint(false) // each stage feeds the next AND its count
+          .transform(graft.core.Checkpoints.sessionCk) // each stage feeds the next AND its count
       }
     val counts = stageTimes.zip(steps).zipWithIndex.map {
       case ((st, name), i) =>
@@ -127,7 +127,7 @@ object Funnel {
     val cohorts = evs.where(col("__ty") === cohortEvent)
       .groupBy(col("__u"))
       .agg(date_trunc("week", min(col("__ts"))).cast("date").as("__cw"))
-      .localCheckpoint(false) // feeds the activity join AND cohort sizes
+      .transform(graft.core.Checkpoints.sessionCk) // feeds the activity join AND cohort sizes
     val act = evs
       .select(col("__u"), date_trunc("week", col("__ts")).cast("date").as("__aw"))
       .join(cohorts, Seq("__u"))

@@ -1013,7 +1013,7 @@ object Multimodal {
         transform(col("feature"), x => x - mean).as("__cf"))
       .select(col("media_id"),
         graft.expressions.VectorExprs.lshSignBits(col("__cf"), 64).as("__sig"))
-      .localCheckpoint(false) // decode once: both join sides reuse it
+      .transform(graft.core.Checkpoints.sessionCk) // decode once: both join sides reuse it
   }
 
   /** Video-path signatures: one spatial signature per aligned keyframe. */
@@ -1025,7 +1025,7 @@ object Multimodal {
         transform(col("frame_feature"), x => x - mean).as("__cf"))
       .select(col("media_id"), col("frame_idx"),
         graft.expressions.VectorExprs.lshSignBits(col("__cf"), 64).as("__sig"))
-      .localCheckpoint(false)
+      .transform(graft.core.Checkpoints.sessionCk)
   }
 
   /** Audio-path signatures: RMS and ZCR halves centered independently. */
@@ -1041,7 +1041,7 @@ object Multimodal {
           centered(slice(col("afp"), w + 1, w))).as("__cf"))
       .select(col("media_id"),
         graft.expressions.VectorExprs.lshSignBits(col("__cf"), 64).as("__sig"))
-      .localCheckpoint(false)
+      .transform(graft.core.Checkpoints.sessionCk)
   }
 
   /** 16-bit band expansion of 64-bit signatures: 4 (band, value) keys

@@ -89,7 +89,7 @@ object Profiling {
       .groupBy(col("bucket"))
       .agg(sum(when(!col("__new"), 1L).otherwise(0L)).as("n_old"),
         sum(when(col("__new"), 1L).otherwise(0L)).as("n_new"))
-      .localCheckpoint(false) // tiny (one row per bucket); feeds the
+      .transform(graft.core.Checkpoints.sessionCk) // tiny (one row per bucket); feeds the
                               // totals scalar AND the output — scan once
     val totals = counts.agg(sum(col("n_old")).as("__to"),
       sum(col("n_new")).as("__tn"))

@@ -157,7 +157,7 @@ object Sampling {
         when(col("tier") === "partial", col("__budget") - col("__prev"))
           .otherwise(lit(0L)))
       .select(col("__s"), col("tier"), col("__rem"))
-      .localCheckpoint(false) // tiny (one row per source); referenced by
+      .transform(graft.core.Checkpoints.sessionCk) // tiny (one row per source); referenced by
                               // both union branches — roll up once
     val docs = df.select(idCol.as("__id"), sourceCol.as("__s"),
         weightCol.cast("long").as("__wt"))

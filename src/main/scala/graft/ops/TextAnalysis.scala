@@ -361,7 +361,7 @@ object TextAnalysis {
         explode(tokens(lower(col(textCol)))).as("__t"))
       .where(col("__t").isin(queryTerms: _*))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(false) // feeds df AND the contrib join: tokenize once
+      .transform(graft.core.Checkpoints.sessionCk) // feeds df AND the contrib join: tokenize once
     val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     val contrib = tf
       .join(broadcast(dfreq), Seq("__t"))
@@ -404,7 +404,7 @@ object TextAnalysis {
       .select(explode(tokens(lower(col(textCol)))).as("__t"))
       .where(length(col("__t")) > 0)
       .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(false) // feeds the top-k cut AND the total
+      .transform(graft.core.Checkpoints.sessionCk) // feeds the top-k cut AND the total
     val total = freq.agg(sum(col("__c")).as("__tot"))
     // TakeOrderedAndProject: partial top-k per partition, k rows out
     val top = freq.orderBy(col("__c").desc, col("__t").asc).limit(kmax)

@@ -95,14 +95,14 @@ object Winnow {
     require(minSharePpm >= 1, s"minSharePpm must be >= 1, got $minSharePpm")
     require(maxPostings >= 2, s"maxPostings must be >= 2, got $maxPostings")
     val sel = selectedFps(df, textCol, idCol, k, w)
-      .localCheckpoint(false) // feeds per-doc counts AND both pair sides
+      .transform(graft.core.Checkpoints.sessionCk) // feeds per-doc counts AND both pair sides
     val nf = sel.groupBy(col(idCol)).agg(count(lit(1)).as("__nfp"))
     val keep = sel.join(
       sel.groupBy(col("__fp")).agg(count(lit(1)).as("__posting")),
       Seq("__fp"))
       .where(col("__posting") <= maxPostings)
       .select(col("__fp"), col(idCol))
-      .localCheckpoint(false) // both sides of the pair self-join
+      .transform(graft.core.Checkpoints.sessionCk) // both sides of the pair self-join
     val ov = keep.select(col("__fp"), col(idCol).as("__x"))
       .join(keep.select(col("__fp"), col(idCol).as("__y")), Seq("__fp"))
       .where(col("__x") < col("__y"))

@@ -719,7 +719,7 @@ object TextQueries {
           .where(length(col("term")) > 0)
         val tf = toks.groupBy(col("lang"), col("term"))
           .agg(count(lit(1)).as("tf"))
-          .localCheckpoint(false) // feeds totals, group-df, AND the score
+          .transform(graft.core.Checkpoints.sessionCk) // feeds totals, group-df, AND the score
         val tot = tf.groupBy(col("lang")).agg(sum(col("tf")).as("tot"))
         val gdf = tf.groupBy(col("term")).agg(count(lit(1)).as("gdf"))
         val ng = tf.select(col("lang")).distinct()

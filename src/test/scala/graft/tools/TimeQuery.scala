@@ -19,7 +19,7 @@ object TimeQuery {
       case Array("-reps", n) => n.toInt }.getOrElse(2)
     val names = args.drop(1).filterNot(_.startsWith("-"))
       .filterNot(a => a.forall(_.isDigit))
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       // SPARK_GRAFT_SHUFFLE: the partitions-proportional-to-data lever
       // for large-scale probes (AQE coalesces the excess away on small
@@ -27,11 +27,14 @@ object TimeQuery {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
           sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
+    // probe timings must run under the SAME pinned runtime-replan trio
+    // as Bench/Verify (review round-12: a Spark default flip here would
+    // silently diverge PLANS.md probe evidence from board evidence)
+    graft.core.Sessions.engineConfs.foreach { case (k, v) =>
+      builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new graft.GraftExtensions().registerOn(spark)
     // SPARK_GRAFT_CONF="k=v,k2=v2" — runtime confs for probe variants

@@ -7,11 +7,25 @@ B/A ratio exceeds the threshold (default 3.0), sorted by ratio.
 """
 import json, sys, statistics
 
+def norm(queries):
+    """Key-normalize a per-query map: old stdout lines used short keys
+    ("104", "29b"), BENCH_FULL.json uses full names ("q104_pagerank").
+    Reduce both to the bare query number so cross-round compares work
+    (review round-12: a full-vs-short compare had zero common keys and
+    crashed on median([]))."""
+    out = {}
+    for k, v in queries.items():
+        short = k.split("_")[0].lstrip("q")
+        out[short] = v
+    return out
+
 a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
 thr = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
-qa, qb = a["queries"], b["queries"]
+qa, qb = norm(a["queries"]), norm(b["queries"])
 common = [k for k in qa if k in qb and qa[k] > 0]
+if not common:
+    sys.exit("no common query keys between the two inputs")
 ratios = {k: qb[k] / qa[k] for k in common}
 rs = sorted(ratios.values())
 print(f"total: {a['value']} -> {b['value']} ({b['value']/a['value']:.2f}x)  "
