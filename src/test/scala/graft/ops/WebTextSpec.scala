@@ -118,6 +118,34 @@ class WebTextSpec extends SparkSpec {
     assert(e.getLong(2) == 0L && e.getString(3) == "")
   }
 
+  test("sentenceDedup skew: 1e6 copies of one hot sentence collapse " +
+    "map-side (no window, partial agg before the shuffle)") {
+    import spark.implicits._
+    // Every doc opens with the same boilerplate banner. The pre-r13
+    // window form (`row_number() OVER (PARTITION BY sentence)`) would
+    // route all 10^6 copies of the banner — full text attached —
+    // through ONE window partition: an unbounded straggler AQE cannot
+    // split (skew handling covers joins, not windows). The aggregate
+    // form collapses the copies map-side, so the hot key reaches its
+    // reducer as at most numShufflePartitions pre-combined rows.
+    val docs = spark.range(1000000L).select(
+      (col("id") + 1L).as("doc_id"),
+      concat(lit("Accept all cookies. Doc "), col("id"),
+        lit(" body.")).as("text"))
+    val out = WebText.sentenceDedupText(docs, "text", "doc_id")
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), "no window operator anywhere")
+    assert(phys.contains("partial_min(struct"),
+      "first-occurrence decision must partial-aggregate before its Exchange")
+    val agg = out.agg(
+      count(lit(1)).as("docs"), sum("n_kept").as("kept"),
+      sum(when(col("clean").startsWith("Accept all cookies."), 1L)
+        .otherwise(0L)).as("banner_keepers")).head()
+    assert(agg.getLong(0) == 1000000L)
+    assert(agg.getLong(1) == 1000001L) // each doc's unique body + doc 1's banner
+    assert(agg.getLong(2) == 1L)       // exactly the first doc keeps the banner
+  }
+
   test("extractLinks pulls every href value, ignores src and text") {
     import spark.implicits._
     val h = "<a href=\"https://a.example.com/x\">a</a>" +

@@ -24,6 +24,10 @@ object ChainProbe {
     var shuffleWriteBytes = 0L
     var shuffleReadBytes = 0L
     var inputBytes = 0L
+    // per-stage rows for the attribution dump: which stages own the wire
+    // bill (stage name = the callsite Spark records for the stage root)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Long, Long)]
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
       val m = e.stageInfo.taskMetrics
       stages += 1
@@ -31,6 +35,11 @@ object ChainProbe {
       shuffleWriteBytes += m.shuffleWriteMetrics.bytesWritten
       shuffleReadBytes += m.shuffleReadMetrics.totalBytesRead
       inputBytes += m.inputMetrics.bytesRead
+      rows += ((e.stageInfo.stageId,
+        e.stageInfo.name.linesIterator.next().take(90),
+        m.shuffleWriteMetrics.bytesWritten,
+        m.shuffleReadMetrics.totalBytesRead,
+        m.inputMetrics.bytesRead))
     }
   }
 
@@ -60,6 +69,11 @@ object ChainProbe {
       f"shuffleWriteMB=${tally.shuffleWriteBytes / 1e6}%.1f " +
       f"shuffleReadMB=${tally.shuffleReadBytes / 1e6}%.1f " +
       f"inputMB=${tally.inputBytes / 1e6}%.1f")
+    println("TOP STAGES by shuffle write:")
+    tally.rows.sortBy(-_._3).take(12).foreach { case (id, nm, w, r, in) =>
+      println(f"  stage=$id%4d writeMB=${w / 1e6}%8.1f readMB=${r / 1e6}%8.1f " +
+        f"inputMB=${in / 1e6}%8.1f  $nm")
+    }
     spark.stop()
   }
 }
