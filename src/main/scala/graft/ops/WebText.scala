@@ -139,8 +139,15 @@ object WebText {
                         carryCols: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame = {
     val keys = col(idCol) +: carryCols.map(col)
-    val docs = df.select(keys :+ sentenceSplit(col(textCol)).as("__sents"): _*)
-      .where(size(col("__sents")) > 0)
+    // snapshot the split-sentence corpus ONCE: both the winners leg and
+    // the reassembly join read it, and without the snapshot each leg
+    // recomputes the whole upstream chain (q186 measured 4× full-table
+    // scans + htmlToText/quality-gate re-evaluation at ×100). The
+    // checkpoint is executor-local — no wire — and the parked handle is
+    // drained by the caller's harness after its terminal action.
+    val docs = graft.core.Checkpoints.sessionCk(
+      df.select(keys :+ sentenceSplit(col(textCol)).as("__sents"): _*)
+        .where(size(col("__sents")) > 0))
     val occ = docs.select(col(idCol).as("__wid"),
       posexplode(col("__sents")).as(Seq("sent_idx", "sentence")))
     val winners = occ

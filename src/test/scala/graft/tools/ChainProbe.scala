@@ -35,8 +35,12 @@ object ChainProbe {
       shuffleWriteBytes += m.shuffleWriteMetrics.bytesWritten
       shuffleReadBytes += m.shuffleReadMetrics.totalBytesRead
       inputBytes += m.inputMetrics.bytesRead
-      rows += ((e.stageInfo.stageId,
-        e.stageInfo.name.linesIterator.next().take(90),
+      // the stage "name" is an AQE thread-pool frame; the first graft.*
+      // frame in the callsite stack is the operator that owns the stage
+      val site = e.stageInfo.details.linesIterator
+        .find(_.contains("graft.")).map(_.trim.take(110))
+        .getOrElse(e.stageInfo.name.linesIterator.next().take(90))
+      rows += ((e.stageInfo.stageId, site,
         m.shuffleWriteMetrics.bytesWritten,
         m.shuffleReadMetrics.totalBytesRead,
         m.inputMetrics.bytesRead))
@@ -45,6 +49,7 @@ object ChainProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val query = if (args.length > 1) args(1) else "q186_trainer_feed"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -59,12 +64,17 @@ object ChainProbe {
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
     val t0 = System.nanoTime()
-    graft.queries.Registry.queries("q186_trainer_feed")(spark, sfDir).count()
+    val df = graft.queries.Registry.queries(query)(spark, sfDir)
+    // the bench's own action: noop-write for materialize-tagged rows so
+    // count-elimination can't prune the operator under measurement; for
+    // agg/sort-rooted rows count() is already honest — but a PROBE wants
+    // the full result computed either way, so always noop-write here
+    df.write.format("noop").mode("overwrite").save()
     val dt = (System.nanoTime() - t0) / 1e9
     // listener events are async (the bus is private API); a short sleep
     // after the terminal action drains them for this probe's purposes
     Thread.sleep(2000)
-    println(f"CHAIN sf=$sfDir time=$dt%.2f s stages=${tally.stages} " +
+    println(f"CHAIN sf=$sfDir q=$query time=$dt%.2f s stages=${tally.stages} " +
       s"shuffleWriteStages=${tally.shuffleWriteStages} " +
       f"shuffleWriteMB=${tally.shuffleWriteBytes / 1e6}%.1f " +
       f"shuffleReadMB=${tally.shuffleReadBytes / 1e6}%.1f " +
