@@ -980,8 +980,9 @@ object Multimodal {
     */
   def nearDupAudio(media: DataFrame, windows: Int = 8,
                    maxHamming: Int = 3,
-                   maxBucketSize: Long = Long.MaxValue): DataFrame =
-    bandedCandidates(audioSigs(media, windows), Nil, maxBucketSize)
+                   maxBucketSize: Long = Long.MaxValue,
+                   portable: Boolean = false): DataFrame =
+    bandedCandidates(audioSigs(media, windows, portable), Nil, maxBucketSize)
       .select(col("id_a"), col("id_b"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -990,8 +991,9 @@ object Multimodal {
     * (the image pHash path; see family scaladoc above). */
   def nearDupMedia(media: DataFrame, dim: Int = 16,
                    maxHamming: Int = 3,
-                   maxBucketSize: Long = Long.MaxValue): DataFrame =
-    bandedCandidates(mediaSigs(media, dim), Nil, maxBucketSize)
+                   maxBucketSize: Long = Long.MaxValue,
+                   portable: Boolean = false): DataFrame =
+    bandedCandidates(mediaSigs(media, dim, portable), Nil, maxBucketSize)
       .select(col("id_a"), col("id_b"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -1005,16 +1007,30 @@ object Multimodal {
     * payload hashes identically and candidate generation goes
     * quadratic.
     */
-  private def mediaSigs(media: DataFrame, dim: Int): DataFrame = {
+  private def mediaSigs(media: DataFrame, dim: Int,
+                        portable: Boolean = false): DataFrame = {
     val mean = aggregate(col("feature"), lit(0.0d), (a, x) => a + x) /
       greatest(size(col("feature")), lit(1))
     extractFeatures(media, dim)
       .select(col("media_id"),
         transform(col("feature"), x => x - mean).as("__cf"))
-      .select(col("media_id"),
-        graft.expressions.VectorExprs.lshSignBits(col("__cf"), 64).as("__sig"))
+      .select(col("media_id"), signBits(col("__cf"), dim, portable).as("__sig"))
       .transform(graft.core.Checkpoints.sessionCk) // decode once: both join sides reuse it
   }
+
+  /** Signature family switch shared by the near-dup triad: the default
+    * is the engine's 64-bit XXH64-plane sign hash; `portable = true`
+    * selects the 63-bit md5-Rademacher family (`hp:k:i` parity — the
+    * q41/q43/q71 plane family), whose sign decisions a DuckDB oracle
+    * re-derives bit-for-bit from md5 alone. 63 bits (not 64) because
+    * the portable signature packs into a signed long; [[sigBands]]'s
+    * fourth band then carries 15 bits — the pigeonhole recall argument
+    * (hamming ≤ 3 leaves ≥ 1 of 4 disjoint bands intact) is unchanged.
+    */
+  private def signBits(cf: org.apache.spark.sql.Column, dim: Int,
+                       portable: Boolean): org.apache.spark.sql.Column =
+    if (portable) graft.expressions.VectorExprs.portableLshSig(cf, 63, dim)
+    else graft.expressions.VectorExprs.lshSignBits(cf, 64)
 
   /** Video-path signatures: one spatial signature per aligned keyframe. */
   private def videoSigs(media: DataFrame, keyframes: Int, dim: Int): DataFrame = {
@@ -1029,7 +1045,8 @@ object Multimodal {
   }
 
   /** Audio-path signatures: RMS and ZCR halves centered independently. */
-  private def audioSigs(media: DataFrame, windows: Int): DataFrame = {
+  private def audioSigs(media: DataFrame, windows: Int,
+                        portable: Boolean = false): DataFrame = {
     val w = windows
     def centered(half: org.apache.spark.sql.Column) = {
       val m = aggregate(half, lit(0.0d), (a, x) => a + x) / lit(w)
@@ -1040,7 +1057,7 @@ object Multimodal {
         concat(centered(slice(col("afp"), 1, w)),
           centered(slice(col("afp"), w + 1, w))).as("__cf"))
       .select(col("media_id"),
-        graft.expressions.VectorExprs.lshSignBits(col("__cf"), 64).as("__sig"))
+        signBits(col("__cf"), 2 * w, portable).as("__sig"))
       .transform(graft.core.Checkpoints.sessionCk)
   }
 
@@ -1111,8 +1128,9 @@ object Multimodal {
     * before near-dup, not that the cap should be raised.
     */
   def mediaDroppedBuckets(media: DataFrame, dim: Int = 16,
-                          maxBucketSize: Long): DataFrame =
-    droppedBuckets(mediaSigs(media, dim), Nil, maxBucketSize)
+                          maxBucketSize: Long,
+                          portable: Boolean = false): DataFrame =
+    droppedBuckets(mediaSigs(media, dim, portable), Nil, maxBucketSize)
 
   /** Audit leg of [[nearDupVideo]]'s bucket cap (buckets are per
     * aligned keyframe ordinal). */

@@ -11,6 +11,143 @@ object SimilarityQueries {
   private def round(c: org.apache.spark.sql.Column, scale: Int) =
     graft.ops.Numeric.roundAway(c, scale)
 
+
+  /** SplitMix64 staged as CTEs over `z0(id, p, z)` (z UBIGINT), yielding
+    * `mx(id, p, v)` — the synthetic-media fixture generators' pattern
+    * hash replayed inside DuckDB. DuckDB has no wrap-around 64-bit
+    * multiply (HUGEINT is signed 128-bit and (2^64−1)^2 overflows it),
+    * so a·B mod 2^64 splits into 32-bit halves: lo(a)·B fits HUGEINT,
+    * hi(a)·lo(B) mod 2^32 carries the only surviving high-half term.
+    * Validated bit-for-bit against the JVM mix64 on both input domains
+    * (sequential pattern keys and the ~id noise stream).
+    */
+  private val mix64Ctes: String =
+    """m1 AS (SELECT id, p, CAST((z::HUGEINT + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS UBIGINT) AS v FROM z0),
+      |m2 AS (SELECT id, p, xor(v, v >> 30) AS v FROM m1),
+      |m3 AS (SELECT id, p, CAST((((v % 4294967296)::HUGEINT * 13787848793156543929::HUGEINT) + (((v >> 32) * 484763065) % 4294967296)::HUGEINT * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS UBIGINT) AS v FROM m2),
+      |m4 AS (SELECT id, p, xor(v, v >> 27) AS v FROM m3),
+      |m5 AS (SELECT id, p, CAST((((v % 4294967296)::HUGEINT * 10723151780598845931::HUGEINT) + (((v >> 32) * 321982955) % 4294967296)::HUGEINT * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS UBIGINT) AS v FROM m4),
+      |mx AS (SELECT id, p, xor(v, v >> 31) AS v FROM m5)""".stripMargin
+
+  /** The 63-bit portable signature over a centered feature list `cf`
+    * (array of DOUBLE): bit k set when the md5-Rademacher plane dot —
+    * the exact `hp:k:i` family PortableLshSigExpr compiles — is >= 0,
+    * folded strictly in index order.
+    */
+  private def cfSig(dim: Int): String = (0 until 63).map { k =>
+    s"""(CASE WHEN list_reduce(list_transform(generate_series(1, $dim), i ->
+       |           CASE WHEN CAST(('0x' || substr(md5('hp:$k:' || CAST(i - 1 AS VARCHAR)), 1, 12)) AS UBIGINT) % 2 = 0
+       |                THEN cf[i] ELSE -cf[i] END), (x, y) -> x + y) >= 0 THEN ${1L << k} ELSE 0 END)""".stripMargin
+  }.mkString("\n       + ")
+
+  /** Band → candidate-pair → hamming tail shared by the media near-dup
+    * oracles: 4 16-bit bands of `sig(id, s)`, same-bucket pairs with
+    * id_a < id_b (distinct across bands), hamming ≤ 3 — mirroring
+    * Multimodal.sigBands + bandedCandidates exactly.
+    */
+  private val sigPairsTail: String =
+    """bands AS (
+      |  SELECT id, s, b, (s >> (16 * b)) & 65535 AS bv
+      |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.id AS id_a, c.id AS id_b, a.s AS sa, c.s AS sb
+      |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.id < c.id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+      |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
+  /** q101/q165's oracle, generated: the PNG near-dup DECISION replayed
+    * end-to-end in SQL. The fixture pixel field is mix64 over
+    * (cluster·64 + p) with one ~id-keyed noise pixel; PNG is lossless
+    * and the payload is gray, so decoded luminance is EXACTLY
+    * (0.299·v + 0.587·v + 0.114·v)/255 for the known integer v — the
+    * q44 integer-leg pattern extended to the pixel values themselves.
+    * Bucket means (4 px each, in scan order), the float cast, the
+    * feature-mean centering, the 63 portable plane dots, banding and
+    * hamming then replay the Spark side bit-for-bit (the q35/q71
+    * portable-decision pattern).
+    */
+  private def mediaNearDupOracle(where: String): String =
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents$where),
+       |z0 AS (
+       |  SELECT id, p,
+       |    CASE WHEN p = 64 THEN CAST(18446744073709551615 - id AS UBIGINT)
+       |         ELSE CAST((id // 32) * 64 + p AS UBIGINT) END AS z
+       |  FROM ids, (SELECT unnest(generate_series(0, 64)) AS p)),
+       |$mix64Ctes,
+       |nz AS (SELECT id, CAST((v >> 8) % 64 AS INTEGER) AS noise_pos,
+       |              CAST(v % 256 AS INTEGER) AS noise_lum
+       |       FROM mx WHERE p = 64),
+       |lum AS (
+       |  SELECT q.id, q.p, (0.299 * l + 0.587 * l + 0.114 * l) / 255.0 AS lum
+       |  FROM (SELECT mx.id, mx.p,
+       |          CAST(CASE WHEN mx.p = nz.noise_pos THEN nz.noise_lum
+       |               ELSE CAST(mx.v % 256 AS INTEGER) END AS DOUBLE) AS l
+       |        FROM mx JOIN nz ON nz.id = mx.id WHERE mx.p < 64) q),
+       |feat AS (
+       |  SELECT id, p // 4 AS i,
+       |    CAST(list_reduce(list(lum ORDER BY p), (x, y) -> x + y) / 4 AS FLOAT) AS fv
+       |  FROM lum GROUP BY id, p // 4),
+       |fvec AS (SELECT id, list(fv ORDER BY i) AS f FROM feat GROUP BY id),
+       |cvec AS (
+       |  SELECT id,
+       |    list_transform(f, x -> x::DOUBLE -
+       |      (list_reduce(list_transform(f, x -> x::DOUBLE), (x, y) -> x + y) / 16)) AS cf
+       |  FROM fvec),
+       |sig AS (SELECT id, (${cfSig(16)}) AS s FROM cvec),
+       |$sigPairsTail""".stripMargin
+
+  /** q162's oracle, generated: the WAV near-dup DECISION replayed
+    * end-to-end. The fixture PCM is a per-segment square wave (mix64
+    * half-period + amplitude) with one ~id-keyed spike sample; 16-bit
+    * PCM round-trips bit-exactly, samples normalize to raw/32768 (exact
+    * binary fractions), so per-window RMS (IEEE sqrt of an exact sum)
+    * and ZCR (integer crossings / 50) are reproducible floats. The two
+    * fingerprint halves center independently, then the same 63-plane
+    * portable signature, banding and hamming as the image leg.
+    */
+  private val audioNearDupOracle: String =
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+       |z0 AS (
+       |  SELECT id, p,
+       |    CASE WHEN p = 8 THEN CAST(18446744073709551615 - id AS UBIGINT)
+       |         ELSE CAST((id // 32) * 8 + p AS UBIGINT) END AS z
+       |  FROM ids, (SELECT unnest(generate_series(0, 8)) AS p)),
+       |$mix64Ctes,
+       |segs AS (SELECT id, p AS seg,
+       |           2 + CAST(v % 32 AS INTEGER) AS half,
+       |           2048 * (2 + CAST((v >> 8) % 4 AS INTEGER)) AS amp
+       |         FROM mx WHERE p < 8),
+       |nz AS (SELECT id, CAST((v >> 8) % 400 AS INTEGER) AS spike_pos
+       |       FROM mx WHERE p = 8),
+       |pcm AS (
+       |  SELECT i.id, f.f,
+       |    CASE WHEN f.f = n.spike_pos THEN 4096 + (i.id * 13) % 4096
+       |         WHEN ((f.f // s.half) % 2) = 0 THEN s.amp ELSE -s.amp END AS raw
+       |  FROM ids i
+       |  JOIN (SELECT unnest(generate_series(0, 399)) AS f) f ON true
+       |  JOIN segs s ON s.id = i.id AND s.seg = (f.f * 8) // 400
+       |  JOIN nz n ON n.id = i.id),
+       |mono AS (
+       |  SELECT id, f, raw / 32768.0 AS m,
+       |    lag(raw / 32768.0, 1, 0.0) OVER (PARTITION BY id ORDER BY f) AS pm
+       |  FROM pcm),
+       |win AS (
+       |  SELECT id, (f * 8) // 400 AS w,
+       |    CAST(sqrt(list_reduce(list(m * m ORDER BY f), (x, y) -> x + y) / 50) AS FLOAT) AS rms,
+       |    CAST(sum(CASE WHEN f > 0 AND pm * m < 0 THEN 1 ELSE 0 END) / 50.0 AS FLOAT) AS zcr
+       |  FROM mono GROUP BY id, (f * 8) // 400),
+       |fvec AS (
+       |  SELECT id, list(rms ORDER BY w) AS rv, list(zcr ORDER BY w) AS zv
+       |  FROM win GROUP BY id),
+       |cvec AS (
+       |  SELECT id,
+       |    list_cat(
+       |      list_transform(rv, x -> x::DOUBLE - (list_reduce(list_transform(rv, x -> x::DOUBLE), (x, y) -> x + y) / 8)),
+       |      list_transform(zv, x -> x::DOUBLE - (list_reduce(list_transform(zv, x -> x::DOUBLE), (x, y) -> x + y) / 8))) AS cf
+       |  FROM fvec),
+       |sig AS (SELECT id, (${cfSig(16)}) AS s FROM cvec),
+       |$sigPairsTail""".stripMargin
+
   /** q43's oracle, generated: the portable Rademacher-hyperplane family
     * re-derived from md5 (`hp:bit:dim` parity), projections and cosine
     * as strict left-folds in index order (`list_reduce` has no init, so
@@ -476,16 +613,20 @@ object SimilarityQueries {
     // ---- multimodal perceptual near-dup (pHash shape): REAL PNG
     //      payloads → REAL ImageIO luminance decode → sign-bit
     //      signature → 16-bit band buckets → hamming verify. Full
-    //      recall at hamming ≤ 3 by pigeonhole; payloads never shuffle
-    //      (engine-specific hash family → rows-only) ----
+    //      recall at hamming ≤ 3 by pigeonhole; payloads never shuffle.
+    //      Portable 63-bit md5-plane signatures put the whole DECISION
+    //      under the hash oracle (round-12 verdict #2): DuckDB replays
+    //      generator pixels → lossless PNG luminance → bucket means →
+    //      centering → plane signs → bands → hamming, bit-for-bit ----
     Q("q101_media_neardup",
       (s, dir) => {
         val media = Tables.media(s, dir, "media_png8")(
           graft.ops.Multimodal.syntheticPng(
             Tables.load(s, dir, "documents"), "doc_id"))
-        graft.ops.Multimodal.nearDupMedia(media, dim = 16, maxHamming = 3)
+        graft.ops.Multimodal.nearDupMedia(media, dim = 16, maxHamming = 3,
+          portable = true)
       },
-      None),
+      Some(mediaNearDupOracle(""))),
 
     // ---- perceptual near-dup over VIDEO — the video leg of q101's
     //      image pHash shape, end-to-end through the REAL codec by
@@ -500,7 +641,15 @@ object SimilarityQueries {
     //      with the corpus — an absolute `doc_id < K` slice would stop
     //      growing past K and measure nothing at ×10. Payload bytes
     //      never shuffle — only (id, frame, 64-bit sig) rows do.
-    //      Engine-specific hash family → rows-only ----
+    //      Rows-only BY CONSTRUCT: the keyframes are MJPEG, and JPEG
+    //      quantization (libjpeg IDCT over 8×8 DCT blocks) makes the
+    //      decoded luminance a float field no SQL engine can re-derive
+    //      from the generator — the one member of the triad whose
+    //      decision legs cannot go under the DuckDB oracle without
+    //      swapping the fixture to uncompressed DIB frames, which would
+    //      un-exercise the real JPEG decode path this query exists to
+    //      cover (the integer container legs ARE oracled in q151/q152;
+    //      the frame-decode anchors live in MultimodalSpec) ----
     Q("q153_video_neardup",
       (s, dir) => {
         val media = Tables.media(s, dir, "media_avi_f4s8r10")(
@@ -524,23 +673,29 @@ object SimilarityQueries {
     //      (id >>> 5 ZCR-envelope key) are near-identical by
     //      construction. Runs the FULL corpus — WAV decode is one
     //      cheap PCM pass and cluster buckets are bounded (~32), so
-    //      cost and output scale linearly ----
+    //      cost and output scale linearly. Portable 63-bit md5-plane
+    //      signatures put the decision under the hash oracle: 16-bit
+    //      PCM round-trips exactly, so DuckDB replays samples → RMS/ZCR
+    //      windows → centered halves → plane signs → hamming ----
     Q("q162_audio_neardup",
       (s, dir) => {
         val media = Tables.media(s, dir, "media_wav")(
           graft.ops.Multimodal.syntheticWav(
             Tables.load(s, dir, "documents"), "doc_id"))
-        graft.ops.Multimodal.nearDupAudio(media, windows = 8, maxHamming = 3)
+        graft.ops.Multimodal.nearDupAudio(media, windows = 8, maxHamming = 3,
+          portable = true)
       },
-      None),
+      Some(audioNearDupOracle)),
 
     // ---- q101 with the family's drop-and-report bucket cap ARMED
     //      (the q149/q147 pattern for the media triad): a generous cap
     //      on a slice where the fixture's 32-id duplicate clusters stay
     //      far under it — result must equal the uncapped operator's on
     //      the same slice, which the audit (q166) proves by reporting
-    //      zero drops UNDER THE HASH ORACLE. Engine-specific hash
-    //      family → rows-only for the pairs leg ----
+    //      zero drops UNDER THE HASH ORACLE — and the pairs leg is now
+    //      ITSELF hash-oracled (portable signatures): the oracle replays
+    //      the UNCAPPED decision, so any drop the cap wrongly took would
+    //      hash-mismatch here and surface in q166 at once ----
     Q("q165_media_capped",
       (s, dir) => {
         val media = Tables.media(s, dir, "media_png8")(
@@ -549,9 +704,9 @@ object SimilarityQueries {
               "doc_id"))
           .where(col("media_id") < 2000)
         graft.ops.Multimodal.nearDupMedia(media, dim = 16, maxHamming = 3,
-          maxBucketSize = 2000L)
+          maxBucketSize = 2000L, portable = true)
       },
-      None),
+      Some(mediaNearDupOracle(" WHERE doc_id < 2000"))),
 
     // ---- the audit leg of q165's armed cap: (band, bucket) keys whose
     //      buckets exceeded the cap. The oracle asserts EMPTY — on this
@@ -565,7 +720,7 @@ object SimilarityQueries {
             Tables.load(s, dir, "documents").where(col("doc_id") < 2000),
             "doc_id"))
           .where(col("media_id") < 2000),
-        dim = 16, maxBucketSize = 2000L),
+        dim = 16, maxBucketSize = 2000L, portable = true),
       Some("""SELECT CAST(NULL AS INTEGER) AS band,
                      CAST(NULL AS BIGINT) AS bucket,
                      CAST(NULL AS BIGINT) AS n_rows
