@@ -106,13 +106,25 @@ object Bench {
     def key(k: String): String = if (ambiguous(short(k))) k else short(k)
     // full names here: failures should be rare, and an ambiguous short
     // name in the error list would hide WHICH variant failed
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val errNames = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errs = errNames.mkString("[", ",", "]")
+    // the stdout line gets a CAPPED error list (advice round-12: a long
+    // failure list would drive the query budget negative and the
+    // skeleton itself past the 2000-byte tail — the exact front-
+    // truncation failure the split artifact exists to prevent); the
+    // full list is always in BENCH_FULL.json
+    val errsShort = errNames.take(8).mkString("[", ",", "]")
+    val errsOmitted = (errNames.size - 8).max(0)
+    // measurement protocol, stamped INSIDE the artifact (verdict #6:
+    // cross-round comparisons kept needing tribal knowledge of which
+    // numbers were cold vs warm-min). r13 re-bases the action to
+    // noop-for-all — see Registry.consume.
+    val protocol = """"protocol":"action=noop-all;reps=min-of-2(+1 if <0.5s);engine-reset-each-pass;cold-jvm""""
     val total = results.map(_._2).sum
     val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","unit":"sec","n_queries":${results.size},""" +
+      s"""{"metric":"total","unit":"sec","n_queries":${results.size},$protocol,""" +
       s""""queries":$fullQs,"errors":$errs,"sf":"$sfDir","value":${f3(total)}}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     try java.nio.file.Files.writeString(fullPath, fullJson + "\n")
@@ -126,9 +138,10 @@ object Bench {
     // 2000-byte tail guarantee). "value" placed last: even if some
     // wrapper truncates the front, the headline total survives.
     def shortLine(queriesJson: String, omitted: Int): String =
-      s"""{"metric":"total","unit":"sec","n_queries":${results.size},""" +
+      s"""{"metric":"total","unit":"sec","n_queries":${results.size},$protocol,""" +
         s""""queries":$queriesJson,"queries_omitted":$omitted,""" +
-        s""""queries_file":"BENCH_FULL.json","errors":$errs,""" +
+        s""""queries_file":"BENCH_FULL.json","errors":$errsShort,""" +
+        s""""errors_omitted":$errsOmitted,""" +
         s""""sf":"$sfDir","value":${f3(total)}}"""
     val budget = 1400 - shortLine("{}", results.size).length
     val kept = new scala.collection.mutable.ArrayBuffer[String]

@@ -46,27 +46,55 @@ object Tables {
         .getBytes("UTF-8")).map("%02x".format(_)).mkString
     val slot = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_fixture_splits", key)
-    splitLock.synchronized {
-      if (!java.nio.file.Files.exists(slot.resolve("_SUCCESS"))) {
-        // a slot dir without _SUCCESS is stale/corrupt — clear it so the
-        // rename below can install the rebuild (same-JVM only: another
-        // LIVE jvm mid-install is protected by its own tmp staging, and
-        // its final rename fails benignly if we won)
-        if (java.nio.file.Files.exists(slot)) Scratch.delete(slot.toFile)
-        val tmp = slot.getParent.resolve(
-          s"$key.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
-        java.nio.file.Files.createDirectories(slot.getParent)
-        spark.read.parquet(path).repartition(8)
-          .write.mode("overwrite").parquet(tmp.toString)
-        try java.nio.file.Files.move(tmp, slot,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: Exception => // another JVM won the race
-          Scratch.delete(tmp.toFile)
+    // the whole build is best-effort: an unwritable or full tmpdir must
+    // degrade to the serial single-file read, never fail the load
+    // (advice round-12: the pre-cache reader simply scanned the original)
+    try {
+      splitLock.synchronized {
+        if (!java.nio.file.Files.exists(slot.resolve("_SUCCESS"))) {
+          // a slot dir without _SUCCESS is stale/corrupt. Do NOT delete
+          // in place: between this JVM's probe and the delete, another
+          // JVM can atomically install a valid copy (or a concurrent
+          // session may still be lazily scanning files a tmpdir reaper
+          // half-removed) — a recursive delete would yank files mid-scan
+          // (advice round-12). Renaming the stale dir aside to a unique
+          // quarantine name is atomic: if a racing install won first,
+          // the rename source is the WINNER's dir — so re-probe _SUCCESS
+          // after the move and put a valid copy straight back.
+          if (java.nio.file.Files.exists(slot)) {
+            val quarantine = slot.getParent.resolve(
+              s"$key.stale-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+            try {
+              java.nio.file.Files.move(slot, quarantine,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              if (java.nio.file.Files.exists(quarantine.resolve("_SUCCESS")))
+                java.nio.file.Files.move(quarantine, slot,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              else Scratch.delete(quarantine.toFile)
+            } catch { case _: Exception => () /* racer owns the slot */ }
+          }
+          if (!java.nio.file.Files.exists(slot.resolve("_SUCCESS"))) {
+            val tmp = slot.getParent.resolve(
+              s"$key.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+            java.nio.file.Files.createDirectories(slot.getParent)
+            spark.read.parquet(path).repartition(8)
+              .write.mode("overwrite").parquet(tmp.toString)
+            try java.nio.file.Files.move(tmp, slot,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: Exception => // another JVM won the race
+              Scratch.delete(tmp.toFile)
+            }
+          }
         }
       }
+      if (java.nio.file.Files.exists(slot.resolve("_SUCCESS"))) slot.toString
+      else path
+    } catch { case e: Exception =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"split cache build failed for $path — degrading to the serial " +
+        s"single-file scan: ${e.getMessage}")
+      path
     }
-    if (java.nio.file.Files.exists(slot.resolve("_SUCCESS"))) slot.toString
-    else path
   }
 
   /** The events table has shipped with two physical `ts` encodings across

@@ -709,7 +709,6 @@ object QualityQueries {
                      COALESCE(n_hit2, 0) AS n_hit2,
                      COALESCE(n_hit1, 0) AS n_hit1, score_ppm
               FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) b
-              LEFT JOIN d USING (doc_id)"""),
-      materialize = true)
+              LEFT JOIN d USING (doc_id)"""))
   )
 }

@@ -10,16 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String],
-    // Scan-shaped rows whose REAL cost lives in the output projection:
-    // under a count() bench action Catalyst prunes every unused column
-    // (correct at any scale — a count-shaped consumer never pays for
-    // unused work), so their board rows measured the scan, not the
-    // operator (q71's dedup subtree, q176's backoff join, q180's doc
-    // leg, q183/q185's normalize/repair projections — three rounds of
-    // bench-honesty notes). Tagged rows get a fully-materializing
-    // action instead (round-11 verdict ask #1).
-    materialize: Boolean = false)
+    oracle: Option[String])
 
 object Registry {
   def all: Seq[Q] =
@@ -28,25 +19,31 @@ object Registry {
       WebCurationQueries.qs ++ PipelineQueries.qs ++ IndexQueries.qs ++
       WebTextQueries.qs ++ GovernanceQueries.qs
 
-  /** Names of the scan-shaped rows benched with the materializing
-    * action (see [[Q.materialize]]). */
-  lazy val materialized: Set[String] =
-    all.collect { case q if q.materialize => q.name }.toSet
-
-  /** Bench action: consume a query's result the way its cost model
-    * demands. Default `count()` (comparable across rounds, and for
-    * agg/join-shaped plans the aggregation itself is the cost);
-    * tagged scan-shaped rows instead write to Spark's `noop` sink,
-    * which evaluates EVERY output column of every row and discards
-    * the bytes — count-elimination cannot void the operator's work,
-    * and no filesystem cost pollutes the timing. */
+  /** Bench action: write to Spark's `noop` sink, which evaluates EVERY
+    * output column of every row and discards the bytes — the cost model
+    * of a real consumer, with no filesystem cost polluting the timing.
+    *
+    * History: rounds ≤ 12 used `count()` with a hand-maintained
+    * `materialize` tag routing five known scan-shaped rows to the noop
+    * sink. Round 13's structural audit (BenchActionSpec's detector run
+    * over the whole registry) showed the voided-work class was far
+    * wider than the tag: count() erases windows whose output is unused
+    * (rolling/rank suites), eliminates unique-key joins (the rewritten
+    * sentence-dedup keep join — the operator under measurement never
+    * ran), collapses second-stage aggregates, and reduces ~20 pure
+    * projection rows (deflate, PII regexes, HRW hashing) to bare scans.
+    * Hand-tagging 60+ rows would leave the same silent hole for the
+    * next query; materializing everything closes the class BY
+    * CONSTRUCTION. Cross-round note: BENCH_r13 re-bases the board —
+    * rows whose work count() used to void rise to their honest cost
+    * (protocol-stamped in the artifact; deltas tabled in PLANS.md).
+    */
   def consume(name: String, df: DataFrame): Unit =
-    if (materialized(name)) df.write.format("noop").mode("overwrite").save()
-    else df.count(): Unit
+    df.write.format("noop").mode("overwrite").save()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
 
   def oracleSql: Map[String, String] =
-    all.collect { case Q(n, _, Some(sql), _) => n -> sql }.toMap
+    all.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
 }

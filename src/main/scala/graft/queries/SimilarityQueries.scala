@@ -353,7 +353,7 @@ object SimilarityQueries {
           .select(col("vec_id"), col("rep_id"),
             round(col("sim"), 6).as("sim"), col("is_dup"))
       },
-      Some(semDedupOracle), materialize = true),
+      Some(semDedupOracle)),
 
     // ---- brute-force exact cosine top-k (ANN baseline) ----
     Q("q40_cosine_topk",

@@ -367,6 +367,5 @@ object WebCurationQueries {
                      FROM nodes n LEFT JOIN c3 ON n.node = c3.dst)
               SELECT p.doc_id, p.src_host, CAST(r3.r AS BIGINT) AS host_rank
               FROM (SELECT doc_id, src_host FROM pages) p
-              JOIN r3 ON p.src_host = r3.node"""),
-      materialize = true))
+              JOIN r3 ON p.src_host = r3.node""")))
 }

@@ -380,8 +380,7 @@ object WebTextQueries {
                      CAST(length(nf) AS INTEGER) AS n_chars_nfc,
                      nf <> t AS changed,
                      md5(nf) AS nfc_md5
-              FROM n"""),
-      materialize = true),
+              FROM n""")),
 
     // ---- hard-wrap repair (the pdftotext artifact): the corpus is
     //      deterministically re-wrapped — every "xxx yyy" 3-letter word
@@ -441,7 +440,6 @@ object WebTextQueries {
                           AS INTEGER) AS n_breaks,
                      CAST(length(r) AS INTEGER) AS n_chars_repaired,
                      md5(r) AS repaired_md5
-              FROM rf"""),
-      materialize = true),
+              FROM rf""")),
   )
 }

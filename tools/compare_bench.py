@@ -12,11 +12,20 @@ def norm(queries):
     ("104", "29b"), BENCH_FULL.json uses full names ("q104_pagerank").
     Reduce both to the bare query number so cross-round compares work
     (review round-12: a full-vs-short compare had zero common keys and
-    crashed on median([]))."""
+    crashed on median([])). Colliding short keys keep their FULL names
+    (mirroring Bench's own ambiguous-set logic) instead of silently
+    overwriting each other — a collision compared to the wrong twin
+    would report a bogus ratio (advice round-12)."""
+    shorts = {}
+    for k in queries:
+        shorts.setdefault(k.split("_")[0].lstrip("q"), []).append(k)
     out = {}
-    for k, v in queries.items():
-        short = k.split("_")[0].lstrip("q")
-        out[short] = v
+    for short, names in shorts.items():
+        if len(names) == 1:
+            out[short] = queries[names[0]]
+        else:
+            for k in names:
+                out[k] = queries[k]
     return out
 
 a = json.load(open(sys.argv[1]))
