@@ -224,16 +224,30 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, nCentroids: Int, nProbe: Int, k: Int,
-              kmeansIters: Int = 2): DataFrame = {
+              kmeansIters: Int = 2, portable: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
     // deterministic seed quantizer: the nCentroids corpus vectors with
-    // the smallest xxhash64(id) (stable pseudo-random sample)
-    val init: Array[Array[Double]] = c
-      .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy(col("__h")).limit(nCentroids)
-      .select(col("__v")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    val cents = trainCentroids(c, "__v", init, kmeansIters)
+    // the smallest hash of their id (stable pseudo-random sample).
+    // `portable = true` swaps two pieces so the WHOLE query sits under
+    // the exact-replay oracle: (a) the sample orders by md5(id) — a
+    // hash DuckDB re-derives — instead of xxhash64; (b) the Lloyd
+    // rounds are skipped, because their per-cell element sums are
+    // parallel float reductions with no deterministic accumulation
+    // order (partition order varies run to run): the one construct in
+    // this operator NO oracle — and no second run — can replay
+    // bit-for-bit. The un-sharpened hash-sample quantizer is still a
+    // legitimate IVF coarse quantizer (the probe economics are
+    // unchanged); the k-means default remains the quality path.
+    val init: Array[Array[Double]] =
+      (if (portable)
+        c.where(col("__v").isNotNull)
+          .withColumn("__h", md5(col(idCol).cast("string").cast("binary")))
+      else c.withColumn("__h", xxhash64(col(idCol))))
+        .orderBy(col("__h")).limit(nCentroids)
+        .select(col("__v")).collect()
+        .map(_.getSeq[Double](0).toArray)
+    val cents =
+      if (portable) init else trainCentroids(c, "__v", init, kmeansIters)
     // assign: pure projection — cell id per corpus vector, zero joins
     val assigned = c.select(
       nearestCentroids(col("__v"), cents, 1).getItem(0).as("centroid_id"),

@@ -44,9 +44,22 @@ object Windows {
     * imputation family): interior NULL runs interpolate linearly between
     * the nearest non-NULL neighbors by ROW POSITION within the ordered
     * partition (position-based, so timestamp ties can't divide by
-    * zero); leading/trailing NULLs stay NULL. Two keyed windows
-    * (`last`/`first` ignoreNulls over unbounded frames) — one shuffle
-    * on the partition keys, no self-join, no per-gap iteration.
+    * zero); leading/trailing NULLs stay NULL. Two keyed windows — one
+    * shuffle on the partition keys, no self-join, no per-gap iteration.
+    *
+    * The forward neighbor deliberately does NOT use a
+    * `(currentRow, unboundedFollowing)` frame: Spark evaluates shrinking
+    * frames with `UnboundedFollowingWindowFunctionFrame`, which
+    * re-aggregates the whole remaining frame for EVERY row — O(n²) per
+    * partition (round 13: q69 billed 69 s at sf0.1 the moment the bench
+    * action stopped letting count() prune the windows; 10⁵-row
+    * partitions × 10⁵ re-scans). Both neighbor passes are instead
+    * RUNNING frames (`unboundedPreceding → currentRow`, the O(n)
+    * streaming frame): the forward pass runs `last ignoreNulls` over the
+    * REVERSED sort order, which is the same value as `first ignoreNulls`
+    * over the remaining rows in forward order. Cost: one extra sort of
+    * the already-co-partitioned data, no extra shuffle (both windows
+    * partition on the same keys). 69.4 s → sub-second at sf0.1.
     *
     * `orderCols` must order rows deterministically within each key
     * (add a tiebreaker column when the primary order has ties).
@@ -56,17 +69,24 @@ object Windows {
                         out: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
     val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val rn = row_number().over(w)
-    val markedRn = when(col(valueCol).isNotNull, rn)
-    val prevRn = last(markedRn, ignoreNulls = true).over(back)
-    val nextRn = first(markedRn, ignoreNulls = true).over(fwd)
+    val revBack = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rnCol = s"__${out}_rn"
+    val mrnCol = s"__${out}_mrn"
+    val withRn = df
+      .withColumn(rnCol, row_number().over(w))
+      .withColumn(mrnCol, when(col(valueCol).isNotNull, col(rnCol)))
+    val prevRn = last(col(mrnCol), ignoreNulls = true).over(back)
+    val nextRn = last(col(mrnCol), ignoreNulls = true).over(revBack)
     val prevV = last(col(valueCol), ignoreNulls = true).over(back)
-    val nextV = first(col(valueCol), ignoreNulls = true).over(fwd)
-    df.withColumn(out,
+    val nextV = last(col(valueCol), ignoreNulls = true).over(revBack)
+    withRn.withColumn(out,
       when(col(valueCol).isNotNull, col(valueCol))
         .otherwise(prevV + (nextV - prevV) *
-          ((rn - prevRn).cast("double") / (nextRn - prevRn).cast("double"))))
+          ((col(rnCol) - prevRn).cast("double") /
+            (nextRn - prevRn).cast("double"))))
+      .drop(rnCol, mrnCol)
   }
 
   /** Distributed global running sum (inclusive prefix sum over the total

@@ -12,6 +12,61 @@ object SimilarityQueries {
     graft.ops.Numeric.roundAway(c, scale)
 
 
+
+  /** q188's oracle, generated: the PORTABLE IVF path replayed whole.
+    * Coarse quantizer = the 16 corpus vectors with the smallest
+    * md5(CAST(id AS VARCHAR)) (cell index = md5 rank), zero Lloyd
+    * rounds (the parallel-float update is the named q45 blocker);
+    * assignment/probing = cosine argmax over the 16 centroids with the
+    * engine's exact tie-break (sim DESC, lower cell index wins), then
+    * the q41 candidate→cosine→rank tail.
+    */
+  private lazy val ivfPortableOracle: String = {
+    def fold(body: String, n: String) =
+      s"list_reduce(list_transform(generate_series(1, $n), i -> $body), (x, y) -> x + y)"
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |            WHERE embedding IS NOT NULL),
+       |cent AS (
+       |  SELECT v AS cv,
+       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+       |  FROM v0),
+       |cents AS (SELECT cid, cv FROM cent WHERE cid < 16),
+       |sims AS (
+       |  SELECT v0.vec_id, c.cid, v0.v,
+       |    ${fold("v0.v[i] * c.cv[i]", "least(len(v0.v), len(c.cv))")} AS dot,
+       |    ${fold("v0.v[i] * v0.v[i]", "len(v0.v)")} AS na,
+       |    ${fold("c.cv[i] * c.cv[i]", "len(c.cv)")} AS nc
+       |  FROM v0 CROSS JOIN cents c),
+       |asg AS (
+       |  SELECT vec_id, cid, v,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      CASE WHEN na > 0 AND nc > 0 THEN dot / (sqrt(na) * sqrt(nc))
+       |           ELSE 0.0 END DESC, cid) AS r
+       |  FROM sims),
+       |cells AS (SELECT vec_id AS neighbor_id, v AS nv, cid FROM asg WHERE r = 1),
+       |qp AS (SELECT vec_id AS query_id, v AS qv, cid
+       |       FROM asg WHERE vec_id % 50 = 0 AND r <= 4),
+       |p AS (SELECT qp.query_id AS id_a, cells.neighbor_id AS id_b,
+       |             qp.qv AS va, cells.nv AS vb
+       |      FROM qp JOIN cells USING (cid)
+       |      WHERE qp.query_id <> cells.neighbor_id),
+       |c AS (
+       |  $cosineCte),
+       |s AS (
+       |  SELECT id_a AS query_id, id_b AS neighbor_id,
+       |    CASE WHEN na > 0 AND nb > 0
+       |         THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS sim
+       |  FROM c),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |       round(sim, 6) AS sim
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   /** SplitMix64 staged as CTEs over `z0(id, p, z)` (z UBIGINT), yielding
     * `mx(id, p, v)` — the synthetic-media fixture generators' pattern
     * hash replayed inside DuckDB. DuckDB has no wrap-around 64-bit
@@ -481,6 +536,26 @@ object SimilarityQueries {
             round(col("sim"), 6).as("sim"))
       },
       None),
+
+    // ---- IVF with the PORTABLE coarse quantizer, fully hash-oracled
+    //      (round-12 verdict #7): the seed sample orders by md5(id)
+    //      (replayable) and skips the Lloyd sharpening — whose per-cell
+    //      element sums are parallel float reductions with NO
+    //      deterministic accumulation order, the one construct in q45
+    //      that neither DuckDB nor a second engine run replays
+    //      bit-for-bit. Same probe economics, same assignment/rank
+    //      machinery as q45 — so the oracle greenness here certifies
+    //      everything in q45 EXCEPT the k-means update itself ----
+    Q("q188_ivf_portable",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.ivfTopK(e, e.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", nCentroids = 16, nProbe = 4, k = 5,
+          portable = true)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+      },
+      Some(ivfPortableOracle)),
 
     // ---- embedding-cosine near-dup pairs via LSH buckets, UNDER THE
     //      HASH ORACLE (round-11): md5-derived Rademacher hyperplanes +
