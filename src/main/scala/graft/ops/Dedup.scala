@@ -848,17 +848,36 @@ object Dedup {
       .withColumn("__r", row_number().over(Window.partitionBy(col(idCol), col("__new"))
         .orderBy(col("__freq").asc, col("__tok").asc)))
       .where(col("__r") <= col("__len") - ceil(lit(threshold) * col("__len") - lit(1e-9)) + 1)
-      .select(col("__tok"), col(idCol), col("__new"), col("__len"))
+      .select(col("__tok"), col(idCol), col("__new"), col("__len"), col("__r"))
       .transform(graft.core.Checkpoints.sessionCk) // joined twice below: run freq+window once
+    // Candidate pruning = the same PPJoin positional filter as
+    // [[similarityJoinPrefix]] (Xiao et al. 2008), valid asymmetrically
+    // because BOTH sides rank tokens by the one union-frequency global
+    // order: for a pair's FIRST common prefix token (min rank — an
+    // earlier common token would itself be a smaller-rank prefix-prefix
+    // match on both sides), total overlap ≤ 1 + min(ln−rn, lo−ro).
+    // Pairs that cannot reach the Jaccard equi-overlap bar
+    // α = ⌈t·(ln+lo)/(1+t)⌉ never enter the shingle-array verification
+    // join. Same shuffle as the plain pair distinct (groupBy on the
+    // pair key), strictly fewer survivors, recall unchanged — EXACT.
     val candidates = prefix.where(col("__new"))
-      .select(col("__tok"), col(idCol).as("__nid"), col("__len").as("__ln"))
+      .select(col("__tok"), col(idCol).as("__nid"),
+        col("__len").as("__ln"), col("__r").as("__rn"))
       .join(prefix.where(!col("__new"))
-        .select(col("__tok"), col(idCol).as("__oid"), col("__len").as("__lo")),
+        .select(col("__tok"), col(idCol).as("__oid"),
+          col("__len").as("__lo"), col("__r").as("__ro")),
         Seq("__tok"))
       .where(col("__lo") >= lit(threshold) * col("__ln") - lit(1e-9) &&
         col("__ln") >= lit(threshold) * col("__lo") - lit(1e-9))
+      .groupBy(col("__nid"), col("__oid"))
+      .agg(min(struct(col("__rn"), col("__ro"),
+        col("__ln"), col("__lo"))).as("__m"))
+      .where(lit(1) +
+        least(col("__m.__ln") - col("__m.__rn"),
+          col("__m.__lo") - col("__m.__ro")) >=
+        ceil(lit(threshold / (1.0 + threshold)) *
+          (col("__m.__ln") + col("__m.__lo")) - lit(1e-9)))
       .select(col("__nid"), col("__oid"))
-      .distinct()
     val verified = candidates
       .join(sh.where(col("__new"))
         .select(col(idCol).as("__nid"), col("__sh").as("__sh_n")), Seq("__nid"))

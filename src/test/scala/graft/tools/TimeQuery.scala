@@ -61,8 +61,8 @@ object TimeQuery {
       }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        // same per-query action as Bench: noop-sink materialization for
-        // scan-shaped rows, count() for the rest
+        // same per-query action as Bench: noop-sink materialization of
+        // EVERY row (r13 re-base — see Registry.consume)
         graft.queries.Registry.consume(name, fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         reset()
