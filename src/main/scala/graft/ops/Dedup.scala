@@ -460,16 +460,39 @@ object Dedup {
     // integer ceil: ⌈len·t⌉ = (len·tPpm + 999999) div 1e6 — no float eps
     val prefix = ranked.where(col("__r") <=
       col("__len") - expr(s"(__len * $thresholdPpm + 999999) div 1000000") + 1)
+    // Positional filter (the [[similarityJoinPrefix]] PPJoin bound,
+    // containment flavor): at a pair's first common ranked token —
+    // min (rs, ro) over the candidate stream; sound because both sides
+    // rank by the one global (freq, tok) order, so any earlier common
+    // token yields a lexicographically smaller row in the SAME stream
+    // (it is in the smaller side's prefix whenever the matched token
+    // is, and always in the larger side's full list) — total overlap
+    // ≤ 1 + min(ls−rs, lo−ro). Pairs that cannot reach the containment
+    // bar ⌈t·ls⌉ never enter the shingle-array verification join. The
+    // groupBy replaces the plain pair distinct: same shuffle key,
+    // strictly fewer survivors, recall unchanged — EXACT. (Equal-length
+    // pairs can arrive in both orientations; each row's (rs, ls, ro,
+    // lo) is internally consistent and the min over the union is still
+    // a first-common-token witness, so the bound holds for whichever
+    // row wins.)
     val candidates = prefix
-      .select(col("__tok"), col(idCol).as("__is"), col("__len").as("__ls"))
-      .join(ranked.select(col("__tok"), col(idCol).as("__io"), col("__len").as("__lo")),
+      .select(col("__tok"), col(idCol).as("__is"),
+        col("__len").as("__ls"), col("__r").as("__rs"))
+      .join(ranked.select(col("__tok"), col(idCol).as("__io"),
+        col("__len").as("__lo"), col("__r").as("__ro")),
         Seq("__tok"))
       // smaller side carries the prefix; equal lengths dedupe by id order
       .where(col("__ls") < col("__lo") ||
         (col("__ls") === col("__lo") && col("__is") =!= col("__io")))
-      .select(least(col("__is"), col("__io")).as("id_a"),
+      .groupBy(least(col("__is"), col("__io")).as("id_a"),
         greatest(col("__is"), col("__io")).as("id_b"))
-      .distinct()
+      .agg(min(struct(col("__rs"), col("__ro"),
+        col("__ls"), col("__lo"))).as("__m"))
+      .where(lit(1L) +
+        least(col("__m.__ls") - col("__m.__rs"),
+          col("__m.__lo") - col("__m.__ro")) >=
+        expr(s"(__m.__ls * $thresholdPpm + 999999) div 1000000"))
+      .select(col("id_a"), col("id_b"))
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
