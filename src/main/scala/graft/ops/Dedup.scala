@@ -474,7 +474,12 @@ object Dedup {
     // pairs can arrive in both orientations; each row's (rs, ls, ro,
     // lo) is internally consistent and the min over the union is still
     // a first-common-token witness, so the bound holds for whichever
-    // row wins.)
+    // row wins.) Per-row __ls/__lo are the pair's smaller/larger
+    // lengths in EVERY orientation, so they are pair constants
+    // recovered by max; the lexicographic (rs, ro) min rides one packed
+    // long. All three aggregates are hash-aggregable — the groupBy
+    // stays a HashAggregate like the distinct it replaces (a struct min
+    // would plan as SortAggregate and sort the whole candidate stream).
     val candidates = prefix
       .select(col("__tok"), col(idCol).as("__is"),
         col("__len").as("__ls"), col("__r").as("__rs"))
@@ -486,12 +491,13 @@ object Dedup {
         (col("__ls") === col("__lo") && col("__is") =!= col("__io")))
       .groupBy(least(col("__is"), col("__io")).as("id_a"),
         greatest(col("__is"), col("__io")).as("id_b"))
-      .agg(min(struct(col("__rs"), col("__ro"),
-        col("__ls"), col("__lo"))).as("__m"))
+      .agg(min(shiftleft(col("__rs").cast("long"), 31) +
+        col("__ro").cast("long")).as("__pk"),
+        max(col("__ls")).as("__ls"), max(col("__lo")).as("__lo"))
       .where(lit(1L) +
-        least(col("__m.__ls") - col("__m.__rs"),
-          col("__m.__lo") - col("__m.__ro")) >=
-        expr(s"(__m.__ls * $thresholdPpm + 999999) div 1000000"))
+        least(col("__ls") - shiftright(col("__pk"), 31),
+          col("__lo") - (col("__pk") % lit(2147483648L))) >=
+        expr(s"(__ls * $thresholdPpm + 999999) div 1000000"))
       .select(col("id_a"), col("id_b"))
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
@@ -883,6 +889,13 @@ object Dedup {
     // α = ⌈t·(ln+lo)/(1+t)⌉ never enter the shingle-array verification
     // join. Same shuffle as the plain pair distinct (groupBy on the
     // pair key), strictly fewer survivors, recall unchanged — EXACT.
+    // The lexicographic (rn, ro) min rides ONE packed long (ranks are
+    // row_numbers, far below 2³¹) and the side lengths are pair
+    // constants recovered by max — all three hash-aggregable, so the
+    // groupBy stays a HashAggregate exactly like the distinct it
+    // replaces (a min over a STRUCT would plan as SortAggregate and
+    // sort the entire candidate stream per partition — measured as a
+    // memory-exhaustion failure at ×100).
     val candidates = prefix.where(col("__new"))
       .select(col("__tok"), col(idCol).as("__nid"),
         col("__len").as("__ln"), col("__r").as("__rn"))
@@ -893,13 +906,14 @@ object Dedup {
       .where(col("__lo") >= lit(threshold) * col("__ln") - lit(1e-9) &&
         col("__ln") >= lit(threshold) * col("__lo") - lit(1e-9))
       .groupBy(col("__nid"), col("__oid"))
-      .agg(min(struct(col("__rn"), col("__ro"),
-        col("__ln"), col("__lo"))).as("__m"))
+      .agg(min(shiftleft(col("__rn").cast("long"), 31) +
+        col("__ro").cast("long")).as("__pk"),
+        max(col("__ln")).as("__ln"), max(col("__lo")).as("__lo"))
       .where(lit(1) +
-        least(col("__m.__ln") - col("__m.__rn"),
-          col("__m.__lo") - col("__m.__ro")) >=
+        least(col("__ln") - shiftright(col("__pk"), 31),
+          col("__lo") - (col("__pk") % lit(2147483648L))) >=
         ceil(lit(threshold / (1.0 + threshold)) *
-          (col("__m.__ln") + col("__m.__lo")) - lit(1e-9)))
+          (col("__ln") + col("__lo")) - lit(1e-9)))
       .select(col("__nid"), col("__oid"))
     val verified = candidates
       .join(sh.where(col("__new"))
