@@ -14,15 +14,52 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** PPJoin positional-filter witness packing. The candidate groupBy
+    * must carry the pair's first-common-token rank pair (hi, lo) — but
+    * `min(struct(hi, lo))` has an immutable aggregation buffer and
+    * plans as a SortAggregate, which sorts the ENTIRE pre-filter
+    * candidate stream per partition (measured at ×100 as a task-memory
+    * query-killer; commit 10ad36b). Packing both ranks into ONE long
+    * keeps the aggregate a HashAggregate with map-side partial combine.
+    *
+    * Invariant (asserted here, relied on at every call site): both
+    * ranks are `row_number`s over a single document's token list, so
+    * they are ≥ 1 and far below 2³¹ — a document would need 2³¹
+    * distinct shingles to overflow the packing. Because both are
+    * non-negative and lo < 2³¹, the numeric order of
+    * `hi·2³¹ + lo` IS the lexicographic order of (hi, lo).
+    */
+  private[ops] val RankPackWidth = 31
+  private[ops] val RankPackModulus = 1L << RankPackWidth // 2^31
+
+  /** Pack two row_number ranks (each < 2³¹) into one order-preserving long. */
+  private[ops] def packRanks(hi: Column, lo: Column): Column =
+    shiftleft(hi.cast("long"), RankPackWidth) + lo.cast("long")
+
+  /** First component of a [[packRanks]] value. */
+  private[ops] def packedHi(pk: Column): Column = shiftright(pk, RankPackWidth)
+
+  /** Second component of a [[packRanks]] value. */
+  private[ops] def packedLo(pk: Column): Column = pk % lit(RankPackModulus)
+
   /** Exact duplicate groups: one row per distinct text with the keeper
-    * id (min) and the duplicate count. Grouping key is xxhash64(text) so
-    * the shuffle moves 8-byte keys; the text survives via `min` only for
-    * the final (already-reduced) row.
+    * id (min) and the duplicate count. Grouping key is the TEXT itself,
+    * not its hash: variable-length group KEYS hash-aggregate fine (only
+    * aggregation BUFFERS must be mutable fixed-width types), whereas the
+    * previous `groupBy(xxhash64(text)).agg(min(text))` put a string in
+    * the buffer and planned as a keyed SortAggregate — a per-partition
+    * sort of the whole corpus WITH text payloads (round-14 tripwire).
+    * Wire cost is identical either way: partial aggregation collapses
+    * duplicates map-side, and the text crossed the exchange once per
+    * (distinct text, partition) in both shapes — as the min-buffer
+    * before, as the key now. The 64-bit digest is derived on the
+    * already-reduced output rows.
     */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("text_hash"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"),
-        min(col(textCol)).as(textCol))
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(xxhash64(col(textCol)).as("text_hash"), col("keep_id"),
+        col("n_dups"), col(textCol))
 
   /** Keep one row per distinct `textCol` (the min-id row). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -30,23 +67,57 @@ object Dedup {
       Seq(textCol, idCol), "left_semi")
 
   /** Canonical-selection dedup: cluster rows by `keyCol` and keep, per
-    * cluster, the row that maximizes `pref` — curation's "keep the BEST
-    * duplicate", vs [[exactDedup]]'s arbitrary keep-first. `pref` must
-    * totally order each cluster (append the id as the last tiebreak);
-    * with e.g. `struct(quality, -id)` the survivor is the
-    * highest-quality copy, not whichever arrived first.
+    * cluster, the row that lexicographically maximizes `prefs` (ties
+    * broken by the SMALLEST `idCol`) — curation's "keep the BEST
+    * duplicate", vs [[exactDedup]]'s arbitrary keep-first. With
+    * `prefs = Seq(quality)` the survivor is the highest-quality copy,
+    * not whichever arrived first. `idCol` must be unique per row.
     *
-    * Scale shape: a single `max_by` hash-aggregate on the cluster key —
-    * partial aggregation keeps one candidate row per key per partition,
-    * so the exchange carries at most one row per (partition, cluster);
-    * no window, no sort, no second join back.
+    * Scale shape: a cascade of hash aggregates over the NARROW decision
+    * columns (key, id, prefs), never the payload — per pref level, a
+    * per-cluster max and a co-partitioned join keep only the rows still
+    * tied for best (everything after the first exchange stays
+    * partitioned by cluster key, so the cascade adds no exchanges and
+    * AQE skew-splits a hot cluster at the joins); one final id-keyed
+    * join hands the winning rows their payload, which crosses the wire
+    * exactly once. The obvious one-pass alternative —
+    * `max_by(struct(allCols), pref)` — puts a struct in the aggregation
+    * buffer and plans as a keyed SortAggregate: a per-partition sort of
+    * the whole corpus WITH payloads (round-14 tripwire; the task-memory
+    * failure class of commit 10ad36b). That is also why `idCol` and
+    * every pref must be of a mutable-buffer aggregate type (numeric /
+    * boolean / date / timestamp), enforced here: a string pref would
+    * silently re-plan the cascade's min/max as SortAggregates. Encode
+    * string preferences ordinally first (e.g. a parsed timestamp, or
+    * `conv(substring(md5(c), 1, 15), 16, 10)` for an arbitrary stable
+    * tiebreak).
     */
-  def canonicalPick(df: DataFrame, keyCol: Column, pref: Column): DataFrame = {
-    val cols = df.columns.map(col).toIndexedSeq
-    df.groupBy(keyCol.as("__ck"))
-      .agg(max_by(struct(cols: _*), pref).as("__best"),
-        count(lit(1)).as("n_in_cluster"))
-      .select(col("__best.*") +: Seq(col("n_in_cluster")): _*)
+  def canonicalPick(df: DataFrame, keyCol: Column, idCol: Column,
+                    prefs: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val d0 = df.select(keyCol.as("__ck") +: idCol.as("__cid") +:
+      prefs.zipWithIndex.map { case (p, i) => p.as(s"__p$i") }: _*)
+    d0.schema.fields.filter(_.name != "__ck").foreach { f =>
+      require(f.dataType.isInstanceOf[NumericType] ||
+          f.dataType.isInstanceOf[BooleanType] ||
+          f.dataType.isInstanceOf[DateType] ||
+          f.dataType.isInstanceOf[TimestampType] ||
+          f.dataType.isInstanceOf[TimestampNTZType],
+        s"canonicalPick: ${if (f.name == "__cid") "idCol" else "pref"} " +
+          s"resolves to ${f.dataType.simpleString}, which cannot ride a " +
+          "hash-aggregate buffer (the min/max would plan as a keyed " +
+          "SortAggregate over the full corpus). Encode it ordinally " +
+          "first — parse dates, or conv(substring(md5(c),1,15),16,10).")
+    }
+    val sizes = d0.groupBy(col("__ck")).agg(count(lit(1)).as("n_in_cluster"))
+    val survivors = prefs.indices.foldLeft(d0) { (cur, i) =>
+      val m = cur.groupBy(col("__ck")).agg(max(col(s"__p$i")).as("__m"))
+      cur.join(m, Seq("__ck")).where(col(s"__p$i") <=> col("__m")).drop("__m")
+    }
+    val winners = survivors.groupBy(col("__ck")).agg(min(col("__cid")).as("__cid"))
+      .join(sizes, Seq("__ck"))
+      .select(col("__cid"), col("n_in_cluster"))
+    df.join(winners, idCol === col("__cid")).drop("__cid")
   }
 
   /** MinHash signature: for each of `numHashes` hash families, the
@@ -368,6 +439,12 @@ object Dedup {
     // equi-overlap bar α = ⌈t·(la+lb)/(1+t)⌉ are pruned BEFORE the
     // shingle-array verification join — same shuffle as the plain
     // distinct (groupBy on the pair key), strictly fewer survivors.
+    // The lexicographic (ra, rb) min rides ONE [[packRanks]] long
+    // (common tokens appear in the same relative order on both sides,
+    // so ra and rb are co-monotonic and the lexicographic min is the
+    // first common token on BOTH sides) and the lengths are pair
+    // constants recovered by max — all three hash-aggregable, so this
+    // groupBy stays a HashAggregate like the distinct it replaces.
     val candidates = prefix.select(col("__tok"), col(idCol).as("id_a"),
         col("__len").as("__la"), col("__r").as("__ra"))
       .join(prefix.select(col("__tok"), col(idCol).as("id_b"),
@@ -377,13 +454,13 @@ object Dedup {
         col("__lb") >= lit(threshold) * col("__la") - lit(1e-9) &&
         col("__la") >= lit(threshold) * col("__lb") - lit(1e-9))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(min(struct(col("__ra"), col("__rb"),
-        col("__la"), col("__lb"))).as("__m"))
+      .agg(min(packRanks(col("__ra"), col("__rb"))).as("__pk"),
+        max(col("__la")).as("__la"), max(col("__lb")).as("__lb"))
       .where(lit(1) +
-        least(col("__m.__la") - col("__m.__ra"),
-          col("__m.__lb") - col("__m.__rb")) >=
+        least(col("__la") - packedHi(col("__pk")),
+          col("__lb") - packedLo(col("__pk"))) >=
         ceil(lit(threshold / (1.0 + threshold)) *
-          (col("__m.__la") + col("__m.__lb")) - lit(1e-9)))
+          (col("__la") + col("__lb")) - lit(1e-9)))
       .select(col("id_a"), col("id_b"))
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
@@ -491,12 +568,11 @@ object Dedup {
         (col("__ls") === col("__lo") && col("__is") =!= col("__io")))
       .groupBy(least(col("__is"), col("__io")).as("id_a"),
         greatest(col("__is"), col("__io")).as("id_b"))
-      .agg(min(shiftleft(col("__rs").cast("long"), 31) +
-        col("__ro").cast("long")).as("__pk"),
+      .agg(min(packRanks(col("__rs"), col("__ro"))).as("__pk"),
         max(col("__ls")).as("__ls"), max(col("__lo")).as("__lo"))
       .where(lit(1L) +
-        least(col("__ls") - shiftright(col("__pk"), 31),
-          col("__lo") - (col("__pk") % lit(2147483648L))) >=
+        least(col("__ls") - packedHi(col("__pk")),
+          col("__lo") - packedLo(col("__pk"))) >=
         expr(s"(__ls * $thresholdPpm + 999999) div 1000000"))
       .select(col("id_a"), col("id_b"))
     candidates
@@ -906,12 +982,11 @@ object Dedup {
       .where(col("__lo") >= lit(threshold) * col("__ln") - lit(1e-9) &&
         col("__ln") >= lit(threshold) * col("__lo") - lit(1e-9))
       .groupBy(col("__nid"), col("__oid"))
-      .agg(min(shiftleft(col("__rn").cast("long"), 31) +
-        col("__ro").cast("long")).as("__pk"),
+      .agg(min(packRanks(col("__rn"), col("__ro"))).as("__pk"),
         max(col("__ln")).as("__ln"), max(col("__lo")).as("__lo"))
       .where(lit(1) +
-        least(col("__ln") - shiftright(col("__pk"), 31),
-          col("__lo") - (col("__pk") % lit(2147483648L))) >=
+        least(col("__ln") - packedHi(col("__pk")),
+          col("__lo") - packedLo(col("__pk"))) >=
         ceil(lit(threshold / (1.0 + threshold)) *
           (col("__ln") + col("__lo")) - lit(1e-9)))
       .select(col("__nid"), col("__oid"))

@@ -23,47 +23,62 @@ object Preference {
     * (both tiebreaks land on the lowest id); keep `minGap >= 1` unless
     * the caller filters such pairs itself.
     *
-    * Scale shape: a single `max_by`/`min_by` hash-aggregate on the
-    * prompt key — partial aggregation keeps one best and one worst
-    * candidate per key per partition, so the exchange carries at most
-    * two narrow structs per (partition, prompt); no window sort, no
-    * join-back, and response payloads (the texts) never move — join
-    * them back by id AFTER pairing if the trainer needs them.
-    * Rows with a NULL id or score are excluded up front.
+    * Scale shape: two hash aggregates on the prompt key around one
+    * co-partitioned join — partial aggregation collapses each partition
+    * to one (max score, min score, count) row per prompt before the
+    * exchange, the join back reuses that partitioning (no new
+    * exchange), and the winning ids fall out of conditional mins; no
+    * window sort, no SortAggregate, and response payloads (the texts)
+    * never move — join them back by id AFTER pairing if the trainer
+    * needs them. Rows with a NULL id or score are excluded up front.
     *
-    * CALLER CONTRACT: `idCol` must be SIGNED NUMERIC — the chosen-side
-    * tiebreak orders by its negation, which a string id would silently
-    * turn into a NULL sort key (arbitrary tie pick, no error) and
-    * which maps Long.MinValue to itself (inverted tiebreak for that
-    * one id). Hash or dense-rank non-numeric response ids first.
+    * CALLER CONTRACT: `idCol` must be SIGNED NUMERIC. (Historical:
+    * the tiebreak once ordered by the id's NEGATION, where a string id
+    * silently became a NULL sort key. The conditional-min form no
+    * longer negates, but the contract is kept — numeric response ids
+    * are what every caller has, and relaxing a fail-fast check is an
+    * API change for another day.) Hash or dense-rank non-numeric
+    * response ids first.
     */
   def pairs(responses: DataFrame, groupCol: Column, idCol: Column,
             scoreCol: Column, minGap: Long = 1L): DataFrame = {
     require(minGap >= 0, s"minGap must be >= 0, got $minGap")
     // fail fast on the SIGNED-NUMERIC contract instead of leaning on the
-    // scaladoc (round-11 advice): a string id would make -col(__id) a
-    // NULL sort key — a silent arbitrary tie pick, no error
+    // scaladoc (round-11 advice); see the contract note above
     val idType = responses.select(idCol.as("__id")).schema.head.dataType
     require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"idCol must resolve to a signed numeric type (tiebreak negates " +
         s"it); got ${idType.simpleString} — hash or dense-rank " +
         "non-numeric response ids first")
-    responses
+    // Two hash aggregates + one co-partitioned join, NOT a single
+    // max_by/min_by over structs: struct operands give the aggregate an
+    // immutable buffer, which plans as a keyed SortAggregate — a
+    // per-partition sort of the ENTIRE response stream (round-14
+    // tripwire; the task-memory failure class of commit 10ad36b). Here
+    // the score extremes are plain min/max (mutable buffers), the join
+    // back is on the aggregate's own output partitioning (no new
+    // exchange; AQE skew-splits a hot prompt), and the argmin ids are
+    // conditional mins — every aggregate hash-aggregable, semantics
+    // identical: chosen = max score tie→min id, rejected = min score
+    // tie→min id.
+    val narrow = responses
       .select(groupCol.as("prompt_id"), idCol.as("__id"), scoreCol.as("__s"))
       .where(col("__id").isNotNull && col("__s").isNotNull)
+    val stats = narrow.groupBy(col("prompt_id"))
+      .agg(max(col("__s")).as("__cs"), min(col("__s")).as("__rs"),
+        count(lit(1)).as("n_responses"))
+      .where(col("n_responses") >= 2 && col("__cs") - col("__rs") >= minGap)
+    narrow.join(stats, Seq("prompt_id"))
       .groupBy(col("prompt_id"))
       .agg(
-        max_by(struct(col("__id").as("id"), col("__s").as("s")),
-          struct(col("__s"), -col("__id"))).as("__c"),
-        min_by(struct(col("__id").as("id"), col("__s").as("s")),
-          struct(col("__s"), col("__id"))).as("__r"),
-        count(lit(1)).as("n_responses"))
-      .where(col("n_responses") >= 2 &&
-        col("__c.s") - col("__r.s") >= minGap)
-      .select(col("prompt_id"),
-        col("__c.id").as("chosen_id"), col("__r.id").as("rejected_id"),
-        col("__c.s").as("chosen_score"), col("__r.s").as("rejected_score"),
-        (col("__c.s") - col("__r.s")).as("score_gap"),
+        min(when(col("__s") === col("__cs"), col("__id"))).as("chosen_id"),
+        min(when(col("__s") === col("__rs"), col("__id"))).as("rejected_id"),
+        max(col("__cs")).as("chosen_score"),
+        max(col("__rs")).as("rejected_score"),
+        max(col("n_responses")).as("n_responses"))
+      .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("score_gap"),
         col("n_responses"))
   }
 }

@@ -171,27 +171,31 @@ object QualityRules {
     val ex = lineParaRows.unionByName(gramRows)
     val counts = ex.groupBy(col("__id"), col("__k"), col("__v"))
       .agg(count(lit(1)).as("__c"), max(col("__wc")).as("__wc"))
-    // Top gram = max count, ties to the smallest gram string. Encoded as
-    // min over ONE string key (12-digit zero-padded inverted count ++
-    // gram) so the aggregate stays HASH-based — min(struct(...)) forces
-    // SortAggregate (struct is not a mutable agg-buffer type), which
-    // costs two extra sorts on the hot path. Count is bounded by tokens
-    // per doc << 10^12, and grams are compared bytewise in both engines.
-    val topKey = concat(
-      lpad((lit(999999999999L) - col("__c")).cast("string"), 12, "0"),
-      col("__v"))
+    // Top gram = max count, ties to the LARGEST char mass (the
+    // conservative Gopher read: among equally-frequent top grams, flag
+    // the one covering the most characters). Encoded as max over ONE
+    // packed long — count above bit 32, space-free char length in the
+    // low 32 bits — so the aggregate stays HASH-based. The earlier
+    // string encoding (zero-padded inverted count ++ gram, min) put a
+    // STRING in the aggregation buffer, and string buffers are as
+    // immutable as structs: the round-14 tripwire caught it planning a
+    // keyed SortAggregate over the full per-doc distinct-gram stream.
+    // Only the winning gram's (count, length) matter downstream — the
+    // mass is their product — so nothing variable-width need ride the
+    // buffer at all. Count is bounded by tokens per doc < 2^31 and the
+    // char length by doc bytes < 2^32, so the packing cannot overflow.
+    val topKey = col("__c") * lit(4294967296L) +
+      length(translate(col("__v"), " ", "")).cast("long")
     val per = counts.groupBy(col("__id"), col("__k"))
       .agg(max(col("__wc")).as("__wc"),
         sum(col("__c")).as("__total"),
         sum(col("__c") - 1).as("__dups"),
         sum(length(col("__v")).cast("long") * col("__c")).as("__chars"),
         sum(length(col("__v")).cast("long") * (col("__c") - 1)).as("__dupchars"),
-        min(topKey).as("__top"))
+        max(topKey).as("__top"))
     def pick(k: String, c: Column): Column = max(when(col("__k") === k, c))
-    val topMass = (lit(999999999999L) - substring(col("__top"), 1, 12)
-        .cast("long")) *
-      length(translate(substring(col("__top"), 13, Int.MaxValue), " ", ""))
-        .cast("long")
+    val topMass = shiftright(col("__top"), 32) *
+      (col("__top") % lit(4294967296L))
     per.groupBy(col("__id"))
       .agg(max(col("__wc")).as("__wc"),
         pick("L", col("__total")).as("n_lines"),

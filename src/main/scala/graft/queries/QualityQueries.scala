@@ -558,7 +558,9 @@ object QualityQueries {
               gt AS (SELECT doc_id, n,
                             c * CAST(length(replace(v, ' ', '')) AS BIGINT) AS mass,
                             row_number() OVER (PARTITION BY doc_id, n
-                                               ORDER BY c DESC, v ASC) AS rn
+                                               ORDER BY c DESC,
+                                                 length(replace(v, ' ', '')) DESC)
+                              AS rn
                      FROM gc),
               gm AS (SELECT doc_id,
                             MAX(CASE WHEN n = 2 THEN mass END) AS m2,

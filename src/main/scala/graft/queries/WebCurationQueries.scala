@@ -98,16 +98,16 @@ object WebCurationQueries {
     //      hash-agg; no window, no join-back. ----
     Q("q96_canonical_dedup",
       (s, dir) => {
-        // project to (id, pref, key) BEFORE the pick: max_by carries its
-        // whole payload struct through the exchange, and column pruning
-        // does not reach inside it — dropping text here keeps the
-        // shuffle at three narrow columns per row
+        // project to (id, pref, key) BEFORE the pick: the pick's final
+        // id-keyed join ships every payload column of the winner rows,
+        // so dropping text here keeps that join (and the decision
+        // cascade) at three narrow columns per row
         val d = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("n_chars"), md5(array_join(
             array_sort(array_distinct(TA.tokens(trim(lower(col("text")))))), " "))
             .as("__key"))
-        Dedup.canonicalPick(d, col("__key"),
-            struct(col("n_chars"), -col("doc_id")))
+        Dedup.canonicalPick(d, col("__key"), col("doc_id"),
+            Seq(col("n_chars")))
           .select(col("doc_id"), col("n_chars"), col("n_in_cluster"))
       },
       Some("""WITH k AS (

@@ -38,8 +38,8 @@ class WebCurationSpec extends SparkSpec {
     val df = Seq(
       (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L),
       (4L, "k2", 5L)).toDF("id", "k", "quality")
-    val out = Dedup.canonicalPick(df, col("k"),
-        struct(col("quality"), -col("id")))
+    val out = Dedup.canonicalPick(df, col("k"), col("id"),
+        Seq(col("quality")))
       .select("id", "k", "quality", "n_in_cluster")
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
     // k1: quality ties at 30 -> lowest id (2) wins; k2: singleton

@@ -135,8 +135,14 @@ class WebTextSpec extends SparkSpec {
     val out = WebText.sentenceDedupText(docs, "text", "doc_id")
     val phys = out.queryExecution.executedPlan.toString
     assert(!phys.contains("Window"), "no window operator anywhere")
-    assert(phys.contains("partial_min(struct"),
-      "first-occurrence decision must partial-aggregate before its Exchange")
+    // round-13 finding: the one-pass min(struct(id, idx)) form planned
+    // as a keyed SortAggregate sorting the whole occurrence stream per
+    // partition; the cascade form must be hash-only
+    assert(!"SortAggregate\\(key=\\[[^\\]]".r.findFirstIn(phys).isDefined,
+      "first-occurrence decision must stay hash-aggregable (no keyed " +
+        "SortAggregate over the occurrence stream)")
+    assert(phys.contains("partial_min(sent_idx"),
+      "per-(digest, doc) first index must partial-aggregate before its Exchange")
     val agg = out.agg(
       count(lit(1)).as("docs"), sum("n_kept").as("kept"),
       sum(when(col("clean").startsWith("Accept all cookies."), 1L)
