@@ -754,6 +754,77 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** DC-EXACT AVI fixture generator: [[syntheticAvi]]'s MJPEG shape
+    * with frames composed of FLAT 8×8 blocks, which makes the lossy
+    * JPEG round-trip integer-lossless — a flat block has only a DC
+    * coefficient, the JDK encoder's quality-0.75 luminance quant table
+    * has Q(0,0) = 8 (libjpeg quality 75 scaling of the Annex-K table),
+    * so quantization of DC = 8·(v−128) is division by 8 with zero
+    * remainder and the decoder's DC-only IDCT shortcut reproduces v
+    * exactly (gray blocks keep Cb = Cr = 128, flat chroma quantizes to
+    * 0). MultimodalSpec pins the claim for every v in 0..255 through
+    * the real encode→container→decode path. The point: the REAL codec
+    * runs end-to-end (Huffman, dequantize, IDCT, container walk) yet
+    * decoded luminance is a pure integer function of the generator
+    * parameters, so a SQL oracle can replay the whole downstream
+    * near-dup DECISION bit-for-bit — the lossless subchannel of a
+    * lossy codec. The full-AC path stays exercised by [[syntheticAvi]]
+    * in q151/q152 and the MultimodalSpec frame anchors.
+    *
+    * Block values are the [[syntheticPng]] cluster-hash field at BLOCK
+    * granularity (`mix64(cluster · nBlocks + b)`), phase-advanced per
+    * frame, plus one (id, frame)-keyed noise BLOCK — same near-dup
+    * cluster structure, same mix64 replay the q101 oracle uses.
+    * `size` must be a multiple of 8 (blocks must tile exactly: a
+    * partial edge block would get non-flat padding and lose the
+    * DC-only property). Payload generation never shuffles.
+    */
+  def syntheticAviDc(ids: DataFrame, idCol: String, frames: Int = 4,
+                     size: Int = 64, fps: Int = 10): DataFrame = {
+    require(size % 8 == 0, s"size must be a multiple of 8, got $size")
+    val spark = ids.sparkSession
+    val grid = size / 8
+    val nb = grid.toLong * grid
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val cluster = mediaCluster(id)
+        val nz = mix64(~id)
+        val frameBytes = (0 until frames).map { f =>
+          val img = new java.awt.image.BufferedImage(size, size,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val noisePos = (((nz >>> 8) + f) % nb).toInt
+          val noiseLum = (((nz & 0xFF) + f * 7) % 256).toInt
+          var by = 0
+          while (by < grid) {
+            var bx = 0
+            while (bx < grid) {
+              val b = by * grid + bx
+              val lum =
+                if (b == noisePos) noiseLum
+                else (((mix64(cluster * nb + b) & 0xFF) + f * 29) % 256).toInt
+              val rgb = (lum << 16) | (lum << 8) | lum
+              var y = by * 8
+              while (y < by * 8 + 8) {
+                var x = bx * 8
+                while (x < bx * 8 + 8) { img.setRGB(x, y, rgb); x += 1 }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          baos.toByteArray
+        }
+        Row(id, "video", buildAvi(frameBytes, size, size, fps, dib = false),
+          size, size, Integer.valueOf(frames * 1000 / fps))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Frame sampling for video payloads: emit `frames` evenly-spaced
     * (frame_idx, frame_ts_ms, frame_feature) rows per video. RIFF/AVI
     * payloads take the REAL path — frame bytes located by the
@@ -929,9 +1000,10 @@ object Multimodal {
     */
   def nearDupVideo(media: DataFrame, keyframes: Int = 4, dim: Int = 16,
                    maxHamming: Int = 3, minMatchFrames: Int = 2,
-                   maxBucketSize: Long = Long.MaxValue): DataFrame =
-    bandedCandidates(videoSigs(media, keyframes, dim), Seq("frame_idx"),
-        maxBucketSize)
+                   maxBucketSize: Long = Long.MaxValue,
+                   portable: Boolean = false): DataFrame =
+    bandedCandidates(videoSigs(media, keyframes, dim, portable),
+        Seq("frame_idx"), maxBucketSize)
       .select(col("id_a"), col("id_b"), col("frame_idx"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -1033,14 +1105,15 @@ object Multimodal {
     else graft.expressions.VectorExprs.lshSignBits(cf, 64)
 
   /** Video-path signatures: one spatial signature per aligned keyframe. */
-  private def videoSigs(media: DataFrame, keyframes: Int, dim: Int): DataFrame = {
+  private def videoSigs(media: DataFrame, keyframes: Int, dim: Int,
+                        portable: Boolean = false): DataFrame = {
     val mean = aggregate(col("frame_feature"), lit(0.0d), (a, x) => a + x) /
       greatest(size(col("frame_feature")), lit(1))
     sampleFrames(media, keyframes, dim)
       .select(col("media_id"), col("frame_idx"),
         transform(col("frame_feature"), x => x - mean).as("__cf"))
       .select(col("media_id"), col("frame_idx"),
-        graft.expressions.VectorExprs.lshSignBits(col("__cf"), 64).as("__sig"))
+        signBits(col("__cf"), dim, portable).as("__sig"))
       .transform(graft.core.Checkpoints.sessionCk)
   }
 

@@ -151,6 +151,69 @@ object SimilarityQueries {
        |sig AS (SELECT id, (${cfSig(16)}) AS s FROM cvec),
        |$sigPairsTail""".stripMargin
 
+  /** q153's oracle, generated: the VIDEO near-dup DECISION replayed
+    * end-to-end. The DC-exact MJPEG fixture (syntheticAviDc: flat 8×8
+    * blocks, JDK quality-0.75 Q(0,0)=8) makes the lossy codec
+    * integer-lossless on this payload family — decoded luminance IS
+    * the generator block value (MultimodalSpec pins all 256 values
+    * through the real encode→AVI→decode path) — so the oracle
+    * re-derives pixels from mix64 block values (the q101 z-domain:
+    * cluster·64 + block, noise at p=64), expands to the 4096-pixel
+    * scan order, replays the 16-bucket means / centering / 63
+    * md5-plane signs per SAMPLED keyframe (ordinals 0,1,2 → container
+    * frames 0,1,3 — sampleFrames' (n−1)·f/(k−1) spacing), then the
+    * banded candidate join ALIGNED on the keyframe ordinal, per-frame
+    * hamming ≤ 3, and the ≥2-matching-frames pair aggregate.
+    */
+  private val videoNearDupOracle: String =
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents
+       |             WHERE (doc_id // 32) % 2 = 0),
+       |z0 AS (
+       |  SELECT id, p,
+       |    CASE WHEN p = 64 THEN CAST(18446744073709551615 - id AS UBIGINT)
+       |         ELSE CAST((id // 32) * 64 + p AS UBIGINT) END AS z
+       |  FROM ids, (SELECT unnest(generate_series(0, 64)) AS p)),
+       |$mix64Ctes,
+       |nz AS (SELECT id, v FROM mx WHERE p = 64),
+       |blocks AS (
+       |  SELECT mx.id, fr.s, mx.p AS b,
+       |    CASE WHEN mx.p = CAST(((nz.v >> 8) + fr.o) % 64 AS INTEGER)
+       |         THEN CAST(((nz.v % 256) + fr.o * 7) % 256 AS INTEGER)
+       |         ELSE CAST(((mx.v % 256) + fr.o * 29) % 256 AS INTEGER) END AS bv
+       |  FROM mx JOIN nz ON nz.id = mx.id
+       |  CROSS JOIN (VALUES (0, 0), (1, 1), (2, 3)) AS fr(s, o)
+       |  WHERE mx.p < 64),
+       |lum AS (
+       |  SELECT bl.id, bl.s, px.p,
+       |    (0.299 * bl.bv + 0.587 * bl.bv + 0.114 * bl.bv) / 255.0 AS lum
+       |  FROM (SELECT unnest(generate_series(0, 4095)) AS p) px
+       |  JOIN blocks bl ON bl.b = ((px.p // 64) // 8) * 8 + ((px.p % 64) // 8)),
+       |feat AS (
+       |  SELECT id, s, p // 256 AS i,
+       |    CAST(list_reduce(list(lum ORDER BY p), (x, y) -> x + y) / 256 AS FLOAT) AS fv
+       |  FROM lum GROUP BY id, s, p // 256),
+       |fvec AS (SELECT id, s, list(fv ORDER BY i) AS f FROM feat GROUP BY id, s),
+       |cvec AS (
+       |  SELECT id, s AS fidx,
+       |    list_transform(f, x -> x::DOUBLE -
+       |      (list_reduce(list_transform(f, x -> x::DOUBLE), (x, y) -> x + y) / 16)) AS cf
+       |  FROM fvec),
+       |sig AS (SELECT id, fidx, (${cfSig(16)}) AS sgn FROM cvec),
+       |bands AS (
+       |  SELECT id, fidx, sgn, b, (sgn >> (16 * b)) & 65535 AS bv
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, c.id AS id_b, a.fidx AS fidx,
+       |         a.sgn AS sa, c.sgn AS sb
+       |  FROM bands a JOIN bands c
+       |    ON a.fidx = c.fidx AND a.b = c.b AND a.bv = c.bv AND a.id < c.id),
+       |ham AS (
+       |  SELECT id_a, id_b, fidx, bit_count(xor(sa, sb)) AS h
+       |  FROM pairs WHERE bit_count(xor(sa, sb)) <= 3)
+       |SELECT id_a, id_b, count(*) AS frames_matched,
+       |       CAST(max(h) AS INTEGER) AS max_hamming
+       |FROM ham GROUP BY id_a, id_b HAVING count(*) >= 2""".stripMargin
+
   /** q162's oracle, generated: the WAV near-dup DECISION replayed
     * end-to-end. The fixture PCM is a per-segment square wave (mix64
     * half-period + amplitude) with one ~id-keyed spike sample; 16-bit
@@ -715,28 +778,30 @@ object SimilarityQueries {
     //      keeps the near-dup structure intact AND scales linearly
     //      with the corpus — an absolute `doc_id < K` slice would stop
     //      growing past K and measure nothing at ×10. Payload bytes
-    //      never shuffle — only (id, frame, 64-bit sig) rows do.
-    //      Rows-only BY CONSTRUCT: the keyframes are MJPEG, and JPEG
-    //      quantization (libjpeg IDCT over 8×8 DCT blocks) makes the
-    //      decoded luminance a float field no SQL engine can re-derive
-    //      from the generator — the one member of the triad whose
-    //      decision legs cannot go under the DuckDB oracle without
-    //      swapping the fixture to uncompressed DIB frames, which would
-    //      un-exercise the real JPEG decode path this query exists to
-    //      cover (the integer container legs ARE oracled in q151/q152;
-    //      the frame-decode anchors live in MultimodalSpec) ----
+    //      never shuffle — only (id, frame, 63-bit sig) rows do.
+    //      HASH-ORACLED (r14, closing the triad's last ⊘): the
+    //      DC-exact MJPEG fixture (flat 8×8 blocks; JDK quality-0.75
+    //      Q00=8 makes DC quantization lossless — syntheticAviDc
+    //      scaladoc, MultimodalSpec exactness pin over all 256 values)
+    //      keeps the REAL JPEG codec in the loop while making decoded
+    //      luminance integer-predictable, and portable 63-bit md5-plane
+    //      signatures (the q101/q162 family) let DuckDB replay
+    //      generator blocks → pixels → bucket means → centering →
+    //      plane signs → aligned bands → per-frame hamming → the
+    //      ≥2-frames pair decision, bit-for-bit. The full-AC JPEG path
+    //      stays covered by q151/q152 + MultimodalSpec anchors ----
     Q("q153_video_neardup",
       (s, dir) => {
-        val media = Tables.media(s, dir, "media_avi_f4s8r10")(
-            graft.ops.Multimodal.syntheticAvi(
+        val media = Tables.media(s, dir, "media_avi_dc_f4s64r10")(
+            graft.ops.Multimodal.syntheticAviDc(
               Tables.load(s, dir, "documents")
                 .where((col("doc_id") / 32).cast("long") % 2 === 0),
-              "doc_id", frames = 4, size = 8, fps = 10))
+              "doc_id", frames = 4, size = 64, fps = 10))
           .where((col("media_id") / 32).cast("long") % 2 === 0)
         graft.ops.Multimodal.nearDupVideo(media, keyframes = 3, dim = 16,
-          maxHamming = 3, minMatchFrames = 2)
+          maxHamming = 3, minMatchFrames = 2, portable = true)
       },
-      None),
+      Some(videoNearDupOracle)),
 
     // ---- perceptual near-dup over AUDIO — completes the image (q101)
     //      / video (q153) / audio triad, end-to-end through the REAL

@@ -305,6 +305,79 @@ class MultimodalSpec extends SparkSpec {
       s"orthogonal-content clip paired: ${out.toSeq}")
   }
 
+  test("DC-exact JPEG: every flat 8x8 block value 0..255 round-trips exactly") {
+    // the q153 oracle's load-bearing claim (syntheticAviDc scaladoc): a
+    // flat block has only a DC coefficient, the JDK's quality-0.75
+    // luminance quant table has Q(0,0)=8, so encode→decode is the
+    // integer identity. Pin it for ALL 256 values through the exact
+    // ImageIO call the generator makes — one 128x128 image of 256 blocks.
+    val img = new java.awt.image.BufferedImage(128, 128,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (by <- 0 until 16; bx <- 0 until 16) {
+      val v = by * 16 + bx
+      val rgb = (v << 16) | (v << 8) | v
+      for (y <- by * 8 until by * 8 + 8; x <- bx * 8 until bx * 8 + 8)
+        img.setRGB(x, y, rgb)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    for (y <- 0 until 128; x <- 0 until 128) {
+      val v = (y / 8) * 16 + (x / 8)
+      val d = dec.getRGB(x, y)
+      assert(((d >> 16) & 0xFF) == v && ((d >> 8) & 0xFF) == v && (d & 0xFF) == v,
+        s"block value $v decoded to ${d & 0xFFFFFF} at ($x,$y)")
+    }
+  }
+
+  test("syntheticAviDc keyframe features equal the generator values exactly") {
+    // end-to-end DC-exactness: generator → MJPEG AVI → container walk →
+    // REAL JPEG decode → bucket means must equal the mix64 block values
+    // computed independently here (the same arithmetic the q153 DuckDB
+    // oracle replays)
+    def mix64(z0: Long): Long = { // splitmix64, reimplemented independently
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val ids = Seq(0L, 1L, 32L)
+    val media = Multimodal.syntheticAviDc(ids.toDF("doc_id"), "doc_id",
+      frames = 4, size = 64, fps = 10)
+    val fr = Multimodal.sampleFrames(media, frames = 3, dim = 16).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getSeq[Float](3))).toMap
+    for (id <- ids; s <- 0 until 3) {
+      val o = 3 * s / 2 // sample ordinal -> container frame (0, 1, 3)
+      val cluster = id >>> 5
+      val nz = mix64(~id)
+      val noisePos = (((nz >>> 8) + o) % 64).toInt
+      val noiseLum = (((nz & 0xFF) + o * 7) % 256).toInt
+      def blockVal(b: Int): Int =
+        if (b == noisePos) noiseLum
+        else (((mix64(cluster * 64L + b) & 0xFF) + o * 29) % 256).toInt
+      val expected = Array.tabulate(16) { i =>
+        var sum = 0.0
+        var p = i * 256
+        while (p < (i + 1) * 256) {
+          val v = blockVal(((p / 64) / 8) * 8 + ((p % 64) / 8))
+          sum += (0.299 * v + 0.587 * v + 0.114 * v) / 255.0
+          p += 1
+        }
+        (sum / 256).toFloat
+      }
+      assert(fr((id, s)) == expected.toSeq,
+        s"id=$id sample=$s: decoded feature != generator replay")
+    }
+    // near-dup structure survives: same-cluster ids pair, cross-cluster don't
+    val pairs = Multimodal.nearDupVideo(media, keyframes = 3, dim = 16,
+      maxHamming = 3, minMatchFrames = 2, portable = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)), s"same-cluster clips did not pair: ${pairs.toSeq}")
+    assert(!pairs.exists { case (a, b) => a == 32L || b == 32L },
+      s"cross-cluster clip paired: ${pairs.toSeq}")
+  }
+
   test("sampleFrames: N evenly-spaced frames per video only") {
     val fr = Multimodal.sampleFrames(media, frames = 5, dim = 4)
     assert(fr.count() == 5) // only media 3 is video

@@ -129,7 +129,10 @@ object ScaleUp {
         frames = 5, size = 8, fps = 25),
       "media_avi_f6s8r10" -> graft.ops.Multimodal.syntheticAvi(
         docs.where(col("doc_id") % 7 === 3), "doc_id",
-        frames = 6, size = 8, fps = 10)
+        frames = 6, size = 8, fps = 10),
+      "media_avi_dc_f4s64r10" -> graft.ops.Multimodal.syntheticAviDc(
+        docs.where((col("doc_id") / 32).cast("long") % 2 === 0), "doc_id",
+        frames = 4, size = 64, fps = 10)
     )
     media.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
