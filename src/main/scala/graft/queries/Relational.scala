@@ -641,6 +641,52 @@ object Relational {
       },
       None),
 
+    // ---- q58's CONTRACT under the driver gate (the q166 empty-audit
+    //      pattern; q61 is the exact hash-green twin): the sketch's
+    //      guarantee is on RANK, not value — the returned element's
+    //      admissible rank interval [count(<v)+1, count(≤v)] must
+    //      intersect p·n ± n/accuracy (+1 slack for the floor/ceil
+    //      edge). Checked per (group, quantile) against exact counts;
+    //      the oracle asserts EMPTY. The rank-count join broadcasts
+    //      the per-group sketch results (groups are tiny), so the
+    //      audit adds one scan, no extra full-stream shuffle ----
+    Q("q191_quantile_rank_audit",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("value"))
+          .where(col("value").isNotNull)
+        val apx = ev.groupBy(col("event_type")).agg(
+          expr("approx_percentile(value, 0.25, 10000)").as("a25"),
+          expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+          expr("approx_percentile(value, 0.99, 10000)").as("a99"),
+          count(lit(1)).as("n"))
+        val ranks = ev.join(broadcast(apx), "event_type")
+          .groupBy(col("event_type")).agg(
+            first(col("n")).as("n"),
+            first(col("a25")).as("a25"), first(col("a50")).as("a50"),
+            first(col("a99")).as("a99"),
+            sum(when(col("value") <= col("a25"), 1L).otherwise(0L)).as("le25"),
+            sum(when(col("value") < col("a25"), 1L).otherwise(0L)).as("lt25"),
+            sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("value") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("value") <= col("a99"), 1L).otherwise(0L)).as("le99"),
+            sum(when(col("value") < col("a99"), 1L).otherwise(0L)).as("lt99"))
+        def leg(p: Double, tag: String, le: String, lt: String) = ranks
+          .where(col(le) < lit(p) * col("n") - col("n") / 10000.0 - 1 ||
+            col(lt) + 1 > lit(p) * col("n") + col("n") / 10000.0 + 1)
+          .select(col("event_type"), lit(tag).as("quantile"), col("n"),
+            col(le).as("rank_le"), col(lt).as("rank_lt"))
+        leg(0.25, "p25", "le25", "lt25")
+          .unionByName(leg(0.5, "p50", "le50", "lt50"))
+          .unionByName(leg(0.99, "p99", "le99", "lt99"))
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS event_type,
+                     CAST(NULL AS VARCHAR) AS quantile,
+                     CAST(NULL AS BIGINT) AS n,
+                     CAST(NULL AS BIGINT) AS rank_le,
+                     CAST(NULL AS BIGINT) AS rank_lt
+              WHERE 1 = 0""")),
+
     // ---- string-function suite over part names ----
     Q("q62_string_funcs",
       (s, dir) => {
@@ -877,6 +923,25 @@ object Relational {
             count(lit(1)).as("n_events"))
       },
       None),
+
+    // ---- q74's CONTRACT under the driver gate (the q166 empty-audit
+    //      pattern; q73 is the exact hash-green twin): HLL++ at rsd
+    //      0.02 must land within 3σ (6%) of the exact cardinality —
+    //      deterministic for a fixed corpus and hash family, so a
+    //      drifting sketch implementation flips the driver gate red.
+    //      One aggregate computes both sides; no second scan ----
+    Q("q192_hll_audit",
+      (s, dir) => {
+        t(s, dir, "events").groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).as("n_exact"),
+            approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+          .where(abs(col("n_approx") - col("n_exact")) >
+            col("n_exact") * 0.06)
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS event_type,
+                     CAST(NULL AS BIGINT) AS n_exact,
+                     CAST(NULL AS BIGINT) AS n_approx
+              WHERE 1 = 0""")),
 
     // ---- §2.8 SCD-2 merge: resulting dimension state ----
     Q("q21_scd2_dim",

@@ -539,6 +539,74 @@ object TextQueries {
       },
       None),
 
+    // ---- q47's EXACT TWIN (the q40→q41 anchoring pattern for the
+    //      sketch family): per-lang exact top-32 tokens via the full
+    //      groupBy + window rank — the ground truth SpaceSaving
+    //      approximates, hash-oracled. Deterministic tie-break
+    //      (count desc, token asc) so ranks are engine-portable ----
+    Q("q189_heavy_hitters_exact",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), explode(TA.tokens(lower(col("text")))).as("token"))
+          .where(length(col("token")) > 0)
+          .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))))
+          .where(col("rank") <= 32)
+      },
+      Some("""WITH t AS (
+                SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+                FROM documents),
+              c AS (SELECT lang, token, count(*) AS n FROM t
+                    WHERE length(token) > 0 GROUP BY 1, 2),
+              r AS (SELECT lang, token, n,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY n DESC, token) AS rank
+                    FROM c)
+              SELECT lang, token, n, CAST(rank AS INTEGER) AS rank
+              FROM r WHERE rank <= 32""")),
+
+    // ---- q47's CONTRACT under the driver gate (the q166 empty-audit
+    //      pattern): every SpaceSaving guarantee checked against the
+    //      exact counts on the SAME token stream q47 consumes —
+    //      (a) bounds: true ≤ est ∧ est − err ≤ true for every
+    //      reported token; (b) coverage: any token with true count
+    //      > N/capacity must appear in the summary (Metwally et al.
+    //      2005, both preserved under summary merge). Violations is
+    //      the output; the oracle asserts EMPTY, so a sketch
+    //      regression hash-mismatches at the driver instead of hiding
+    //      behind a rows-only row ----
+    Q("q190_hh_guarantee_audit",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("lang"), explode(TA.tokens(lower(col("text")))).as("token"))
+          .transform(graft.core.Checkpoints.sessionCk) // 3 consumers: sketch, exact, totals
+        val exact = toks.groupBy(col("lang"), col("token"))
+          .agg(count(lit(1)).as("n_true"))
+        val totals = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+        val hh = toks.groupBy(col("lang"))
+          .agg(graft.ops.HeavyHitters.topK(32)(col("token")).as("top"))
+          .select(col("lang"), explode(col("top")).as("hh"))
+          .select(col("lang"), col("hh._1").as("token"),
+            col("hh._2").as("est"), col("hh._3").as("err"))
+        val bounds = hh.join(exact, Seq("lang", "token"), "left")
+          .withColumn("n_true", coalesce(col("n_true"), lit(0L)))
+          .where(col("est") < col("n_true") ||
+            col("est") - col("err") > col("n_true"))
+          .select(col("lang"), col("token"), lit("bound").as("violation"))
+        val coverage = exact.join(totals, "lang")
+          .where(col("n_true") * 32 > col("n_total"))
+          .join(hh.select(col("lang"), col("token")),
+            Seq("lang", "token"), "left_anti")
+          .select(col("lang"), col("token"), lit("coverage").as("violation"))
+        bounds.unionByName(coverage)
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS lang,
+                     CAST(NULL AS VARCHAR) AS token,
+                     CAST(NULL AS VARCHAR) AS violation
+              WHERE 1 = 0""")),
+
     // ---- PII redaction. The synthetic corpus carries no PII, so both
     //      sides seed identical deterministic PII (same concat, same
     //      modular gates) and the gate compares the SCRUBBED text plus
@@ -870,6 +938,30 @@ object TextQueries {
       },
       None),
 
+    // ---- q55's CONTRACT under the driver gate (the q166 empty-audit
+    //      pattern; q54's dup-gram fraction is the oracled portable
+    //      compressibility sibling): raw deflate's worst case is the
+    //      stored-block path — ≤ 5 overhead bytes per 64 KiB block —
+    //      so every ratio must sit in (0, 1 + 16/octet_len]. The
+    //      output is the violating docs; the oracle asserts EMPTY, so
+    //      a codec-plumbing regression (truncated buffers, wrong
+    //      level, charset drift) flips the driver gate red instead of
+    //      hiding behind q55's rows-only row ----
+    Q("q194_compress_bounds_audit",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TA.compressionRatio(col("text")).as("compress_ratio"),
+            octet_length(col("text")).as("n_bytes"))
+          .where(col("n_bytes") > 0 &&
+            (col("compress_ratio") <= 0 ||
+             col("compress_ratio") > lit(1.0) + lit(16.0) / col("n_bytes")))
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+                     CAST(NULL AS DOUBLE) AS compress_ratio,
+                     CAST(NULL AS INTEGER) AS n_bytes
+              WHERE 1 = 0""")),
+
     // ---- passage-level exact dedup (sub-document boilerplate) ----
     Q("q70_passage_dedup",
       (s, dir) => {
@@ -1024,6 +1116,29 @@ object TextQueries {
           .select(col("doc_id"), Membership.seenBloom(col("text"), bloom).as("maybe_seen"))
       },
       None),
+
+    // ---- q78's CONTRACT under the driver gate (the q166 empty-audit
+    //      pattern; MembershipSpec pins the same law at spec level):
+    //      a Bloom filter has NO false negatives, so every probe doc
+    //      the exact path (q77) marks seen must read maybe_seen =
+    //      true. The output is the false-negative set; the oracle
+    //      asserts EMPTY — a hash family regression flips the driver
+    //      gate red instead of hiding behind q78's rows-only row ----
+    Q("q193_bloom_fn_audit",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val ref = d.where(col("doc_id") % 5 === 0)
+        val bloom = Membership.bloomOfKeys(
+          ref, col("text"), expectedItems = math.max(ref.count(), 1L), fpp = 0.01)
+        Membership.markSeen(
+          d.where(col("doc_id") % 5 =!= 0)
+            .select(col("doc_id"), col("text"), md5(col("text")).as("k")),
+          ref, col("k"), md5(col("text")), flag = "seen")
+          .where(col("seen") &&
+            !Membership.seenBloom(col("text"), bloom))
+          .select(col("doc_id"))
+      },
+      Some("SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0")),
 
     // ---- multimodal: opaque binary column + typed metadata ----
     Q("q38_multimodal_binary",
