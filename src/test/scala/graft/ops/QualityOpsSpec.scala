@@ -168,6 +168,57 @@ class QualityOpsSpec extends SparkSpec {
     assert(rows(fast) == rows(brute))
   }
 
+  test("incrementalDedup matches the quadratic definition on a random corpus") {
+    // the containmentPairs quadratic cross-check, mirrored for the
+    // batch-vs-store path: random texts from a tiny word pool produce
+    // real near-dups AND near-misses, so the PPJoin positional filter's
+    // pruning branch is exercised, not just hand-picked duplicates.
+    // Batch ids 10..29 deliberately collide with store ids (the
+    // documented id-collision contract).
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val rnd = new scala.util.Random(11)
+    def corpus(n: Int, idOff: Long) = (0 until n).map { i =>
+      ((i + idOff).toLong,
+        Seq.fill(3 + rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+          .mkString(" "))
+    }
+    val storeRows = corpus(30, 0L)
+    val store = storeRows.toDF("doc_id", "text")
+    // half the batch: random (near-misses at t=0.6 over char 3-grams);
+    // other half: store texts lightly mutated (one appended word) or
+    // copied verbatim (the exact_dup leg) -- guaranteed near-dups
+    val batch = (corpus(10, 10L) ++ storeRows.take(10).zipWithIndex.map {
+      case ((sid, text), i) =>
+        (20L + i, if (i % 3 == 0) text
+                  else text + " " + words((sid % words.length).toInt))
+    }).toDF("doc_id", "text")
+    val fast = Dedup.incrementalDedup(batch, store, "text", "doc_id",
+      shingleN = 3, threshold = 0.6)
+    val shN = batch.select(col("doc_id").as("nid"),
+      TextAnalysis.charNgrams(col("text"), 3).as("sn"))
+    val shO = store.select(col("doc_id").as("oid"),
+      TextAnalysis.charNgrams(col("text"), 3).as("so"))
+    val pairs = shN.crossJoin(shO)
+      .select(col("nid"), col("oid"),
+        TextAnalysis.jaccard(col("sn"), col("so")).as("j"))
+      .where(col("j") >= 0.6)
+    val best = pairs.groupBy(col("nid"))
+      .agg(max(struct(col("j"), (-col("oid")).as("no"))).as("b"))
+      .select(col("nid").as("doc_id"), (-col("b.no")).as("best_old_id"),
+        col("b.j").as("best_jaccard"))
+    val brute = batch.select(col("doc_id"), md5(col("text")).as("k"))
+      .join(store.select(md5(col("text")).as("k")).distinct()
+        .withColumn("hit", lit(true)), Seq("k"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("exact_dup"))
+      .join(best, Seq("doc_id"), "left")
+    assert(rows(fast) == rows(brute))
+    // the corpus must actually exercise both branches: some best
+    // matches exist, some batch docs clear nothing
+    val matched = fast.where(col("best_old_id").isNotNull).count()
+    assert(matched > 0, "random corpus produced no near-dups - weaken nothing, reseed")
+    assert(matched < 20, "every batch doc matched - the pruning branch never ran")
+  }
+
   test("jlProject: deterministic, exact on unit basis vectors, zero maps to zero") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
