@@ -31,7 +31,17 @@ object Bench {
     System.gc()
   }
 
+  /** 1-minute load average via the JMX OS bean (portable; /proc-free).
+    * None when the platform reports a negative sentinel.
+    */
+  private def readLoad1(): Option[Double] = {
+    val v = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    if (v < 0) None else Some(v)
+  }
+
   def main(args: Array[String]): Unit = {
+    val loadAtStart = readLoad1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -120,11 +130,21 @@ object Bench {
     // numbers were cold vs warm-min). r13 re-bases the action to
     // noop-for-all — see Registry.consume.
     val protocol = """"protocol":"action=noop-all;reps=min-of-2(+1 if <0.5s);engine-reset-each-pass;cold-jvm""""
+    // box load stamped INSIDE the artifact (verdict r13 #7): a board
+    // taken right after a 14-minute test suite reads 1.4x slower than a
+    // quiet-box one, and without the load1 stamps that difference kept
+    // needing out-of-band explanation the way cold-vs-warm once did.
+    // loadAtStart is sampled BEFORE the warm-up queries run (method
+    // entry), loadAtEnd right here after the timed passes.
+    val loadAtEnd = readLoad1()
+    val loadJson =
+      s""""load1_start":${loadAtStart.map(f2).getOrElse("null")},""" +
+      s""""load1_end":${loadAtEnd.map(f2).getOrElse("null")}"""
     val total = results.map(_._2).sum
     val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","unit":"sec","n_queries":${results.size},$protocol,""" +
+      s"""{"metric":"total","unit":"sec","n_queries":${results.size},$protocol,$loadJson,""" +
       s""""queries":$fullQs,"errors":$errs,"sf":"$sfDir","value":${f3(total)}}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     try java.nio.file.Files.writeString(fullPath, fullJson + "\n")
@@ -138,7 +158,7 @@ object Bench {
     // 2000-byte tail guarantee). "value" placed last: even if some
     // wrapper truncates the front, the headline total survives.
     def shortLine(queriesJson: String, omitted: Int): String =
-      s"""{"metric":"total","unit":"sec","n_queries":${results.size},$protocol,""" +
+      s"""{"metric":"total","unit":"sec","n_queries":${results.size},$protocol,$loadJson,""" +
         s""""queries":$queriesJson,"queries_omitted":$omitted,""" +
         s""""queries_file":"BENCH_FULL.json","errors":$errsShort,""" +
         s""""errors_omitted":$errsOmitted,""" +
