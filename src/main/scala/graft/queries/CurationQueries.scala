@@ -192,17 +192,42 @@ object CurationQueries {
       }),
 
     // ---- incremental batch-vs-store dedup: exact (md5) + best near
-    //      match via exact-recall prefix filtering, new×store only ----
+    //      match via exact-recall prefix filtering, new×store only.
+    //      The BATCH is bounded to the base id range (doc_id < 1e8 =
+    //      one ScaleUp replica): the nightly contract this operator
+    //      models is a FIXED-SIZE arrival set against a GROWING store
+    //      — arrivals don't multiply because the warehouse got older.
+    //      At the driver scales every doc_id is < 1e8, so the bound is
+    //      a no-op for correctness (oracle rows identical); at scaled
+    //      dirs it keeps the row measuring the contract shape instead
+    //      of batch×store both growing — the r14 honest-bench probe
+    //      measured THAT shape superlinear (20M → 579M candidates at
+    //      ×1 → ×10 on the saturated 3-gram vocabulary; PLANS.md), and
+    //      the operator's new saturation guard now names the cliff at
+    //      call time. BOTH contract enforcements are armed: a generous
+    //      posting cap (20k — a posting list can't exceed the corpus,
+    //      so it is bit-inert at every driver scale and the oracle is
+    //      unchanged; it backstops the templated-corpus degenerate
+    //      mass, with q195 as the drop-and-report audit leg) and the
+    //      saturation guard with a DELIBERATELY raised budget: the
+    //      guard's own eager estimate at ×100 is 381.5M candidates —
+    //      every contributing token under the cap, i.e. genuine
+    //      mid-frequency fan-out that is LINEAR in the store (batch
+    //      fixed) — and 600M admits that measured shape while still
+    //      naming any superlinear regression loudly ----
     Q("q85_incremental_dedup",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         val r = Dedup.incrementalDedup(
-          d.where(col("doc_id") % 7 === 3), d.where(col("doc_id") % 7 =!= 3),
-          "text", "doc_id", shingleN = 3, threshold = 0.7)
+          d.where(col("doc_id") % 7 === 3 && col("doc_id") < 100000000L),
+          d.where(col("doc_id") % 7 =!= 3),
+          "text", "doc_id", shingleN = 3, threshold = 0.7,
+          maxPostings = 20000L, maxCandidateVolume = 600000000L)
         r.select(col("doc_id"), col("exact_dup"), col("best_old_id"),
           round(col("best_jaccard"), 6).as("best_jaccard"))
       },
-      Some("""WITH newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3),
+      Some("""WITH newb AS (SELECT doc_id, text FROM documents
+                            WHERE doc_id % 7 = 3 AND doc_id < 100000000),
               old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
               shn AS (
                 SELECT doc_id,
@@ -237,6 +262,32 @@ object CurationQueries {
               FROM newb n
               LEFT JOIN ex ON md5(n.text) = ex.k
               LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.nid""")),
+
+    // ---- the audit leg of q85's armed posting cap (the q148 pattern):
+    //      union-corpus shingle tokens whose posting lists exceed the
+    //      cap and were therefore dropped from candidate generation.
+    //      The oracle REPLAYS the census (not just an empty assert) —
+    //      at driver scales no posting list can reach 20k so the result
+    //      is empty by arithmetic, and at a saturated scaled corpus the
+    //      drops become enumerable exactly like q148's ----
+    Q("q195_incremental_audit",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Dedup.similarityJoinDroppedTokens(
+          d.where((col("doc_id") % 7 === 3 && col("doc_id") < 100000000L) ||
+            col("doc_id") % 7 =!= 3),
+          "text", shingleN = 3, maxPostings = 20000L)
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE (doc_id % 7 = 3 AND doc_id < 100000000)
+                            OR doc_id % 7 <> 3),
+              sh AS (
+                SELECT doc_id,
+                  unnest(list_distinct([substr(text, CAST(i AS INTEGER), 3)
+                    FOR i IN generate_series(1, greatest(length(text) - 2, 0))])) AS token
+                FROM d)
+              SELECT token, count(*) AS n_postings
+              FROM sh GROUP BY token HAVING count(*) > 20000""")),
 
     // ---- q84's deterministic feature leg under the FULL oracle (the
     //      q44 integer/float split): hashed-BoW bucket counts with the
