@@ -43,15 +43,39 @@ class SortAggregateSpec extends SparkSpec {
     // commit 10ad36b).
     "q71_semdedup" -> 2)
 
+  private val detector = "SortAggregate\\(key=\\[[^\\]]".r
+
   test("no unlisted SortAggregate anywhere in the registry") {
     val offenders = Registry.all.flatMap { q =>
       val plan =
         try q.run(spark, sfDir).queryExecution.executedPlan.toString
         catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
-      val n = "SortAggregate\\(key=\\[[^\\]]".r.findAllIn(plan).size
+      val n = detector.findAllIn(plan).size
       if (n > whitelist.getOrElse(q.name, 0)) Some(s"${q.name}($n)") else None
     }
     assert(offenders.isEmpty,
       s"unlisted SortAggregates in: ${offenders.mkString(", ")}")
+  }
+
+  test("the detector catches a deliberately reverted packed witness") {
+    // rebuild the EXACT shape commit 8a3c49c removed from
+    // similarityJoinPrefix — min(struct(ra, rb)) on a keyed stream —
+    // and prove the tripwire regex fires on it (and stays quiet on the
+    // packed-long replacement): a future refactor that quietly
+    // re-introduces a struct buffer cannot pass this suite.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cand = Seq((1L, 2L, 3, 4), (1L, 2L, 5, 1)).toDF("id_a", "id_b", "ra", "rb")
+    val reverted = cand.groupBy($"id_a", $"id_b")
+      .agg(min(struct($"ra", $"rb")).as("w"))
+    assert(detector.findAllIn(
+      reverted.queryExecution.executedPlan.toString).size >= 2,
+      "the reverted min(struct) shape must plan as keyed SortAggregate")
+    // Dedup.packRanks is private[ops]; its expression inlined
+    val packed = cand.groupBy($"id_a", $"id_b")
+      .agg(min(shiftleft($"ra".cast("long"), 31) + $"rb".cast("long")).as("w"))
+    assert(detector.findAllIn(
+      packed.queryExecution.executedPlan.toString).isEmpty,
+      "the packed-long shape must stay a HashAggregate")
   }
 }
