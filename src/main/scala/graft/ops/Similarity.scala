@@ -211,6 +211,71 @@ object Similarity {
     cents
   }
 
+  /** [[trainCentroids]] with DETERMINISTIC fixed-point accumulation —
+    * the round-15 primitive that flips the Lloyd update from "parallel
+    * float reduction no engine replays" to "order-free long sums the
+    * DuckDB oracle re-derives bit-for-bit" ([[FixedPoint]] scaladoc for
+    * the argument). Per iteration:
+    *
+    *   1. every vector element quantizes map-side to a long
+    *      (`roundAway(v_d · 1e6)`) and the per-cell per-dim SUM runs in
+    *      long arithmetic — associative, so partition order is moot;
+    *   2. the driver computes mean_d = (s_d / 1e6) / n — two
+    *      correctly-rounded divides on identical inputs everywhere;
+    *   3. spherical mode re-quantizes the mean (`roundAway(mean_d·1e7)`)
+    *      so the norm Σq² is ALSO exact long arithmetic, then
+    *      c_d = q_d / sqrt(Σq²) — one divide + one sqrt, bit-identical
+    *      across engines.
+    *
+    * Plan shape is identical to [[trainCentroids]]: assignment is the
+    * map-side nearest-centroid expression, the update is one
+    * hash-aggregate moving nCentroids × dim LONGS per partition (half
+    * the bytes of the double path). Quantization error per element is
+    * ≤ 5e-7 — noise relative to k-means' own convergence tolerance, and
+    * the price of a bit-stable, rerun-reproducible index at 100 TB
+    * (rebuilding an IVF index on the same corpus yields the same cells,
+    * so incremental consumers don't see phantom churn).
+    *
+    * Saturation: |s_d| ≤ max|v|·1e6·rowsPerCell must stay below 2^63 —
+    * at max|v| = 1e3 that is ~9e9 rows per cell; the mean re-quantize
+    * bound is checked by [[FixedPoint.normalizeQ]].
+    */
+  def trainCentroidsFixed(corpus: DataFrame, vecCol: String,
+                          init: Array[Array[Double]], iters: Int,
+                          normalize: Boolean = true,
+                          l2Assign: Boolean = false): Array[Array[Double]] = {
+    if (init.isEmpty || iters <= 0) return init
+    val dim = init.head.length
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val sums = corpus
+        .where(col(vecCol).isNotNull)
+        .select(nearestCentroids(col(vecCol), cents, 1, l2Assign).getItem(0).as("__cell"),
+          col(vecCol))
+        .groupBy(col("__cell"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until dim).map(d => sum(
+            FixedPoint.quantize(element_at(col(vecCol), d + 1), FixedPoint.RowScale))
+            .as(s"__s$d")): _*)
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { row =>
+        val cell = row.getInt(0)
+        val cnt = row.getLong(1).toDouble
+        val mean = Array.tabulate(dim)(d =>
+          (row.getLong(2 + d).toDouble / FixedPoint.RowScale) / cnt)
+        if (normalize) {
+          val q = mean.map(FixedPoint.quantizeD(_, FixedPoint.CellScale))
+          FixedPoint.normalizeQ(q).foreach(next(cell) = _)
+        } else next(cell) = mean
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN — the other standard scale path. Coarse
     * quantizer: `nCentroids` seeded from a deterministic id-hash sample
     * of the corpus, then sharpened with `kmeansIters` Lloyd rounds
@@ -224,20 +289,23 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, nCentroids: Int, nProbe: Int, k: Int,
-              kmeansIters: Int = 2, portable: Boolean = false): DataFrame = {
+              kmeansIters: Int = 2, portable: Boolean = false,
+              fixedIters: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
     // deterministic seed quantizer: the nCentroids corpus vectors with
     // the smallest hash of their id (stable pseudo-random sample).
     // `portable = true` swaps two pieces so the WHOLE query sits under
     // the exact-replay oracle: (a) the sample orders by md5(id) — a
     // hash DuckDB re-derives — instead of xxhash64; (b) the Lloyd
-    // rounds are skipped, because their per-cell element sums are
-    // parallel float reductions with no deterministic accumulation
-    // order (partition order varies run to run): the one construct in
-    // this operator NO oracle — and no second run — can replay
-    // bit-for-bit. The un-sharpened hash-sample quantizer is still a
-    // legitimate IVF coarse quantizer (the probe economics are
-    // unchanged); the k-means default remains the quality path.
+    // rounds either drop (fixedIters = 0, the round-12 q188 shape:
+    // per-cell element sums are parallel float reductions with no
+    // deterministic accumulation order, the one construct no oracle —
+    // and no second run — replays bit-for-bit) or run under
+    // [[trainCentroidsFixed]]'s order-free long accumulation
+    // (fixedIters > 0, the round-15 q45 shape: the update becomes
+    // exact integer sums DuckDB re-derives, so the SHARPENED quantizer
+    // sits under the hash oracle too). The float k-means path remains
+    // available for parity with conventional engines.
     val init: Array[Array[Double]] =
       (if (portable)
         c.where(col("__v").isNotNull)
@@ -247,7 +315,9 @@ object Similarity {
         .select(col("__v")).collect()
         .map(_.getSeq[Double](0).toArray)
     val cents =
-      if (portable) init else trainCentroids(c, "__v", init, kmeansIters)
+      if (portable && fixedIters > 0) trainCentroidsFixed(c, "__v", init, fixedIters)
+      else if (portable) init
+      else trainCentroids(c, "__v", init, kmeansIters)
     // assign: pure projection — cell id per corpus vector, zero joins
     val assigned = c.select(
       nearestCentroids(col("__v"), cents, 1).getItem(0).as("centroid_id"),

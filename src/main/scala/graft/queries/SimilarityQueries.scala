@@ -13,39 +13,99 @@ object SimilarityQueries {
 
 
 
-  /** q188's oracle, generated: the PORTABLE IVF path replayed whole.
-    * Coarse quantizer = the 16 corpus vectors with the smallest
-    * md5(CAST(id AS VARCHAR)) (cell index = md5 rank), zero Lloyd
-    * rounds (the parallel-float update is the named q45 blocker);
-    * assignment/probing = cosine argmax over the 16 centroids with the
-    * engine's exact tie-break (sim DESC, lower cell index wins), then
-    * the q41 candidate→cosine→rank tail.
+  private def foldSql(body: String, n: String) =
+    s"list_reduce(list_transform(generate_series(1, $n), i -> $body), (x, y) -> x + y)"
+
+  /** √N-adaptive IVF centroid count (r14 verdict #3: `nCentroids = 16`
+    * fixed while the query set grows with the corpus made the bench row
+    * quadratic — cost ∝ N_q · N/16). With cells ∝ √N each probe scans
+    * ~√N·nProbe vectors, the textbook IVF balance point, so the row
+    * models the 100 TB plan: at 10⁹ vectors this is ~11k cells, probe
+    * cost ~360k comparisons/query instead of 2.5×10⁸. Floor 16 keeps
+    * every driver-scale hash untouched (N ≤ 2048 → 16 — sf0.01 is 500,
+    * sf0.1 is 2000).
     */
-  private lazy val ivfPortableOracle: String = {
-    def fold(body: String, n: String) =
-      s"list_reduce(list_transform(generate_series(1, $n), i -> $body), (x, y) -> x + y)"
+  private[queries] def adaptiveNCentroids(n: Long): Int =
+    math.max(16, math.floor(math.sqrt(n / 8.0)).toInt)
+
+  /** [[adaptiveNCentroids]] replayed in SQL over the filtered corpus
+    * CTE `v0` — count, divide, sqrt, floor: each one correctly-rounded
+    * IEEE step on identical inputs, so both engines derive the same
+    * cell count from the same parquet.
+    */
+  private val nCentSql: String =
+    "(SELECT GREATEST(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE) / 8.0)) AS INTEGER)) FROM v0)"
+
+  /** The portable-IVF oracle family, generated. Coarse quantizer = the
+    * `nCent` corpus vectors with the smallest md5(CAST(id AS VARCHAR))
+    * (cell index = md5 rank); then `iters` FIXED-POINT Lloyd rounds
+    * unrolled as CTE blocks (iters = 0 is q188's zero-round shape; q45
+    * runs 2). Each round replays graft.ops.Similarity.trainCentroidsFixed
+    * exactly:
+    *   - per-cell per-dim sums of roundAway(v_d·10⁶) in BIGINT — long
+    *     addition is order-free, so Spark's parallel aggregate and
+    *     DuckDB's agree bit-for-bit (FixedPoint.scala scaladoc);
+    *   - mean_d = (s_d/10⁶)/n, re-quantized at 10⁷ so the spherical
+    *     norm Σq² is also exact long arithmetic;
+    *   - c_d = q_d / sqrt(Σq²); cells that went empty (or all-zero)
+    *     keep their previous centroid via the LEFT JOIN + COALESCE.
+    * Assignment/probing = cosine argmax with the engine's exact
+    * tie-break (sim DESC, lower cell index wins), then the q41
+    * candidate→cosine→rank tail.
+    */
+  private def ivfOracle(iters: Int, dim: Int, nProbe: Int, k: Int): String = {
+    def quant(x: String, scale: Double) = graft.ops.FixedPoint.quantizeSql(x, scale)
+    def simsAsg(i: Int) =
+      s"""sims$i AS (
+         |  SELECT v0.vec_id, c.cid, v0.v,
+         |    ${foldSql("v0.v[i] * c.cv[i]", "least(len(v0.v), len(c.cv))")} AS dot,
+         |    ${foldSql("v0.v[i] * v0.v[i]", "len(v0.v)")} AS na,
+         |    ${foldSql("c.cv[i] * c.cv[i]", "len(c.cv)")} AS nc
+         |  FROM v0 CROSS JOIN cents$i c),
+         |asg$i AS (
+         |  SELECT vec_id, cid, v,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      CASE WHEN na > 0 AND nc > 0 THEN dot / (sqrt(na) * sqrt(nc))
+         |           ELSE 0.0 END DESC, cid) AS r
+         |  FROM sims$i)""".stripMargin
+    def lloydRound(i: Int) =
+      s"""s$i AS (
+         |  SELECT a.cid, g.d,
+         |    SUM(${quant("a.v[g.d]", graft.ops.FixedPoint.RowScale)}) AS s,
+         |    COUNT(*) AS n
+         |  FROM asg$i a CROSS JOIN
+         |       (SELECT unnest(generate_series(1, $dim)) AS d) g
+         |  WHERE a.r = 1
+         |  GROUP BY a.cid, g.d),
+         |m$i AS (
+         |  SELECT cid, d,
+         |    ${quant("(CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)",
+                      graft.ops.FixedPoint.CellScale)} AS q
+         |  FROM s$i),
+         |ns$i AS (SELECT cid, SUM(q * q) AS ss FROM m$i GROUP BY cid),
+         |u$i AS (
+         |  SELECT m.cid,
+         |    list(CAST(m.q AS DOUBLE) / sqrt(CAST(n.ss AS DOUBLE)) ORDER BY m.d) AS cv
+         |  FROM m$i m JOIN ns$i n USING (cid)
+         |  WHERE n.ss > 0
+         |  GROUP BY m.cid, n.ss),
+         |cents${i + 1} AS (
+         |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+         |  FROM cents$i p LEFT JOIN u$i u USING (cid))""".stripMargin
+    val rounds = (0 until iters)
+      .map(i => simsAsg(i) + ",\n" + lloydRound(i) + ",\n").mkString
+    val f = iters // final assignment index
     s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |            WHERE embedding IS NOT NULL),
        |cent AS (
        |  SELECT v AS cv,
        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
        |  FROM v0),
-       |cents AS (SELECT cid, cv FROM cent WHERE cid < 16),
-       |sims AS (
-       |  SELECT v0.vec_id, c.cid, v0.v,
-       |    ${fold("v0.v[i] * c.cv[i]", "least(len(v0.v), len(c.cv))")} AS dot,
-       |    ${fold("v0.v[i] * v0.v[i]", "len(v0.v)")} AS na,
-       |    ${fold("c.cv[i] * c.cv[i]", "len(c.cv)")} AS nc
-       |  FROM v0 CROSS JOIN cents c),
-       |asg AS (
-       |  SELECT vec_id, cid, v,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY
-       |      CASE WHEN na > 0 AND nc > 0 THEN dot / (sqrt(na) * sqrt(nc))
-       |           ELSE 0.0 END DESC, cid) AS r
-       |  FROM sims),
-       |cells AS (SELECT vec_id AS neighbor_id, v AS nv, cid FROM asg WHERE r = 1),
+       |cents0 AS (SELECT cid, cv FROM cent WHERE cid < $nCentSql),
+       |$rounds${simsAsg(f)},
+       |cells AS (SELECT vec_id AS neighbor_id, v AS nv, cid FROM asg$f WHERE r = 1),
        |qp AS (SELECT vec_id AS query_id, v AS qv, cid
-       |       FROM asg WHERE vec_id % 50 = 0 AND r <= 4),
+       |       FROM asg$f WHERE vec_id % 50 = 0 AND r <= $nProbe),
        |p AS (SELECT qp.query_id AS id_a, cells.neighbor_id AS id_b,
        |             qp.qv AS va, cells.nv AS vb
        |      FROM qp JOIN cells USING (cid)
@@ -64,8 +124,11 @@ object SimilarityQueries {
        |  FROM s)
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
        |       round(sim, 6) AS sim
-       |FROM ranked WHERE rank <= 5""".stripMargin
+       |FROM ranked WHERE rank <= $k""".stripMargin
   }
+
+  private lazy val ivfPortableOracle: String = ivfOracle(iters = 0, dim = 64, nProbe = 4, k = 5)
+  private lazy val ivfFixedOracle: String = ivfOracle(iters = 2, dim = 64, nProbe = 4, k = 5)
 
   /** SplitMix64 staged as CTEs over `z0(id, p, z)` (z UBIGINT), yielding
     * `mx(id, p, v)` — the synthetic-media fixture generators' pattern
@@ -588,32 +651,42 @@ object SimilarityQueries {
       },
       Some(multiProbeOracle)),
 
-    // ---- IVF-bucketed ANN, the coarse-quantizer scale path
-    //      (rows-only: centroid sample is engine-specific) ----
+    // ---- IVF-bucketed ANN, the coarse-quantizer scale path — UNDER
+    //      THE HASH ORACLE since round 15: the Lloyd sharpening now
+    //      runs on trainCentroidsFixed's order-free long accumulation
+    //      (the FixedPoint primitive), so the md5-seeded + 2-round
+    //      k-means quantizer, the assignment, the probes and the rank
+    //      tail ALL replay in DuckDB. nCentroids is √N-adaptive
+    //      (floor 16 — driver-scale hashes untouched), closing the
+    //      r14 "145× for 100× data" bench-row finding: probe cost is
+    //      ~√N·nProbe per query, the textbook IVF balance ----
     Q("q45_ivf_ann",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
+        val nc = adaptiveNCentroids(
+          e.where(col("embedding").isNotNull).count())
         Similarity.ivfTopK(e, e.where(col("vec_id") % 50 === 0),
-          "vec_id", "embedding", nCentroids = 16, nProbe = 4, k = 5)
+          "vec_id", "embedding", nCentroids = nc, nProbe = 4, k = 5,
+          portable = true, fixedIters = 2)
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"))
       },
-      None),
+      Some(ivfFixedOracle)),
 
-    // ---- IVF with the PORTABLE coarse quantizer, fully hash-oracled
-    //      (round-12 verdict #7): the seed sample orders by md5(id)
-    //      (replayable) and skips the Lloyd sharpening — whose per-cell
-    //      element sums are parallel float reductions with NO
-    //      deterministic accumulation order, the one construct in q45
-    //      that neither DuckDB nor a second engine run replays
-    //      bit-for-bit. Same probe economics, same assignment/rank
-    //      machinery as q45 — so the oracle greenness here certifies
-    //      everything in q45 EXCEPT the k-means update itself ----
+    // ---- IVF with the zero-Lloyd PORTABLE coarse quantizer (round-12
+    //      verdict #7): the seed sample orders by md5(id) and uses the
+    //      raw hash-sample centroids. Kept alongside the now-oracled
+    //      q45 as the isolation row: identical probe economics and
+    //      assignment/rank machinery MINUS the k-means update, so a
+    //      future q45 mismatch bisects in one diff (update vs tail).
+    //      Same √N-adaptive nCentroids as q45 (r14 verdict #3) ----
     Q("q188_ivf_portable",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
+        val nc = adaptiveNCentroids(
+          e.where(col("embedding").isNotNull).count())
         Similarity.ivfTopK(e, e.where(col("vec_id") % 50 === 0),
-          "vec_id", "embedding", nCentroids = 16, nProbe = 4, k = 5,
+          "vec_id", "embedding", nCentroids = nc, nProbe = 4, k = 5,
           portable = true)
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"))
