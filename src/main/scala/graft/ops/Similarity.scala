@@ -429,9 +429,61 @@ object Similarity {
     * the shortlist; recall comes back to near-exact at ~rerank/k × the
     * ADC cost, which is how production PQ deployments run.
     */
+  /** Shared per-subspace PQ codebook Lloyd (plain L2, un-normalized —
+    * subvector magnitudes carry ADC signal). All m subspaces per
+    * iteration in ONE job: assignment is the map-side L2
+    * nearest-centroid expression per subspace, the (subspace, cell)
+    * explode shuffles only partial sums (m·ksub buffer rows per
+    * partition), never the corpus. `fixed = true` runs the update on
+    * [[FixedPoint]] long sums (order-free, oracle-replayable — the
+    * round-15 primitive); `false` is the conventional float path.
+    */
+  private def trainBooks(sliced: DataFrame, m: Int, sub: Int,
+                         init: Array[Array[Array[Double]]], iters: Int,
+                         fixed: Boolean): Array[Array[Array[Double]]] = {
+    var books = init
+    var it = 0
+    while (it < iters) {
+      val pairs = sliced.select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          nearestCentroids(col(s"__s$s"), books(s), 1, l2 = true)
+            .getItem(0).as("cell"),
+          col(s"__s$s").as("v"))): _*)).as("p"))
+        .select(col("p.s"), col("p.cell"), col("p.v"))
+      val sums = pairs.groupBy(col("s"), col("cell"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until sub).map(d =>
+            (if (fixed)
+              sum(FixedPoint.quantize(element_at(col("v"), d + 1), FixedPoint.RowScale))
+            else sum(element_at(col("v"), d + 1))).as(s"__d$d")): _*)
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { row =>
+        val (s, cell) = (row.getInt(0), row.getInt(1))
+        val cnt = row.getLong(2).toDouble
+        next(s)(cell) =
+          if (fixed) Array.tabulate(sub)(d =>
+            (row.getLong(3 + d).toDouble / FixedPoint.RowScale) / cnt)
+          else Array.tabulate(sub)(d => row.getDouble(3 + d) / cnt)
+      }
+      books = next
+      it += 1
+    }
+    books
+  }
+
+  /** Deterministic codebook seed sample: the `ksub` rows with the
+    * smallest id hash — xxhash64 by default, md5 when `portable` (the
+    * hash DuckDB re-derives; same swap as ivfTopK's quantizer seed).
+    */
+  private def seedHash(idCol: String, portable: Boolean): Column =
+    if (portable) md5(col(idCol).cast("string").cast("binary"))
+    else xxhash64(col(idCol))
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, m: Int, ksub: Int, k: Int,
-             kmeansIters: Int = 3, rerank: Int = 0): DataFrame = {
+             kmeansIters: Int = 3, rerank: Int = 0,
+             portable: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
       .where(col("__v").isNotNull)
     val dim = c.select(size(col("__v"))).limit(1).collect()(0).getInt(0)
@@ -445,37 +497,13 @@ object Similarity {
     // init: ONE deterministic hash-sample job seeds every subspace (the
     // same ksub corpus rows contribute their s-th subvector to book s)
     val initRows = sliced
-      .withColumn("__h", xxhash64(col(idCol)))
+      .withColumn("__h", seedHash(idCol, portable))
       .orderBy(col("__h")).limit(ksub)
       .select((0 until m).map(s => col(s"__s$s")): _*)
       .collect()
-    var books: Array[Array[Array[Double]]] =
+    val init: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => initRows.map(_.getSeq[Double](s).toArray))
-    // Lloyd: all m subspaces per iteration in ONE job — assignment is
-    // the map-side L2 nearest-centroid expression per subspace, the
-    // (subspace, cell) explode shuffles only partial sums (m·ksub
-    // buffer rows per partition), never the corpus
-    var it = 0
-    while (it < kmeansIters) {
-      val pairs = sliced.select(explode(array((0 until m).map(s =>
-        struct(lit(s).as("s"),
-          nearestCentroids(col(s"__s$s"), books(s), 1, l2 = true)
-            .getItem(0).as("cell"),
-          col(s"__s$s").as("v"))): _*)).as("p"))
-        .select(col("p.s"), col("p.cell"), col("p.v"))
-      val sums = pairs.groupBy(col("s"), col("cell"))
-        .agg(count(lit(1)).as("__n"),
-          (0 until sub).map(d => sum(element_at(col("v"), d + 1)).as(s"__d$d")): _*)
-        .collect()
-      val next = books.map(_.map(_.clone()))
-      sums.foreach { row =>
-        val (s, cell) = (row.getInt(0), row.getInt(1))
-        val cnt = row.getLong(2).toDouble
-        next(s)(cell) = Array.tabulate(sub)(d => row.getDouble(3 + d) / cnt)
-      }
-      books = next
-      it += 1
-    }
+    val books = trainBooks(sliced, m, sub, init, kmeansIters, fixed = portable)
     val encoded = sliced.select(col(idCol).as("neighbor_id"),
       array((0 until m).map(s =>
         nearestCentroids(col(s"__s$s"), books(s), 1, l2 = true).getItem(0)): _*)
@@ -559,7 +587,7 @@ object Similarity {
                 vecCol: String, nCentroids: Int, nProbe: Int,
                 m: Int, ksub: Int, k: Int,
                 coarseIters: Int = 2, pqIters: Int = 3,
-                rerank: Int = 0): DataFrame = {
+                rerank: Int = 0, portable: Boolean = false): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids,
       s"nProbe $nProbe out of range 1..$nCentroids")
     val c = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
@@ -568,13 +596,17 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     // coarse quantizer: deterministic id-hash sample + spherical Lloyd
-    // (identical seeding to ivfTopK, so cells are comparable)
+    // (identical seeding to ivfTopK, so cells are comparable); portable
+    // swaps md5 seed + fixed-point rounds so the WHOLE index replays
+    // under the oracle (ivfTopK scaladoc)
     val init: Array[Array[Double]] = c
-      .withColumn("__h", xxhash64(col(idCol)))
+      .withColumn("__h", seedHash(idCol, portable))
       .orderBy(col("__h")).limit(nCentroids)
       .select(col("__v")).collect()
       .map(_.getSeq[Double](0).toArray)
-    val cents = trainCentroids(c, "__v", init, coarseIters)
+    val cents =
+      if (portable) trainCentroidsFixed(c, "__v", init, coarseIters)
+      else trainCentroids(c, "__v", init, coarseIters)
     // residual per corpus vector: cell from the map-side expression, the
     // centroid array from a broadcast join against the nCentroids-row
     // cell table — the corpus side stays a streaming scan
@@ -596,33 +628,13 @@ object Similarity {
     // shared residual codebooks: same one-job-per-iteration Lloyd as
     // pqTopK — only (subspace, cell) partial sums cross the wire
     val initRows = sliced
-      .withColumn("__h", xxhash64(col(idCol)))
+      .withColumn("__h", seedHash(idCol, portable))
       .orderBy(col("__h")).limit(ksub)
       .select((0 until m).map(s => col(s"__s$s")): _*)
       .collect()
-    var books: Array[Array[Array[Double]]] =
+    val bkInit: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => initRows.map(_.getSeq[Double](s).toArray))
-    var it = 0
-    while (it < pqIters) {
-      val pairs = sliced.select(explode(array((0 until m).map(s =>
-        struct(lit(s).as("s"),
-          nearestCentroids(col(s"__s$s"), books(s), 1, l2 = true)
-            .getItem(0).as("cell"),
-          col(s"__s$s").as("v"))): _*)).as("p"))
-        .select(col("p.s"), col("p.cell"), col("p.v"))
-      val sums = pairs.groupBy(col("s"), col("cell"))
-        .agg(count(lit(1)).as("__n"),
-          (0 until sub).map(d => sum(element_at(col("v"), d + 1)).as(s"__d$d")): _*)
-        .collect()
-      val next = books.map(_.map(_.clone()))
-      sums.foreach { row =>
-        val (s, cell) = (row.getInt(0), row.getInt(1))
-        val cnt = row.getLong(2).toDouble
-        next(s)(cell) = Array.tabulate(sub)(d => row.getDouble(3 + d) / cnt)
-      }
-      books = next
-      it += 1
-    }
+    val books = trainBooks(sliced, m, sub, bkInit, pqIters, fixed = portable)
     val encoded = sliced.select(col(idCol).as("neighbor_id"), col("__cell"),
       array((0 until m).map(s =>
         nearestCentroids(col(s"__s$s"), books(s), 1, l2 = true).getItem(0)): _*)

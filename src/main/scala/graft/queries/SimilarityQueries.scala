@@ -53,56 +53,69 @@ object SimilarityQueries {
     * tie-break (sim DESC, lower cell index wins), then the q41
     * candidate→cosine→rank tail.
     */
-  private def ivfOracle(iters: Int, dim: Int, nProbe: Int, k: Int): String = {
+  /** Coarse-quantizer assignment CTE pair `sims$i`/`asg$i` against
+    * `cents$i` — cosine argmax with the engine tie-break. */
+  private def ivfSimsAsg(i: Int): String =
+    s"""sims$i AS (
+       |  SELECT v0.vec_id, c.cid, v0.v,
+       |    ${foldSql("v0.v[i] * c.cv[i]", "least(len(v0.v), len(c.cv))")} AS dot,
+       |    ${foldSql("v0.v[i] * v0.v[i]", "len(v0.v)")} AS na,
+       |    ${foldSql("c.cv[i] * c.cv[i]", "len(c.cv)")} AS nc
+       |  FROM v0 CROSS JOIN cents$i c),
+       |asg$i AS (
+       |  SELECT vec_id, cid, v,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      CASE WHEN na > 0 AND nc > 0 THEN dot / (sqrt(na) * sqrt(nc))
+       |           ELSE 0.0 END DESC, cid) AS r
+       |  FROM sims$i)""".stripMargin
+
+  /** One fixed-point spherical Lloyd round: asg$i → cents${i+1}
+    * (trainCentroidsFixed replayed — ivfOracle scaladoc). */
+  private def ivfLloydRound(i: Int, dim: Int): String = {
     def quant(x: String, scale: Double) = graft.ops.FixedPoint.quantizeSql(x, scale)
-    def simsAsg(i: Int) =
-      s"""sims$i AS (
-         |  SELECT v0.vec_id, c.cid, v0.v,
-         |    ${foldSql("v0.v[i] * c.cv[i]", "least(len(v0.v), len(c.cv))")} AS dot,
-         |    ${foldSql("v0.v[i] * v0.v[i]", "len(v0.v)")} AS na,
-         |    ${foldSql("c.cv[i] * c.cv[i]", "len(c.cv)")} AS nc
-         |  FROM v0 CROSS JOIN cents$i c),
-         |asg$i AS (
-         |  SELECT vec_id, cid, v,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY
-         |      CASE WHEN na > 0 AND nc > 0 THEN dot / (sqrt(na) * sqrt(nc))
-         |           ELSE 0.0 END DESC, cid) AS r
-         |  FROM sims$i)""".stripMargin
-    def lloydRound(i: Int) =
-      s"""s$i AS (
-         |  SELECT a.cid, g.d,
-         |    SUM(${quant("a.v[g.d]", graft.ops.FixedPoint.RowScale)}) AS s,
-         |    COUNT(*) AS n
-         |  FROM asg$i a CROSS JOIN
-         |       (SELECT unnest(generate_series(1, $dim)) AS d) g
-         |  WHERE a.r = 1
-         |  GROUP BY a.cid, g.d),
-         |m$i AS (
-         |  SELECT cid, d,
-         |    ${quant("(CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)",
-                      graft.ops.FixedPoint.CellScale)} AS q
-         |  FROM s$i),
-         |ns$i AS (SELECT cid, SUM(q * q) AS ss FROM m$i GROUP BY cid),
-         |u$i AS (
-         |  SELECT m.cid,
-         |    list(CAST(m.q AS DOUBLE) / sqrt(CAST(n.ss AS DOUBLE)) ORDER BY m.d) AS cv
-         |  FROM m$i m JOIN ns$i n USING (cid)
-         |  WHERE n.ss > 0
-         |  GROUP BY m.cid, n.ss),
-         |cents${i + 1} AS (
-         |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
-         |  FROM cents$i p LEFT JOIN u$i u USING (cid))""".stripMargin
+    s"""s$i AS (
+       |  SELECT a.cid, g.d,
+       |    SUM(${quant("a.v[g.d]", graft.ops.FixedPoint.RowScale)}) AS s,
+       |    COUNT(*) AS n
+       |  FROM asg$i a CROSS JOIN
+       |       (SELECT unnest(generate_series(1, $dim)) AS d) g
+       |  WHERE a.r = 1
+       |  GROUP BY a.cid, g.d),
+       |m$i AS (
+       |  SELECT cid, d,
+       |    ${quant("(CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)",
+                    graft.ops.FixedPoint.CellScale)} AS q
+       |  FROM s$i),
+       |ns$i AS (SELECT cid, SUM(q * q) AS ss FROM m$i GROUP BY cid),
+       |u$i AS (
+       |  SELECT m.cid,
+       |    list(CAST(m.q AS DOUBLE) / sqrt(CAST(n.ss AS DOUBLE)) ORDER BY m.d) AS cv
+       |  FROM m$i m JOIN ns$i n USING (cid)
+       |  WHERE n.ss > 0
+       |  GROUP BY m.cid, n.ss),
+       |cents${i + 1} AS (
+       |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+       |  FROM cents$i p LEFT JOIN u$i u USING (cid))""".stripMargin
+  }
+
+  /** md5-ranked seed cells + `iters` fixed-point rounds + final
+    * assignment: everything up to and including `asg$iters`. */
+  private def ivfCoarseCtes(iters: Int, dim: Int): String = {
     val rounds = (0 until iters)
-      .map(i => simsAsg(i) + ",\n" + lloydRound(i) + ",\n").mkString
-    val f = iters // final assignment index
-    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |            WHERE embedding IS NOT NULL),
-       |cent AS (
+      .map(i => ivfSimsAsg(i) + ",\n" + ivfLloydRound(i, dim) + ",\n").mkString
+    s"""cent AS (
        |  SELECT v AS cv,
        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
        |  FROM v0),
        |cents0 AS (SELECT cid, cv FROM cent WHERE cid < $nCentSql),
-       |$rounds${simsAsg(f)},
+       |$rounds${ivfSimsAsg(iters)}""".stripMargin
+  }
+
+  private def ivfOracle(iters: Int, dim: Int, nProbe: Int, k: Int): String = {
+    val f = iters // final assignment index
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |            WHERE embedding IS NOT NULL),
+       |${ivfCoarseCtes(iters, dim)},
        |cells AS (SELECT vec_id AS neighbor_id, v AS nv, cid FROM asg$f WHERE r = 1),
        |qp AS (SELECT vec_id AS query_id, v AS qv, cid
        |       FROM asg$f WHERE vec_id % 50 = 0 AND r <= $nProbe),
@@ -129,6 +142,170 @@ object SimilarityQueries {
 
   private lazy val ivfPortableOracle: String = ivfOracle(iters = 0, dim = 64, nProbe = 4, k = 5)
   private lazy val ivfFixedOracle: String = ivfOracle(iters = 2, dim = 64, nProbe = 4, k = 5)
+
+  /** The PQ codebook-training CTE block, generated — shared by the q105
+    * and q145 oracles. Replays Similarity.trainBooks(fixed = true) over
+    * a slice CTE `sl(vec_id, s, sv)`: md5-ranked seed rows (`seed`),
+    * then `iters` unrolled L2 Lloyd rounds whose update is the exact
+    * long-sum → mean recipe of FixedPoint (assignment tie-break: sim
+    * DESC, lower code index wins — NearestCentroidsExpr's insertion
+    * order). Produces `bk$iters(s, j, bv)` and `codes(vec_id, s, j)`.
+    */
+  private def pqBookCtes(m: Int, sub: Int, ksub: Int, iters: Int): String = {
+    def quant(x: String) = graft.ops.FixedPoint.quantizeSql(x, graft.ops.FixedPoint.RowScale)
+    def simAsg(i: Int) =
+      s"""simB$i AS (
+         |  SELECT sl.vec_id, sl.s, b.j, sl.sv,
+         |    ${foldSql("sl.sv[i] * b.bv[i]", "least(len(sl.sv), len(b.bv))")} AS dot,
+         |    ${foldSql("sl.sv[i] * sl.sv[i]", "len(sl.sv)")} AS nx,
+         |    ${foldSql("b.bv[i] * b.bv[i]", "len(b.bv)")} AS nc
+         |  FROM sl JOIN bk$i b ON sl.s = b.s),
+         |asgB$i AS (
+         |  SELECT vec_id, s, j, sv,
+         |    row_number() OVER (PARTITION BY vec_id, s
+         |      ORDER BY -((nx + nc) - 2.0 * dot) DESC, j) AS rb
+         |  FROM simB$i)""".stripMargin
+    def update(i: Int) =
+      s"""sB$i AS (
+         |  SELECT a.s, a.j, dd.d, SUM(${quant("a.sv[dd.d]")}) AS q, COUNT(*) AS n
+         |  FROM asgB$i a CROSS JOIN dd
+         |  WHERE a.rb = 1
+         |  GROUP BY a.s, a.j, dd.d),
+         |uB$i AS (
+         |  SELECT s, j,
+         |    list((CAST(q AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) ORDER BY d) AS bv
+         |  FROM sB$i GROUP BY s, j),
+         |bk${i + 1} AS (
+         |  SELECT p.s, p.j, COALESCE(u.bv, p.bv) AS bv
+         |  FROM bk$i p LEFT JOIN uB$i u ON p.s = u.s AND p.j = u.j)""".stripMargin
+    val rounds = (0 until iters)
+      .map(i => simAsg(i) + ",\n" + update(i) + ",\n").mkString
+    s"""dd AS (SELECT unnest(generate_series(1, $sub)) AS d),
+       |seed AS (
+       |  SELECT vec_id,
+       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j
+       |  FROM v0),
+       |bk0 AS (SELECT sl.s, seed.j, sl.sv AS bv
+       |        FROM sl JOIN seed USING (vec_id) WHERE seed.j < $ksub),
+       |$rounds${simAsg(iters)},
+       |codes AS (SELECT vec_id, s, j FROM asgB$iters WHERE rb = 1)""".stripMargin
+  }
+
+  /** The ADC → shortlist → exact-cosine-rerank tail shared by q105 and
+    * q145: per-query LUTs from the final books (ordered folds — the
+    * driver's zip/map/sum), ADC as a fold over subspace order, top-
+    * `rerank` shortlist, exact cosine on the shortlist, final top-`k`.
+    * `extraSim` prepends the ⟨q,c⟩ coarse term (q145); `candJoin`
+    * restricts (query, neighbor) candidates (q145's probed cells).
+    */
+  private def pqAdcTail(k: Int, rerank: Int, extraSim: String,
+                        candFrom: String, groupBy: String): String =
+    s"""lut AS (
+       |  SELECT q.query_id, q.s, b.j,
+       |    ${foldSql("q.qsv[i] * b.bv[i]", "least(len(q.qsv), len(b.bv))")} AS val
+       |  FROM qsl q JOIN bkF b ON q.s = b.s),
+       |adc AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    $extraSim list_reduce(list(l.val ORDER BY l.s), (x, y) -> x + y) AS sim
+       |  FROM $candFrom
+       |  GROUP BY $groupBy),
+       |adcR AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS r
+       |  FROM adc),
+       |short AS (SELECT query_id, neighbor_id FROM adcR WHERE r <= $rerank),
+       |p AS (SELECT sh.query_id AS id_a, sh.neighbor_id AS id_b,
+       |             qq.v AS va, nn.v AS vb
+       |      FROM short sh
+       |      JOIN v0 qq ON qq.vec_id = sh.query_id
+       |      JOIN v0 nn ON nn.vec_id = sh.neighbor_id),
+       |c AS (
+       |  $cosineCte),
+       |s2 AS (
+       |  SELECT id_a AS query_id, id_b AS neighbor_id,
+       |    CASE WHEN na > 0 AND nb > 0
+       |         THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS sim
+       |  FROM c),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s2)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |       round(sim, 6) AS sim
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** q145's oracle, generated: the composed faiss-IndexIVFPQ layout
+    * replayed whole — √N md5-seeded coarse cells sharpened by 2
+    * fixed-point spherical rounds, per-vector residuals (exact IEEE
+    * subtractions), md5-seeded residual codebooks with 3 fixed-point
+    * L2 rounds, codes, per-query LUTs + raw-dot probe ordering
+    * (dot DESC, cid ASC — the driver's sortBy), ADC = ⟨q,c⟩ + Σ_s
+    * LUT_s[code_s] folded in subspace order, exact rerank of the
+    * top-50 against the ORIGINAL vectors, final top-5.
+    */
+  private def ivfPqOracle(coarseIters: Int, dim: Int, nProbe: Int,
+                          m: Int, sub: Int, ksub: Int, pqIters: Int,
+                          k: Int, rerank: Int): String = {
+    val f = coarseIters
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |            WHERE embedding IS NOT NULL),
+       |${ivfCoarseCtes(coarseIters, dim)},
+       |cells AS (SELECT vec_id, cid, v FROM asg$f WHERE r = 1),
+       |resid AS (
+       |  SELECT cl.vec_id, cl.cid,
+       |    list_transform(generate_series(1, len(cl.v)),
+       |                   i -> cl.v[i] - c.cv[i]) AS rv
+       |  FROM cells cl JOIN cents$f c USING (cid)),
+       |sl AS (SELECT vec_id, s, list_slice(rv, s * $sub + 1, s * $sub + $sub) AS sv
+       |       FROM resid CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) g0),
+       |${pqBookCtes(m, sub, ksub, pqIters)},
+       |bkF AS (SELECT * FROM bk$pqIters),
+       |qids AS (SELECT vec_id AS query_id, v AS qv FROM v0 WHERE vec_id % 50 = 0),
+       |qsl AS (SELECT query_id, s, list_slice(qv, s * $sub + 1, s * $sub + $sub) AS qsv
+       |        FROM qids CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) g1),
+       |qd AS (
+       |  SELECT q.query_id, c.cid,
+       |    ${foldSql("q.qv[i] * c.cv[i]", "least(len(q.qv), len(c.cv))")} AS qdotc
+       |  FROM qids q CROSS JOIN cents$f c),
+       |probes AS (
+       |  SELECT query_id, cid, qdotc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY qdotc DESC, cid) AS pr
+       |    FROM qd) WHERE pr <= $nProbe),
+       |${pqAdcTail(k, rerank, extraSim = "cand.qdotc + ",
+          candFrom = """(SELECT p2.query_id, cl.vec_id AS neighbor_id, p2.qdotc
+      FROM probes p2 JOIN cells cl ON cl.cid = p2.cid
+      WHERE p2.query_id <> cl.vec_id) cand
+  JOIN codes c2 ON c2.vec_id = cand.neighbor_id
+  JOIN lut l ON l.query_id = cand.query_id AND l.s = c2.s AND l.j = c2.j""",
+          groupBy = "cand.query_id, cand.neighbor_id, cand.qdotc")}""".stripMargin
+  }
+
+  /** q105's oracle, generated: the whole portable PQ index replayed —
+    * md5-seeded codebooks, 3 fixed-point L2 Lloyd rounds, codes, LUTs,
+    * ADC over every (query, corpus) pair (the documented exhaustive
+    * demo leg), exact rerank of the top-50, final top-5.
+    */
+  private def pqOracle(m: Int, sub: Int, ksub: Int, iters: Int,
+                       k: Int, rerank: Int): String =
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |            WHERE embedding IS NOT NULL),
+       |sl AS (SELECT vec_id, s, list_slice(v, s * $sub + 1, s * $sub + $sub) AS sv
+       |       FROM v0 CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) g0),
+       |${pqBookCtes(m, sub, ksub, iters)},
+       |bkF AS (SELECT * FROM bk$iters),
+       |qids AS (SELECT vec_id AS query_id FROM v0 WHERE vec_id % 50 = 0),
+       |qsl AS (SELECT sl.vec_id AS query_id, sl.s, sl.sv AS qsv
+       |        FROM sl JOIN qids ON sl.vec_id = qids.query_id),
+       |${pqAdcTail(k, rerank, extraSim = "",
+          candFrom = """(SELECT q2.query_id, co.vec_id AS neighbor_id
+      FROM qids q2 CROSS JOIN v0 co
+      WHERE q2.query_id <> co.vec_id) cand
+  JOIN codes c2 ON c2.vec_id = cand.neighbor_id
+  JOIN lut l ON l.query_id = cand.query_id AND l.s = c2.s AND l.j = c2.j""",
+          groupBy = "cand.query_id, cand.neighbor_id")}""".stripMargin
 
   /** SplitMix64 staged as CTEs over `z0(id, p, z)` (z UBIGINT), yielding
     * `mx(id, p, v)` — the synthetic-media fixture generators' pattern
@@ -980,30 +1157,40 @@ object SimilarityQueries {
     //      16 codes, codes-only scoring via per-query lookup tables.
     //      Rows-only: codebooks are engine-specific float k-means;
     //      recall vs brute force is pinned in SimilaritySpec ----
+    // ---- product-quantization ANN — UNDER THE HASH ORACLE since
+    //      round 15: md5-seeded codebooks + fixed-point L2 Lloyd make
+    //      books/codes/LUTs bit-identical across engines, so the whole
+    //      ADC → shortlist → exact-rerank pipeline replays in DuckDB
+    //      (the generated oracle unrolls all 3 Lloyd rounds) ----
     Q("q105_pq_ann",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         Similarity.pqTopK(e, e.where(col("vec_id") % 50 === 0),
-            "vec_id", "embedding", m = 8, ksub = 16, k = 5, rerank = 50)
+            "vec_id", "embedding", m = 8, ksub = 16, k = 5, rerank = 50,
+            portable = true)
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"))
       },
-      None),
+      Some(pqOracle(m = 8, sub = 8, ksub = 16, iters = 3, k = 5, rerank = 50))),
 
-    // ---- IVF+PQ composed index (faiss IndexIVFPQ): coarse cells prune
-    //      the probe set, residual PQ codes + ADC score inside probed
-    //      cells, exact rerank on the shortlist. Rows-only: centroids
-    //      and codebooks are engine-specific float k-means; recall vs
-    //      brute force is pinned in SimilaritySpec ----
+    // ---- IVF+PQ composed index (faiss IndexIVFPQ) — UNDER THE HASH
+    //      ORACLE since round 15: md5 seeds + fixed-point Lloyd for
+    //      BOTH quantizers (coarse spherical, residual-book L2) make
+    //      cells, residuals, codes, probes and ADC all replayable;
+    //      same √N-adaptive cell count as q45. Recall vs brute force
+    //      stays pinned in SimilaritySpec ----
     Q("q145_ivfpq_ann",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
+        val nc = adaptiveNCentroids(
+          e.where(col("embedding").isNotNull).count())
         Similarity.ivfPqTopK(e, e.where(col("vec_id") % 50 === 0),
-            "vec_id", "embedding", nCentroids = 16, nProbe = 4,
-            m = 8, ksub = 16, k = 5, rerank = 50)
+            "vec_id", "embedding", nCentroids = nc, nProbe = 4,
+            m = 8, ksub = 16, k = 5, rerank = 50, portable = true)
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"))
       },
-      None)
+      Some(ivfPqOracle(coarseIters = 2, dim = 64, nProbe = 4,
+        m = 8, sub = 8, ksub = 16, pqIters = 3, k = 5, rerank = 50)))
   )
 }
