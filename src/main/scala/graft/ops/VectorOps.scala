@@ -69,41 +69,94 @@ object VectorOps {
     * NULL and wrong-dimension vectors are skipped (counted out of `n`).
     */
   def pcaFit(df: DataFrame, vecCol: String, k: Int = 4,
-             iters: Int = 100): PcaModel = {
+             iters: Int = 100, portable: Boolean = false,
+             quantScale: Double = 1e4): PcaModel = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col(vecCol).cast("array<double>"))
       .where(col(vecCol).isNotNull)
       .as[Seq[Double]]
     val dims = vecs.head().length
-    val partials = vecs.rdd.mapPartitions { it =>
-      var n = 0L
-      val s = new Array[Double](dims)
-      val m = new Array[Double](dims * dims)
-      it.foreach { v =>
-        if (v.length == dims) {
-          val a = v.toArray
-          n += 1
-          var i = 0
-          while (i < dims) {
-            val ai = a(i)
-            s(i) += ai
-            var j = 0
-            while (j < dims) { m(i * dims + j) += ai * a(j); j += 1 }
-            i += 1
+    // `portable` swaps the float second-moment accumulation for
+    // FixedPoint long arithmetic: elements quantize to q = roundAway
+    // (x·quantScale) and the (Σq_i, Σq_i·q_j) sums are exact integers —
+    // order-free, so the moments (and hence components) are bit-stable
+    // across partitionings AND re-derivable by the DuckDB oracle. The
+    // semantic is PCA of the 1e-4-quantized corpus (perturbation
+    // O(quantScale⁻¹·σ), far under the 6-dp output rounding's
+    // discrimination for well-separated eigenvalues). Saturation is
+    // checked, not assumed: addExact/multiplyExact throw on the
+    // ~9·10¹⁰-row bound (n·(max|x|·1e4)² < 2⁶³ at max|x| = 1) instead
+    // of wrapping silently.
+    val (n, mean, c) =
+      if (portable) {
+        val partials = vecs.rdd.mapPartitions { it =>
+          var n0 = 0L
+          val s = new Array[Long](dims)
+          val m = new Array[Long](dims * dims)
+          val q = new Array[Long](dims)
+          it.foreach { v =>
+            if (v.length == dims) {
+              n0 += 1
+              var i = 0
+              while (i < dims) { q(i) = FixedPoint.quantizeD(v(i), quantScale); i += 1 }
+              i = 0
+              while (i < dims) {
+                val qi = q(i)
+                s(i) = Math.addExact(s(i), qi)
+                var j = 0
+                while (j < dims) {
+                  m(i * dims + j) = Math.addExact(m(i * dims + j), Math.multiplyExact(qi, q(j)))
+                  j += 1
+                }
+                i += 1
+              }
+            }
           }
+          if (n0 == 0) Iterator.empty else Iterator((n0, s, m))
         }
+        val (n1, s1, m1) = partials.reduce { case ((na, sa, ma), (nb, sb, mb)) =>
+          var i = 0; while (i < sa.length) { sa(i) = Math.addExact(sa(i), sb(i)); i += 1 }
+          i = 0; while (i < ma.length) { ma(i) = Math.addExact(ma(i), mb(i)); i += 1 }
+          (na + nb, sa, ma)
+        }
+        val nD = n1.toDouble
+        val mu = s1.map(x => (x.toDouble / quantScale) / nD)
+        val cm = Array.tabulate(dims, dims)((i, j) =>
+          (((m1(i * dims + j).toDouble / quantScale) / quantScale) / nD) - mu(i) * mu(j))
+        (n1, mu, cm)
+      } else {
+        val partials = vecs.rdd.mapPartitions { it =>
+          var n0 = 0L
+          val s = new Array[Double](dims)
+          val m = new Array[Double](dims * dims)
+          it.foreach { v =>
+            if (v.length == dims) {
+              val a = v.toArray
+              n0 += 1
+              var i = 0
+              while (i < dims) {
+                val ai = a(i)
+                s(i) += ai
+                var j = 0
+                while (j < dims) { m(i * dims + j) += ai * a(j); j += 1 }
+                i += 1
+              }
+            }
+          }
+          if (n0 == 0) Iterator.empty else Iterator((n0, s, m))
+        }
+        val (n1, s1, m1) = partials.reduce { case ((na, sa, ma), (nb, sb, mb)) =>
+          var i = 0; while (i < sa.length) { sa(i) += sb(i); i += 1 }
+          i = 0; while (i < ma.length) { ma(i) += mb(i); i += 1 }
+          (na + nb, sa, ma)
+        }
+        val mu = s1.map(_ / n1)
+        // covariance C = M/n − μμᵀ (symmetric PSD up to rounding)
+        val cm = Array.tabulate(dims, dims)((i, j) =>
+          m1(i * dims + j) / n1 - mu(i) * mu(j))
+        (n1, mu, cm)
       }
-      if (n == 0) Iterator.empty else Iterator((n, s, m))
-    }
-    val (n, s, m) = partials.reduce { case ((n1, s1, m1), (n2, s2, m2)) =>
-      var i = 0; while (i < s1.length) { s1(i) += s2(i); i += 1 }
-      i = 0; while (i < m1.length) { m1(i) += m2(i); i += 1 }
-      (n1 + n2, s1, m1)
-    }
-    val mean = s.map(_ / n)
-    // covariance C = M/n − μμᵀ (symmetric PSD up to rounding)
-    val c = Array.tabulate(dims, dims)((i, j) => m(i * dims + j) / n - mean(i) * mean(j))
     val comps = new Array[Array[Double]](k)
     val eigs = new Array[Double](k)
     for (kk <- 0 until k) {

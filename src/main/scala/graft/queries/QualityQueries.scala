@@ -12,6 +12,107 @@ import graft.ops.{Aggs, Dedup, NgramLm, QualityRules, VectorOps, Winnow}
   */
 object QualityQueries {
 
+  /** q94's oracle, generated: VectorOps.pcaFit(portable = true) +
+    * pcaProject replayed whole in DuckDB.
+    *
+    *  - moments: q = roundAway(x·10⁴) per element; Σq_i and Σq_i·q_j in
+    *    BIGINT (exact, order-free — the same longs the mapPartitions
+    *    kernel accumulates); mean/covariance from them with the
+    *    driver's exact operation order;
+    *  - power iteration: one recursive CTE per component carries the
+    *    64-vector through `iters` matvec+normalize steps — every fold
+    *    runs in strict index order (list_reduce over generate_series),
+    *    mirroring the driver's `(0 until dims).map(...).sum` loops, so
+    *    each of the 400 iterations is bit-identical;
+    *  - sign convention (first-largest-|coordinate| positive) and
+    *    deflation C ← C − λvvᵀ with the driver's ((λ·v_i)·v_j)
+    *    association;
+    *  - projection: pc_k = fold(x·v_k) − fold(μ·v_k), NULL vectors
+    *    stay NULL, half-away-from-zero 6-dp rounding both sides.
+    */
+  private def pcaOracle(dims: Int, k: Int, iters: Int): String = {
+    def quant(x: String) = graft.ops.FixedPoint.quantizeSql(x, 1e4)
+    def foldI(body: String, n: String) =
+      s"list_reduce(list_transform(generate_series(1, $n), i -> $body), (x, y) -> x + y)"
+    def foldJ(body: String) =
+      s"list_reduce(list_transform(generate_series(1, $dims), j -> $body), (x, y) -> x + y)"
+    val comps = (0 until k).map { kk =>
+      s"""d$kk AS (
+         |  SELECT i2 AS d0 FROM (
+         |    SELECT i2, mat[i2][i2] AS diag
+         |    FROM mat$kk, (SELECT unnest(generate_series(1, $dims)) AS i2) z)
+         |  ORDER BY diag DESC, i2 LIMIT 1),
+         |it$kk AS (
+         |  -- anchor types are PINNED onto the recursion's working table
+         |  -- (DuckDB casts every iteration back to them), and bare 1.0
+         |  -- parses as DECIMAL(2,1) — without the CASTs the whole power
+         |  -- iteration silently rounds to one decimal per step
+         |  SELECT 0 AS t,
+         |    list_transform(generate_series(1, $dims),
+         |      i -> CASE WHEN i = d0 THEN CAST(1.0 AS DOUBLE)
+         |                ELSE CAST(0.0 AS DOUBLE) END) AS v,
+         |    CAST(0.0 AS DOUBLE) AS lambda
+         |  FROM d$kk
+         |  UNION ALL
+         |  SELECT t + 1,
+         |    CASE WHEN nrm > 0 THEN list_transform(w, x -> x / nrm) ELSE v END,
+         |    CASE WHEN nrm > 0 THEN nrm ELSE lambda END
+         |  FROM (
+         |    SELECT t, v, lambda, w, sqrt(${foldI("w[i] * w[i]", dims.toString)}) AS nrm
+         |    FROM (
+         |      SELECT t, v, lambda,
+         |        list_transform(generate_series(1, $dims),
+         |          i -> ${foldJ("mat[i][j] * v[j]")}) AS w
+         |      FROM it$kk, mat$kk) t1) t2
+         |  WHERE t < $iters),
+         |vr$kk AS MATERIALIZED (SELECT v, lambda FROM it$kk WHERE t = $iters),
+         |im$kk AS (
+         |  SELECT i2 FROM vr$kk, (SELECT unnest(generate_series(1, $dims)) AS i2) z
+         |  ORDER BY abs(v[i2]) DESC, i2 LIMIT 1),
+         |vc$kk AS MATERIALIZED (
+         |  SELECT CASE WHEN v[(SELECT i2 FROM im$kk)] < 0
+         |              THEN list_transform(v, x -> -x) ELSE v END AS v
+         |  FROM vr$kk),
+         |md$kk AS (SELECT ${foldI("mus[i] * v[i]", dims.toString)} AS mdot
+         |          FROM mul, vc$kk),
+         |mat${kk + 1} AS MATERIALIZED (
+         |  SELECT list_transform(generate_series(1, $dims), i ->
+         |           list_transform(generate_series(1, $dims), j ->
+         |             mat[i][j] - ((lambda * v[i]) * v[j]))) AS mat
+         |  FROM mat$kk, vr$kk m2)""".stripMargin
+    }.mkString(",\n")
+    val pcCols = (0 until k).map { kk =>
+      s"""  round(CASE WHEN ep.xv IS NULL THEN NULL
+         |             ELSE ${foldI(s"ep.xv[i] * c$kk.v[i]", s"least(len(ep.xv), $dims)")}
+         |                  - md$kk.mdot END, 6) AS pc_$kk""".stripMargin
+    }.mkString(",\n")
+    val fromComps = (0 until k).map(kk => s"vc$kk c$kk, md$kk").mkString(", ")
+    s"""WITH RECURSIVE v0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dims),
+       |dd AS (SELECT unnest(generate_series(1, $dims)) AS d),
+       |qm AS MATERIALIZED (SELECT vec_id, d, ${quant("v[d]")} AS q FROM v0 CROSS JOIN dd),
+       |n0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v0),
+       |s1 AS (SELECT d, SUM(q) AS s FROM qm GROUP BY d),
+       |muc AS (SELECT d, (CAST(s AS DOUBLE) / 10000.0) / n AS mu FROM s1, n0),
+       |mul AS MATERIALIZED (SELECT list(mu ORDER BY d) AS mus FROM muc),
+       |g AS (SELECT a.d AS i2, b.d AS j2, SUM(a.q * b.q) AS m
+       |      FROM qm a JOIN qm b USING (vec_id) GROUP BY a.d, b.d),
+       |c0e AS (
+       |  SELECT g.i2, g.j2,
+       |    (((CAST(g.m AS DOUBLE) / 10000.0) / 10000.0) / n0.n) - mi.mu * mj.mu AS c
+       |  FROM g CROSS JOIN n0
+       |  JOIN muc mi ON mi.d = g.i2
+       |  JOIN muc mj ON mj.d = g.j2),
+       |cm0 AS (SELECT i2, list(c ORDER BY j2) AS r FROM c0e GROUP BY i2),
+       |mat0 AS MATERIALIZED (SELECT list(r ORDER BY i2) AS mat FROM cm0),
+       |$comps,
+       |ep AS (SELECT vec_id, embedding::DOUBLE[] AS xv FROM embeddings)
+       |SELECT ep.vec_id,
+       |$pcCols
+       |FROM ep, $fromComps""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- blocklist phrase matching (safety scrub): token-aligned
@@ -401,18 +502,26 @@ object QualityQueries {
     // ---- distributed PCA: one mapPartitions pass accumulates the d×d
     //      second-moment matrix (one array per partition moves — the
     //      d²-rows-per-vector relational formulation never exists);
-    //      driver-side power iteration; map-side projection.
-    //      Iterative float fit → rows-only ----
+    //      driver-side power iteration; map-side projection. UNDER THE
+    //      HASH ORACLE since round 15: portable mode accumulates the
+    //      moments in FixedPoint long arithmetic (order-free, exact),
+    //      and the driver's power iteration + deflation is pure
+    //      correctly-rounded IEEE steps on those deterministic moments
+    //      — the oracle re-derives the moments in SQL and replays all
+    //      400 matvecs in recursive CTEs, bit-for-bit ----
     Q("q94_pca",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val model = graft.ops.VectorOps.pcaFit(e, "embedding", k = 4)
+        val model = graft.ops.VectorOps.pcaFit(e, "embedding", k = 4,
+          portable = true)
+        val r6 = (c: org.apache.spark.sql.Column) =>
+          graft.ops.Numeric.roundAway(c, 6)
         graft.ops.VectorOps.pcaProject(e, "embedding", "vec_id", model)
           .select(col("vec_id"),
-            round(col("pc_0"), 6).as("pc_0"), round(col("pc_1"), 6).as("pc_1"),
-            round(col("pc_2"), 6).as("pc_2"), round(col("pc_3"), 6).as("pc_3"))
+            r6(col("pc_0")).as("pc_0"), r6(col("pc_1")).as("pc_1"),
+            r6(col("pc_2")).as("pc_2"), r6(col("pc_3")).as("pc_3"))
       },
-      None),
+      Some(pcaOracle(dims = 64, k = 4, iters = 100))),
 
     // ---- leakage-safe train/val split: connected components of the
     //      shared-winnowing-fingerprint copy graph (≥ 50% of the
