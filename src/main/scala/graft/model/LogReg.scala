@@ -34,8 +34,8 @@ object LogReg {
     * docs don't dominate), plus the bias row (bucket=dim, x=1).
     */
   def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
-                     dim: Int): DataFrame = {
-    val counts = hashedCounts(df, textCol, idCol, dim)
+                     dim: Int, portable: Boolean = false): DataFrame = {
+    val counts = hashedCounts(df, textCol, idCol, dim, portable)
       .withColumnRenamed("c", "__c")
     val norms = counts.groupBy(col(idCol)).agg(sum(col("__c")).as("__n"))
     counts.join(norms, Seq(idCol))
@@ -153,6 +153,66 @@ object LogReg {
     Model(w, dim)
   }
 
+  /** [[trainDocs]] with the round-15 [[graft.ops.FixedPoint]] gradient
+    * accumulation: each per-doc contribution x_i·g quantizes to a long
+    * (roundAway(·10⁸)) and the treeAggregate combines LONG buffers —
+    * order-free, so the fitted weights are bit-identical across runs,
+    * partitionings, and the DuckDB oracle's replay. The per-doc margin
+    * and sigmoid stay float (within-doc, fixed order — deterministic);
+    * only the CROSS-DOC reduction needed the integer discipline.
+    * addExact keeps the ~9·10¹⁰-doc saturation bound honest. Weight
+    * updates then run on deterministic doubles: w -= lr·((q/10⁸)/n + reg).
+    */
+  private def trainDocsFixed(f: DataFrame, dim: Int, iters: Int, lr: Double,
+                             l2: Double, nDocs: Double): Model = {
+    val w = Array.fill(dim + 1)(0.0)
+    if (iters <= 0) return Model(w, dim)
+    val docs = f.select(col("__b"), col("__x"), col("__y")).rdd
+      .map { r =>
+        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray, r.getDouble(2))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 0 until iters) {
+        val bw = w.clone()
+        val gw = docs.treeAggregate(new Array[Long](dim + 1))(
+          seqOp = { (buf, doc) =>
+            val (b, x, y) = doc
+            val n = math.min(b.length, x.length)
+            var m = 0.0
+            var i = 0
+            while (i < n) {
+              val bi = b(i)
+              if (bi >= 0 && bi < bw.length) m += bw(bi) * x(i)
+              i += 1
+            }
+            val g = 1.0 / (1.0 + math.exp(-m)) - y
+            i = 0
+            while (i < n) {
+              val bi = b(i)
+              if (bi >= 0 && bi < buf.length)
+                buf(bi) = Math.addExact(buf(bi),
+                  graft.ops.FixedPoint.quantizeD(x(i) * g, graft.ops.FixedPoint.GradScale))
+              i += 1
+            }
+            buf
+          },
+          combOp = { (a, b) =>
+            var i = 0
+            while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+            a
+          })
+        var i = 0
+        while (i < w.length) {
+          val reg = if (i == dim) 0.0 else l2 * w(i)
+          w(i) -= lr * ((gw(i).toDouble / graft.ops.FixedPoint.GradScale) / nDocs + reg)
+          i += 1
+        }
+      }
+    } finally docs.unpersist(blocking = false)
+    Model(w, dim)
+  }
+
   /** Batch gradient descent with L2 (not on the bias). `labels` is
     * (idCol, y) with y in {0,1}; NULL labels are dropped (an unlabeled
     * doc must neither poison a bucket's gradient with null sums nor
@@ -197,7 +257,23 @@ object LogReg {
     */
   def trainScore(df: DataFrame, textCol: String, idCol: String,
                  label: Column, dim: Int = 128, iters: Int = 12,
-                 lr: Double = 5.0): DataFrame = {
+                 lr: Double = 5.0, portable: Boolean = false): DataFrame = {
+    // `portable` (round 15) composes the oracle-replayable legs:
+    // md5-family hashed features (q187's exact bucket math) + the
+    // fixed-point GD fit — the whole classifier then sits under the
+    // DuckDB hash gate. Costs one extra shuffle (the docFeatures pivot)
+    // vs the fused hashed_bow expression; the xxhash64 default remains
+    // the throughput path.
+    if (portable) {
+      val feats = hashedFeatures(df, textCol, idCol, dim, portable = true)
+      val lab = df.select(col(idCol), label.cast("int").cast("double").as("__y"))
+      val f = docFeatures(feats, idCol).join(lab, Seq(idCol))
+        .transform(graft.core.Checkpoints.sessionCk)
+      val train = f.where(col("__y").isNotNull)
+      val nDocs = math.max(train.count(), 1L).toDouble
+      val model = trainDocsFixed(train, dim, iters, lr, l2 = 1e-4, nDocs = nDocs)
+      return scoreDocs(f, model, idCol)
+    }
     // coalesce: NULL text must still yield the bias-only feature row
     // (the union in hashedFeatures gives every doc its bias slot)
     val toks = coalesce(

@@ -43,6 +43,11 @@ object FixedPoint {
   /** Centroid/weight quantization scale: error ≤ 5e-8 per coordinate. */
   val CellScale: Double = 1e7
 
+  /** Gradient-contribution scale: per-doc terms are bounded by 1
+    * (L1-normalized features × sigmoid error), so |Σq| ≤ 1e8·nDocs —
+    * safe to ~9·10¹⁰ docs; error ≤ 5e-9 per contribution. */
+  val GradScale: Double = 1e8
+
   /** Quantize a double column to a long: round-half-away-from-zero of
     * `c * scale` — the column twin of [[quantizeD]]. NULL stays NULL.
     */

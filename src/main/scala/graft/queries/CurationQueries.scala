@@ -14,6 +14,94 @@ object CurationQueries {
   private def round(c: org.apache.spark.sql.Column, scale: Int) =
     graft.ops.Numeric.roundAway(c, scale)
 
+  /** q84's oracle, generated: LogReg.trainScore(portable = true)
+    * replayed whole — the q187 md5 feature leg (tokens → 48-bit md5
+    * buckets → counts → L1 shares + bias slot), then `iters` unrolled
+    * batch-GD steps. Each step:
+    *   - per-doc margin: fold of w[bucket+1]·x in ascending-bucket
+    *     order (the driver's sorted doc arrays);
+    *   - g = σ(m) − y; per-bucket gradient = Σ roundAway(x·g·10⁸) in
+    *     BIGINT — the exact longs trainDocsFixed's treeAggregate
+    *     combines, so partition order is moot on both engines;
+    *   - w' = w − lr·((q/10⁸)/nDocs + l2·w) (bias unregularized), with
+    *     the driver's operation order.
+    * Every w$i is MATERIALIZED — inlined, each step would re-run the
+    * whole prefix chain. exp() is the one step that is only
+    * ~1-ulp-identical across libm implementations; every accumulation
+    * downstream of it passes through the integer quantization, so a
+    * last-ulp disagreement flips a hash only if some x·g·10⁸ lands
+    * within one ulp of a .5 boundary (odds ~1e-10 per contribution).
+    */
+  private def logRegOracle(dim: Int, iters: Int): String = {
+    val kDim = dim + 1
+    def quant(x: String) = graft.ops.FixedPoint.quantizeSql(x, graft.ops.FixedPoint.GradScale)
+    val steps = (0 until iters).map { i =>
+      s"""mg$i AS (
+         |  SELECT f.doc_id, f.y,
+         |    list_reduce(list(wt.w[f.bucket + 1] * f.x ORDER BY f.bucket),
+         |                (a, b) -> a + b) AS m
+         |  FROM feat f, w$i wt
+         |  WHERE f.y IS NOT NULL
+         |  GROUP BY f.doc_id, f.y),
+         |gr$i AS (
+         |  SELECT f.bucket, SUM(${quant("f.x * g.g")}) AS q
+         |  FROM feat f
+         |  JOIN (SELECT doc_id, 1.0 / (1.0 + exp(-m)) - y AS g FROM mg$i) g
+         |    USING (doc_id)
+         |  GROUP BY f.bucket),
+         |w${i + 1} AS MATERIALIZED (
+         |  SELECT list(b2.wk - 5.0 * (((CAST(COALESCE(g2.q, 0) AS DOUBLE) / 100000000.0) / nd.n)
+         |              + (CASE WHEN b2.k = $kDim THEN CAST(0.0 AS DOUBLE)
+         |                      ELSE 0.0001 * b2.wk END))
+         |              ORDER BY b2.k) AS w
+         |  FROM nd, (SELECT kk.k AS k, wt.w[kk.k] AS wk
+         |            FROM w$i wt CROSS JOIN
+         |                 (SELECT unnest(generate_series(1, $kDim)) AS k) kk) b2
+         |  LEFT JOIN gr$i g2 ON g2.bucket = b2.k - 1
+         |  GROUP BY nd.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tk
+       |  FROM documents),
+       |bu AS (
+       |  SELECT doc_id,
+       |         CAST(CAST(('0x' || substr(md5(tk), 1, 12)) AS UBIGINT)
+       |              % $dim AS INTEGER) AS bucket
+       |  FROM tok),
+       |cnt AS (SELECT doc_id, bucket, count(*) AS c FROM bu GROUP BY 1, 2),
+       |nrm AS (SELECT doc_id, SUM(c) AS nt FROM cnt GROUP BY 1),
+       |lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN lang IS NULL THEN NULL
+       |         WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM documents),
+       |feat AS MATERIALIZED (
+       |  SELECT f0.doc_id, f0.bucket, f0.x, l.y FROM (
+       |    SELECT cnt.doc_id, cnt.bucket,
+       |           CAST(cnt.c AS DOUBLE) / CAST(nrm.nt AS DOUBLE) AS x
+       |    FROM cnt JOIN nrm USING (doc_id)
+       |    UNION ALL
+       |    SELECT doc_id, $dim AS bucket, CAST(1.0 AS DOUBLE) AS x
+       |    FROM documents) f0
+       |  JOIN lab l USING (doc_id)),
+       |nd AS (SELECT CAST(GREATEST(count(*), 1) AS DOUBLE) AS n
+       |       FROM documents WHERE lang IS NOT NULL),
+       |w0 AS (SELECT list_transform(generate_series(1, $kDim),
+       |                             x2 -> CAST(0.0 AS DOUBLE)) AS w),
+       |$steps,
+       |sc AS (
+       |  SELECT f.doc_id,
+       |    list_reduce(list(wt.w[f.bucket + 1] * f.x ORDER BY f.bucket),
+       |                (a, b) -> a + b) AS m
+       |  FROM feat f, w$iters wt
+       |  GROUP BY f.doc_id)
+       |SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS score,
+       |       (1.0 / (1.0 + exp(-m))) >= 0.5 AS pred_en
+       |FROM sc""".stripMargin
+  }
+
   /** Accent seed appended to every 4th doc so normalization is
     * non-vacuous on the ASCII synthetic corpus: uppercase accents,
     * doubled spaces, a tab, and a control char (BEL).
@@ -313,21 +401,21 @@ object CurationQueries {
               FROM h GROUP BY 1, 2""")),
 
     // ---- fastText-style quality classifier: hashed-BoW logistic
-    //      regression trained distributed (two hash-aggs per GD step,
-    //      model collect is ≤ dim+1 rows) on the weak label lang='en',
-    //      scoring the whole corpus. Rows-only because of the FIT alone
-    //      (iterative float gradient descent — lr/L2/sigmoid in IEEE
-    //      accumulation order no SQL engine replays); the deterministic
-    //      feature leg is fully oracled as q187 ----
+    //      regression trained distributed (one treeAggregate per GD
+    //      step, model collect is ≤ dim+1 longs) on the weak label
+    //      lang='en', scoring the whole corpus. UNDER THE HASH ORACLE
+    //      since round 15: portable mode = q187's md5 feature leg +
+    //      FixedPoint gradient accumulation, so the full 12-step fit
+    //      AND the scores replay in DuckDB ----
     Q("q84_quality_classifier",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         graft.model.LogReg.trainScore(d, "text", "doc_id",
-            col("lang") === "en", dim = 128, iters = 12)
+            col("lang") === "en", dim = 128, iters = 12, portable = true)
           .select(col("doc_id"), round(col("score"), 4).as("score"),
             (col("score") >= 0.5).as("pred_en"))
       },
-      None),
+      Some(logRegOracle(dim = 128, iters = 12))),
 
     // ---- blocked edit-distance entity resolution: the string-metric
     //      dedup member (everything else is set-based). Blocking on
