@@ -12,6 +12,52 @@ object ModelQueries {
 
   val qs: Seq[Q] = Seq(
 
+    // ---- M2/M3 ORACLED ANCHOR (r14 verdict #6): the NB2/Poisson GLM
+    //      family under the driver's hash gate via a closed form.
+    //      Saturated-in-groups log-link fits have exp(β₀) = ȳ as their
+    //      exact MLE for ANY dispersion (the score equation
+    //      Σ(y−μ)/(1+αμ) = 0 has μ̂ = ȳ as unique root — NbAnchorSpec
+    //      anchor 1, promoted from the test tree to a registry row), so
+    //      DuckDB can oracle the REAL Glm.fit IRLS + profile-α path
+    //      with round(avg(y), 4): both family limbs must land on the
+    //      group mean to ≲1e-8 (ridge 1e-6 bias ~1e-6/(n·μ̄) relative;
+    //      IRLS tol 1e-8). A broken working-weight, link, or α-profile
+    //      step moves the fitted mean and hash-mismatches. Driver-side
+    //      fit by design (models are tiny); the collect is the hourly
+    //      frame — |event_types| × fixture-window hours, bounded ----
+    Q("q196_nb_anchor",
+      (s, dir) => {
+        import s.implicits._
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+          .agg(count(lit(1)).cast("double").as("cnt"))
+        // deterministic fit input: rows sorted by (group, hour) so the
+        // in-fit float loops see one fixed order on every engine/run
+        val rows = hourly.collect()
+          .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+          .sortBy(t => (t._1, t._2))
+        def r4(x: Double): Double = {
+          val sc = x * 10000.0
+          (if (sc >= 0) math.floor(sc + 0.5) else -math.floor(-sc + 0.5)) / 10000.0
+        }
+        rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
+          val y = rs.sortBy(_._2).map(_._3).toArray
+          val ones = y.map(_ => Array(1.0))
+          val nb = graft.model.Glm.fit(ones, y, negBin = true)
+          val po = graft.model.Glm.fit(ones, y, negBin = false)
+          (g, y.length.toLong,
+            r4(math.exp(nb.beta(0))), r4(math.exp(po.beta(0))))
+        }.toDF("event_type", "n_obs", "fitted_mean_nb", "fitted_mean_pois")
+      },
+      Some("""WITH h AS (
+                SELECT event_type, date_trunc('hour', ts) AS hh,
+                       CAST(count(*) AS DOUBLE) AS cnt
+                FROM events GROUP BY 1, 2)
+              SELECT event_type, count(*) AS n_obs,
+                     round(avg(cnt), 4) AS fitted_mean_nb,
+                     round(avg(cnt), 4) AS fitted_mean_pois
+              FROM h GROUP BY 1""")),
+
     // ---- M2/M4: hourly count model per event_type, scored 1 week out ----
     Q("q50_gam_hourly",
       (s, dir) => {
