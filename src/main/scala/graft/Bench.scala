@@ -104,8 +104,10 @@ object Bench {
     //      maximizes the information density of what survives — the
     //      sub-0.5 s tail rows are the ones a summary can afford to
     //      drop, and the full map is one file away.
-    def f3(v: Double): String = "%.3f".format(v)
-    def f2(v: Double): String = "%.2f".format(v)
+    // Locale.ROOT (advice r14): default-locale %f renders 3,31 on
+    // comma-decimal locales and the artifact stops parsing as JSON.
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def short(k: String): String = k.takeWhile(_ != '_').stripPrefix("q")
     // a collided short name would merge two distinct queries into one
     // indistinguishable key: keep the full name for any prefix that is
@@ -137,7 +139,29 @@ object Bench {
     // loadAtStart is sampled BEFORE the warm-up queries run (method
     // entry), loadAtEnd right here after the timed passes.
     val loadAtEnd = readLoad1()
+    // commit SHA stamped INSIDE the artifact (verdict r14 #7: the
+    // "same-commit ×1/×100 boards" claim was verifiable only via git
+    // archaeology). A dirty tree gets "-dirty" so a board taken over
+    // uncommitted edits can't masquerade as reproducible.
+    val commit: String = try {
+      def run(cmd: String*): String = {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        p.waitFor()
+        if (p.exitValue() == 0) out else ""
+      }
+      val sha = run("git", "rev-parse", "--short", "HEAD")
+      if (sha.isEmpty) "unknown"
+      // tracked-file changes only (stray untracked logs/scratch must not
+      // brand a reproducible board as dirty), and the bench's own output
+      // artifact is excluded — a ×1 run must not mark the paired ×100
+      // run dirty just by writing BENCH_FULL.json
+      else if (run("git", "status", "--porcelain", "--untracked-files=no",
+        "--", ".", ":(exclude)BENCH_FULL.json").nonEmpty) sha + "-dirty"
+      else sha
+    } catch { case _: Exception => "unknown" }
     val loadJson =
+      s""""commit":"$commit",""" +
       s""""load1_start":${loadAtStart.map(f2).getOrElse("null")},""" +
       s""""load1_end":${loadAtEnd.map(f2).getOrElse("null")}"""
     val total = results.map(_._2).sum

@@ -929,7 +929,15 @@ object Relational {
     //      0.02 must land within 3σ (6%) of the exact cardinality —
     //      deterministic for a fixed corpus and hash family, so a
     //      drifting sketch implementation flips the driver gate red.
-    //      One aggregate computes both sides; no second scan ----
+    //      One aggregate computes both sides; no second scan.
+    //      Residual risk (advice r14): 3σ is a PROBABILISTIC bound —
+    //      on a NEW corpus or scale, ~0.3% of groups can legitimately
+    //      exceed it with a perfectly healthy sketch. On the driver's
+    //      fixed fixtures the row is deterministic (it passes today at
+    //      every SF); if it ever reddens after a corpus change, check
+    //      q74's hash twin (q73 diff) for real drift before touching
+    //      the sketch — a lone 3σ excursion with q73 unchanged is the
+    //      bound, not a bug ----
     Q("q192_hll_audit",
       (s, dir) => {
         t(s, dir, "events").groupBy(col("event_type"))

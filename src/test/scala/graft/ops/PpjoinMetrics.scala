@@ -68,9 +68,22 @@ object PpjoinMetrics {
       val df = q.run(spark, sfDir)
       graft.queries.Registry.consume(n, df)
       val dt = (System.nanoTime() - t0) / 1e9
-      // listener delivery is async; a short settle beats reaching into
-      // the private listener bus
-      Thread.sleep(1500)
+      // listener delivery is async — poll until the seen-set is stable
+      // for a grace period instead of one fixed sleep (advice r14: a
+      // loaded box could outlast 1500 ms and silently drop plan nodes
+      // from the probe output); cap the wait so a wedged bus can't
+      // hang the probe
+      {
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        var stableSince = System.nanoTime()
+        var lastSize = seen.size()
+        while (System.nanoTime() < deadline &&
+               (System.nanoTime() - stableSince) < 2L * 1000 * 1000 * 1000) {
+          Thread.sleep(100)
+          val s2 = seen.size()
+          if (s2 != lastSize) { lastSize = s2; stableSince = System.nanoTime() }
+        }
+      }
       println(f"[pm] $n TOTAL ${dt}%.2f s (${seen.size} executions)")
       seen.forEach(qe => walk(n, qe.executedPlan, 0))
       graft.core.Checkpoints.releaseSessionSnapshots()

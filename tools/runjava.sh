@@ -9,12 +9,25 @@ ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 CLASSES="$ROOT/target/scala-2.13/classes"
 [ -d "$CLASSES" ] || { echo "runjava.sh: $CLASSES missing - run 'sbt compile' first" >&2; exit 1; }
 CP="$CLASSES:$ROOT/target/scala-2.13/test-classes"
-TESTJARS=$(find "${COURSIER_CACHE:-$HOME/.cache/coursier}" \
-  \( -name 'scalatest*_2.13-*.jar' -o -name 'scalatest-compatible-*.jar' \
-     -o -name 'scalactic_2.13-*.jar' -o -name 'scalacheck_2.13-*.jar' \) 2>/dev/null)
+# Newline-safe iteration (advice r14: the unquoted $TESTJARS loop
+# word-split on any path containing spaces), and ONE jar per ARTIFACT —
+# the newest by version sort — so two cached scalatest versions can't
+# land on the classpath together and resolve nondeterministically.
+# (scalatest is modular: core/funsuite/... are distinct artifacts, each
+# keeps its own newest jar.)
+FOUND=0
+while IFS= read -r jar; do
+  [ -n "$jar" ] || continue
+  CP="$CP:$jar"; FOUND=1
+done < <(find "${COURSIER_CACHE:-$HOME/.cache/coursier}" \
+    \( -name 'scalatest*_2.13-*.jar' -o -name 'scalatest-compatible-*.jar' \
+       -o -name 'scalactic_2.13-*.jar' -o -name 'scalacheck_2.13-*.jar' \) \
+    -print 2>/dev/null \
+  | awk -F/ '{n=$NF; sub(/-[0-9][0-9A-Za-z.+-]*\.jar$/, "", n); print n "\t" $0}' \
+  | sort -t "$(printf '\t')" -k1,1 -k2,2V \
+  | awk -F '\t' '{last[$1]=$2} END {for (k in last) print last[k]}')
 # test jars are only needed for Test/ mains; warn, don't fail, for main-tree runs
-[ -n "$TESTJARS" ] || echo "runjava.sh: no scalatest/scalacheck jars under coursier cache - Test mains will not load" >&2
-for j in $TESTJARS; do CP="$CP:$j"; done
+[ "$FOUND" = 1 ] || echo "runjava.sh: no scalatest/scalacheck jars under coursier cache - Test mains will not load" >&2
 [ -e /opt/spark/jars ] || { echo "runjava.sh: /opt/spark/jars missing" >&2; exit 1; }
 CP="$CP:/opt/spark/jars/*"
 ADDOPENS=""
