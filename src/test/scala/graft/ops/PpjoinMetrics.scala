@@ -73,7 +73,7 @@ object PpjoinMetrics {
       // loaded box could outlast 1500 ms and silently drop plan nodes
       // from the probe output); cap the wait so a wedged bus can't
       // hang the probe
-      {
+      locally {
         val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
         var stableSince = System.nanoTime()
         var lastSize = seen.size()
