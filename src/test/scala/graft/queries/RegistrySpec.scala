@@ -27,8 +27,9 @@ class RegistrySpec extends SparkSpec {
     Registry.oracleSql.foreach { case (name, sql) =>
       // crude but effective: any FROM/JOIN word must be a known table,
       // a CTE defined in the query, or a derived-table paren
-      // CTE names, with or without a column list: `x AS (` / `x(a, b) AS (`
-      val ctes = "(?i)(\\w+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+      // CTE names, with or without a column list or materialization
+      // hint: `x AS (` / `x(a, b) AS (` / `x AS MATERIALIZED (`
+      val ctes = "(?i)(\\w+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = "(?i)(?<!DISTINCT )\\b(?:FROM|JOIN)\\b\\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
