@@ -62,10 +62,13 @@ object VectorExprs {
     * — identical to the composable explode → groupBy(bucket) → join
     * norms → sort_array pivot it replaces, but with ZERO shuffles: at
     * corpus scale feature extraction becomes a pure scan instead of
-    * shuffling docs × tokens rows three times.
+    * shuffling docs × tokens rows three times. `portable = true` swaps
+    * the token hash for the md5-derived 48-bit family (q187's oracle
+    * leg) so the SAME zero-shuffle scan feeds the oracle-replayable
+    * classifier (round 15: q84's fused feature path).
     */
-  def hashedBow(tokens: Column, dim: Int): Column =
-    ExpressionUtils.column(HashedBowExpr(ExpressionUtils.expression(tokens), dim))
+  def hashedBow(tokens: Column, dim: Int, portable: Boolean = false): Column =
+    ExpressionUtils.column(HashedBowExpr(ExpressionUtils.expression(tokens), dim, portable))
 
   /** Portable md5-Rademacher LSH sign bits in one compiled loop (see
     * [[PortableLshSigExpr]]); NULL for NULL or shorter-than-dim vectors.
@@ -332,7 +335,8 @@ object LshSignBitsExpr {
   }
 }
 
-case class HashedBowExpr(child: Expression, dim: Int)
+case class HashedBowExpr(child: Expression, dim: Int,
+                         portable: Boolean = false)
   extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -344,11 +348,11 @@ case class HashedBowExpr(child: Expression, dim: Int)
   override def prettyName: String = "hashed_bow"
 
   override def nullSafeEval(input: Any): Any =
-    HashedBowExpr.compute(input.asInstanceOf[ArrayData], dim)
+    HashedBowExpr.compute(input.asInstanceOf[ArrayData], dim, portable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.expressions.HashedBowExpr.compute($c, $dim)")
+      s"graft.expressions.HashedBowExpr.compute($c, $dim, $portable)")
 
   override protected def withNewChildInternal(newChild: Expression): HashedBowExpr =
     copy(child = newChild)
@@ -362,7 +366,27 @@ object HashedBowExpr {
     * ascending with the bias slot (dim, 1.0) appended last, matching the
     * sort_array(struct(bucket, x)) order of the shuffle formulation.
     */
-  def compute(toks: ArrayData, dim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+  // one digest per thread: MessageDigest is stateful and not
+  // thread-safe, and per-token allocation would dominate the loop
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 48 bits of md5(bytes) as a non-negative long — the compiled
+    * twin of `conv(substring(md5(s), 1, 12), 16, 10)` (the q187 oracle
+    * family, TextAnalysis.portableHash48).
+    */
+  def md5Hash48(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 40) | ((h(1) & 0xffL) << 32) | ((h(2) & 0xffL) << 24) |
+      ((h(3) & 0xffL) << 16) | ((h(4) & 0xffL) << 8) | (h(5) & 0xffL)
+  }
+
+  def compute(toks: ArrayData, dim: Int,
+              portable: Boolean = false): org.apache.spark.sql.catalyst.InternalRow = {
     val cnt = new Array[Long](dim)
     var total = 0L
     val n = toks.numElements()
@@ -370,7 +394,9 @@ object HashedBowExpr {
     while (i < n) {
       val s = toks.getUTF8String(i)
       if (s != null) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h =
+          if (portable) md5Hash48(s.getBytes)
+          else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         cnt((((h % dim) + dim) % dim).toInt) += 1L
         total += 1L
       }

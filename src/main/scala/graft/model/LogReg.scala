@@ -258,36 +258,28 @@ object LogReg {
   def trainScore(df: DataFrame, textCol: String, idCol: String,
                  label: Column, dim: Int = 128, iters: Int = 12,
                  lr: Double = 5.0, portable: Boolean = false): DataFrame = {
-    // `portable` (round 15) composes the oracle-replayable legs:
-    // md5-family hashed features (q187's exact bucket math) + the
-    // fixed-point GD fit — the whole classifier then sits under the
-    // DuckDB hash gate. Costs one extra shuffle (the docFeatures pivot)
-    // vs the fused hashed_bow expression; the xxhash64 default remains
-    // the throughput path.
-    if (portable) {
-      val feats = hashedFeatures(df, textCol, idCol, dim, portable = true)
-      val lab = df.select(col(idCol), label.cast("int").cast("double").as("__y"))
-      val f = docFeatures(feats, idCol).join(lab, Seq(idCol))
-        .transform(graft.core.Checkpoints.sessionCk)
-      val train = f.where(col("__y").isNotNull)
-      val nDocs = math.max(train.count(), 1L).toDouble
-      val model = trainDocsFixed(train, dim, iters, lr, l2 = 1e-4, nDocs = nDocs)
-      return scoreDocs(f, model, idCol)
-    }
+    // `portable` (round 15): the SAME fused zero-shuffle feature scan,
+    // with the md5-48 token family (q187's exact bucket math) inside
+    // the compiled hashed_bow pass, feeding the FixedPoint GD fit —
+    // the whole classifier sits under the DuckDB hash gate at the cost
+    // of md5-vs-xxhash64 per token, nothing else (no pivot shuffle,
+    // no label join; identical plan shape to the default path).
     // coalesce: NULL text must still yield the bias-only feature row
     // (the union in hashedFeatures gives every doc its bias slot)
     val toks = coalesce(
       graft.ops.TextAnalysis.tokens(lower(col(textCol))),
       lit(Array.empty[String]))
     val f = df.select(col(idCol),
-        graft.expressions.VectorExprs.hashedBow(toks, dim).as("__bx"),
+        graft.expressions.VectorExprs.hashedBow(toks, dim, portable).as("__bx"),
         label.cast("int").cast("double").as("__y"))
       .select(col(idCol), col("__bx.b").as("__b"), col("__bx.x").as("__x"),
         col("__y"))
       .transform(graft.core.Checkpoints.sessionCk) // feeds every GD iteration + final scoring
     val train = f.where(col("__y").isNotNull)
     val nDocs = math.max(train.count(), 1L).toDouble
-    val model = trainDocs(train, dim, iters, lr, l2 = 1e-4, nDocs = nDocs)
+    val model =
+      if (portable) trainDocsFixed(train, dim, iters, lr, l2 = 1e-4, nDocs = nDocs)
+      else trainDocs(train, dim, iters, lr, l2 = 1e-4, nDocs = nDocs)
     scoreDocs(f, model, idCol)
   }
 }
