@@ -65,6 +65,22 @@ class FixedPointSpec extends SparkSpec {
       "fixed-point Lloyd differed across partition counts")
   }
 
+  test("fixed-point GD fit (LogReg portable) is bit-identical across partitionings") {
+    import spark.implicits._
+    val docs = (0 until 400).map(i =>
+      (i.toLong, s"tok${i % 7} tok${i % 13} tok${i % 3} filler$i",
+        if (i % 2 == 0) "en" else "de"))
+    val runs = Seq(2, 7, 13).map { p =>
+      val df = docs.toDF("doc_id", "text", "lang").repartition(p)
+      graft.model.LogReg.trainScore(df, "text", "doc_id",
+          col("lang") === "en", dim = 32, iters = 5, portable = true)
+        .orderBy("doc_id").collect()
+        .map(r => java.lang.Double.doubleToLongBits(r.getDouble(1))).toSeq
+    }
+    assert(runs.distinct.size == 1,
+      "portable GD scores differed across partition counts")
+  }
+
   test("fixed-point books (L2, un-normalized) also partition-stable") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
