@@ -81,9 +81,16 @@ object QualityQueries {
          |             mat[i][j] - ((lambda * v[i]) * v[j]))) AS mat
          |  FROM mat$kk, vr$kk m2)""".stripMargin
     }.mkString(",\n")
+    // NULL on ANY wrong-length embedding, not just NULL ones (r15
+    // advice): the engine's zip_with NULL-pads a short/long vector and
+    // its dot comes out NULL for len ≠ dims, while a prefix fold over
+    // least(len, dims) would produce a number — and an EMPTY list would
+    // make the init-less list_reduce error out. The len guard mirrors
+    // the zip_with semantics exactly (fixtures are uniform 64-dim, so
+    // driver-scale hashes are unchanged).
     val pcCols = (0 until k).map { kk =>
-      s"""  round(CASE WHEN ep.xv IS NULL THEN NULL
-         |             ELSE ${foldI(s"ep.xv[i] * c$kk.v[i]", s"least(len(ep.xv), $dims)")}
+      s"""  round(CASE WHEN ep.xv IS NULL OR len(ep.xv) <> $dims THEN NULL
+         |             ELSE ${foldI(s"ep.xv[i] * c$kk.v[i]", dims.toString)}
          |                  - md$kk.mdot END, 6) AS pc_$kk""".stripMargin
     }.mkString(",\n")
     val fromComps = (0 until k).map(kk => s"vc$kk c$kk, md$kk").mkString(", ")

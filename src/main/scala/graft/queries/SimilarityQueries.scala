@@ -45,6 +45,23 @@ object SimilarityQueries {
   private val nCentSql: String =
     "(SELECT GREATEST(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE) / 8.0)) AS INTEGER)) FROM v0)"
 
+  /** Bounded benchmark slice (r15 verdict #1/#6): the `n` rows with the
+    * smallest (md5(id), id) — FIXED-SIZE by contract regardless of
+    * corpus growth, so the exhaustive ground-truth legs measure a
+    * bounded sweep instead of N² (ann-benchmarks style: recall of the
+    * bucketed paths is validated against exact answers over a pinned
+    * slice). A NO-OP at every driver fixture scale (≤ 2000 embedding
+    * rows), so every hash under the DuckDB gate is unchanged; the
+    * oracles replay the identical `ORDER BY md5(CAST(id AS VARCHAR)),
+    * id LIMIT n`. TakeOrdered's driver merge is bounded by `n` (same
+    * bounded-collect contract as the codebook seeds); the repartition
+    * restores 32-way parallelism for the downstream brute-force join.
+    */
+  private def md5Slice(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       n: Int): org.apache.spark.sql.DataFrame =
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(n).repartition(col(idCol))
+
   /** The portable-IVF oracle family, generated. Coarse quantizer = the
     * `nCent` corpus vectors with the smallest md5(CAST(id AS VARCHAR))
     * (cell index = md5 rank); then `iters` FIXED-POINT Lloyd rounds
@@ -305,7 +322,8 @@ object SimilarityQueries {
        |       FROM v0 CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) g0),
        |${pqBookCtes(m, sub, ksub, iters)},
        |bkF AS (SELECT * FROM bk$iters),
-       |qids AS (SELECT vec_id AS query_id FROM v0 WHERE vec_id % 50 = 0),
+       |qids AS (SELECT vec_id AS query_id FROM v0 WHERE vec_id % 50 = 0
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 50),
        |qsl AS (SELECT sl.vec_id AS query_id, sl.s, sl.sv AS qsv
        |        FROM sl JOIN qids ON sl.vec_id = qids.query_id),
        |${pqAdcTail(k, rerank, extraSim = "",
@@ -544,21 +562,44 @@ object SimilarityQueries {
               i -> vb[i] * vb[i]), (x, y) -> x + y) AS nb
           FROM p"""
 
-  /** q71's oracle, generated: 4-bit portable-plane cells (16 clusters),
-    * candidate pairs = same cell with a SMALLER id, exact cosine fold at
-    * the 0.4 threshold, representative = the smallest qualifying
-    * candidate id (Spark's `min(struct(cand, sim))` ≡ row_number over
-    * ORDER BY cand), and the left-join verdict over ALL ids — null-vec
-    * rows come back (id, id, NULL, false) exactly like the engine.
+  /** q71's oracle, generated: √N-ADAPTIVE portable-plane cells —
+    * the SQL re-derives [[adaptiveClusterBits]] itself (r15 advice:
+    * the oracle was frozen at 4 bits while the engine went adaptive,
+    * a latent mismatch on any fixture with ≥ 8192 non-null embeddings).
+    * `nbits` replays the engine exactly in integer SQL — cells =
+    * max(1, ⌊√(N/8)⌋) over the isNotNull count, bits = max(4,
+    * ⌊log₂ cells⌋) via a shift-compare scan (no float log2) — and the
+    * bucket masks a 12-plane family to the low `bits` sign bits
+    * (12 bits = 4096 cells covers N < 1.3×10⁸; the plane family is
+    * identical for every k, so masking ≡ the engine's bits-plane
+    * signature). Candidate pairs = same cell with a SMALLER id, exact
+    * cosine fold at the 0.4 threshold, representative = the smallest
+    * qualifying candidate id (Spark's `min(struct(cand, sim))` ≡
+    * row_number over ORDER BY cand), and the left-join verdict over
+    * ALL ids — null-vec rows come back (id, id, NULL, false) exactly
+    * like the engine.
     */
   private val semDedupOracle: String = {
-    val bucket = hpBucket(4)
+    val kMax = 12
+    val maskedBucket = (0 until kMax).map { k =>
+      s"""(CASE WHEN $k < (SELECT bits FROM nbits) AND ${hpDot(k)} >= 0
+         |      THEN ${1L << k} ELSE 0 END)""".stripMargin
+    }.mkString("\n         + ")
     s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
                     FROM embeddings
                     WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        nbits AS (
+          SELECT GREATEST(4, (
+            SELECT max(t.k)
+            FROM (SELECT unnest(generate_series(0, 62)) AS k) t
+            WHERE (CAST(1 AS BIGINT) << t.k) <= GREATEST(1,
+              CAST(floor(sqrt(CAST(cnt AS DOUBLE) / 8.0)) AS BIGINT))
+          )) AS bits
+          FROM (SELECT count(*) AS cnt FROM embeddings
+                WHERE embedding IS NOT NULL)),
         b AS (
           SELECT vec_id, v,
-         $bucket AS bucket
+         $maskedBucket AS bucket
           FROM v0),
         p AS (
           SELECT big.vec_id AS id_a, small.vec_id AS id_b,
@@ -718,9 +759,9 @@ object SimilarityQueries {
         // family (r15, same scale fix as q45): fixed 16 cells make
         // within-cell pair work ∝ N²/16 — quadratic at bench scales.
         // Floor 16 keeps every driver-fixture hash identical, and the
-        // STATIC 4-bit oracle text stays valid exactly there (the
-        // driver's correctness gate runs at sf0.01; at board scales,
-        // where no oracle runs, cells grow as 2^⌊log₂√(N/8)⌋).
+        // oracle re-derives the SAME adaptive bit count in SQL (r15
+        // advice — the nCentSql treatment), so the gate stays valid at
+        // ANY fixture scale, not just below the 8192-row bits=4 knee.
         val e = Tables.load(s, dir, "embeddings")
         val bits = adaptiveClusterBits(
           e.where(col("embedding").isNotNull).count())
@@ -732,21 +773,38 @@ object SimilarityQueries {
       },
       Some(semDedupOracle)),
 
-    // ---- brute-force exact cosine top-k (ANN baseline) ----
+    // ---- brute-force exact cosine top-k (ANN baseline). r15 verdict
+    //      #6: ground truth is computed over a BOUNDED benchmark slice
+    //      by contract — the 10k smallest-(md5,id) corpus rows × the 50
+    //      smallest-(md5,id) query ids of the %50 stratum — so the row
+    //      costs 50·10k dots at any corpus size instead of N²/50. A
+    //      no-op at every driver fixture scale (≤ 2000 rows → slice =
+    //      whole corpus, ≤ 40 queries), hashes unchanged; the bucketed
+    //      rows (q41/q178/q45/q145) remain the full-corpus scale paths
+    //      and their recall stays pinned against this exact slice ----
     Q("q40_cosine_topk",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val queries = e.where(col("vec_id") % 50 === 0)
-        Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+        val corpus = md5Slice(e.where(col("embedding").isNotNull),
+          "vec_id", 10000)
+        val queries = md5Slice(corpus.where(col("vec_id") % 50 === 0),
+          "vec_id", 50)
+        Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"))
       },
-      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                         FROM embeddings WHERE vec_id % 50 = 0),
+      Some("""WITH corp AS (SELECT vec_id, label, embedding
+                            FROM embeddings WHERE embedding IS NOT NULL
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                            LIMIT 10000),
+                   q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                         FROM corp WHERE vec_id % 50 = 0
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                         LIMIT 50),
                    scored AS (
                      SELECT q.query_id, e.vec_id AS neighbor_id,
                        list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
-                     FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+                     FROM q JOIN corp e ON e.vec_id <> q.query_id),
                    ranked AS (
                      SELECT query_id, neighbor_id, sim,
                        row_number() OVER (PARTITION BY query_id
@@ -759,23 +817,36 @@ object SimilarityQueries {
     // ---- hard-negative mining (contrastive training): per query, the
     //      top-3 most-similar vectors with a DIFFERENT label — exact
     //      brute-force form, fully oracled; the LSH/IVF/PQ candidate
-    //      generators are the approximate scale path ----
+    //      generators are the approximate scale path. Same bounded
+    //      ground-truth slice contract as q40 (r15 verdict #6): 50
+    //      md5-ordered queries × 10k md5-ordered corpus rows — no-op
+    //      at driver scales, linear-bounded at bench scales ----
     Q("q110_hard_negatives",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        Similarity.hardNegatives(e, e.where(col("vec_id") % 50 === 0),
+        val corpus = md5Slice(e.where(col("embedding").isNotNull),
+          "vec_id", 10000)
+        val queries = md5Slice(corpus.where(col("vec_id") % 50 === 0),
+          "vec_id", 50)
+        Similarity.hardNegatives(corpus, queries,
             "vec_id", "embedding", "label", k = 3)
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             col("neg_label"), round(col("sim"), 6).as("sim"))
       },
-      Some("""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+      Some("""WITH corp AS (SELECT vec_id, label, embedding
+                            FROM embeddings WHERE embedding IS NOT NULL
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                            LIMIT 10000),
+                   q AS (SELECT vec_id AS query_id, label AS qlabel,
                                 embedding::DOUBLE[] AS qv
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM corp WHERE vec_id % 50 = 0
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                         LIMIT 50),
                    scored AS (
                      SELECT q.query_id, e.vec_id AS neighbor_id,
                        e.label AS neg_label,
                        list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
-                     FROM q JOIN embeddings e
+                     FROM q JOIN corp e
                        ON e.vec_id <> q.query_id
                       AND e.label IS DISTINCT FROM q.qlabel),
                    ranked AS (
@@ -788,19 +859,31 @@ object SimilarityQueries {
               FROM ranked WHERE rank <= 3""")),
 
     // ---- k-NN label assignment (label bootstrapping): majority label
-    //      of the 5 nearest labeled neighbors, exact and fully oracled ----
+    //      of the 5 nearest labeled neighbors, exact and fully oracled.
+    //      Same bounded ground-truth slice contract as q40 (r15 verdict
+    //      #6): 50 md5-ordered queries × 10k md5-ordered corpus rows ----
     Q("q124_knn_label",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        Similarity.knnClassify(e, e.where(col("vec_id") % 50 === 0),
+        val corpus = md5Slice(e.where(col("embedding").isNotNull),
+          "vec_id", 10000)
+        val queries = md5Slice(corpus.where(col("vec_id") % 50 === 0),
+          "vec_id", 50)
+        Similarity.knnClassify(corpus, queries,
           "vec_id", "embedding", "label", k = 5)
       },
-      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                         FROM embeddings WHERE vec_id % 50 = 0),
+      Some("""WITH corp AS (SELECT vec_id, label, embedding
+                            FROM embeddings WHERE embedding IS NOT NULL
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                            LIMIT 10000),
+                   q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                         FROM corp WHERE vec_id % 50 = 0
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                         LIMIT 50),
                    scored AS (
                      SELECT q.query_id, e.vec_id AS nid, e.label AS nl,
                        list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
-                     FROM q JOIN embeddings e
+                     FROM q JOIN corp e
                        ON e.vec_id <> q.query_id AND e.label IS NOT NULL),
                    ranked AS (
                      SELECT query_id, nid, nl,
@@ -1180,11 +1263,23 @@ object SimilarityQueries {
     //      round 15: md5-seeded codebooks + fixed-point L2 Lloyd make
     //      books/codes/LUTs bit-identical across engines, so the whole
     //      ADC → shortlist → exact-rerank pipeline replays in DuckDB
-    //      (the generated oracle unrolls all 3 Lloyd rounds) ----
+    //      (the generated oracle unrolls all 3 Lloyd rounds).
+    //      r15 verdict #1 (the q188 treatment, one level up): the ADC
+    //      demo leg scores every (query, corpus) pair, so a query set
+    //      growing with the corpus (`vec_id % 50 = 0` alone) made the
+    //      bench row quadratic — 254.8 s / 11.7% of the r15 ×100 board.
+    //      The query set is now a FIXED-SIZE batch by contract (the
+    //      q85 fixed-arrival pattern): the 50 smallest (md5(id), id)
+    //      of the %50 stratum. A no-op at every driver fixture scale
+    //      (≤ 40 such ids exist), so hashes are unchanged; at bench
+    //      scales ADC work is 50·N — linear — and training dominates ----
     Q("q105_pq_ann",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        Similarity.pqTopK(e, e.where(col("vec_id") % 50 === 0),
+        val queries = md5Slice(
+          e.where(col("embedding").isNotNull && col("vec_id") % 50 === 0),
+          "vec_id", 50)
+        Similarity.pqTopK(e, queries,
             "vec_id", "embedding", m = 8, ksub = 16, k = 5, rerank = 50,
             portable = true)
           .select(col("query_id"), col("rank"), col("neighbor_id"),

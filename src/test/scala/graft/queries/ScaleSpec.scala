@@ -35,13 +35,18 @@ class ScaleSpec extends AnyFunSuite {
 
   private val exempt: Map[String, Exempt] = Map(
     "q40_cosine_topk" -> Exempt(
-      "exhaustive brute-force ground truth — quadratic by documented " +
-        "contract; q41/q178/q45 are the bucketed scale paths"),
+      "r15 board only: ground truth ran over the FULL corpus; bounded " +
+        "to a fixed 50-query x 10k-row md5 slice in r16 (verdict #6) — " +
+        "exemption expires with r15",
+      expiresAfter = Some(15)),
     "q110_hard_negatives" -> Exempt(
-      "exact brute-force hard-negative mining — quadratic by contract " +
-        "(the LSH/IVF candidate generators are the scale path)"),
+      "r15 board only: brute mining over the full corpus; same fixed " +
+        "md5-slice contract as q40 since r16 — exemption expires with r15",
+      expiresAfter = Some(15)),
     "q124_knn_label" -> Exempt(
-      "exact k-NN label vote — quadratic by contract, same family as q110"),
+      "r15 board only: exact k-NN over the full corpus; same fixed " +
+        "md5-slice contract as q40 since r16 — exemption expires with r15",
+      expiresAfter = Some(15)),
     "q141_range_join_auto" -> Exempt(
       "output densification: result-row count itself grows superlinearly " +
         "on the replica corpus (PLANS.md round-10 accounting)"),
@@ -50,12 +55,41 @@ class ScaleSpec extends AnyFunSuite {
         "replica fixture (the q101-class fixture artifact, PLANS.md) — " +
         "per-pair cost is flat"),
     "q105_pq_ann" -> Exempt(
-      "ADC demo leg scores every (query, corpus) pair by documented " +
-        "contract — the pruned path is q145; query set grows with corpus"),
+      "r15 board only: the ADC demo leg's query set grew with the corpus " +
+        "(verdict #1 — N²/50); fixed 50-query md5 batch since r16, ADC " +
+        "work now 50·N — exemption expires with r15",
+      expiresAfter = Some(15)),
     "q188_ivf_portable" -> Exempt(
       "r14 board only: nCentroids was fixed at 16 while queries grew " +
         "(verdict #1); √N-adaptive since r15 — exemption expires with r14",
       expiresAfter = Some(14))
+  )
+
+  /** Warn tier (r15 verdict #5): every row in the 35×–110× band must
+    * carry a BY-NAME rationale here — the "every ≥30× row is a
+    * documented family" claim as machine state instead of PLANS prose.
+    * Entries are kept (not stale) while the row stays above 25× — the
+    * hysteresis keeps box noise at the 35× boundary from flapping the
+    * suite. Ratios quoted from the r15 board pair.
+    */
+  private val warnWhy: Map[String, String] = Map(
+    "q31_quality_score" -> ("linear per-doc feature scan; the 74x is " +
+      "the sub-second x1's fixed plan/scan cost amortizing out"),
+    "q41_lsh_ann" -> ("single-table LSH demo with a FIXED 8-bit code " +
+      "(256 buckets) by contract, so in-bucket pair work grows with " +
+      "density; the adaptive-cell rows (q45/q71/q178) are the scale path"),
+    "q86_gopher_rules" -> ("linear rule scan over text; x1 0.32s is " +
+      "fixed-cost-dominated (50x = amortization, not superlinear work)"),
+    "q162_audio_neardup" -> ("decode-bound by contract: real WAV decode " +
+      "per payload is linear; x1 is codec-warm-up-dominated"),
+    "q76_ngram_novelty" -> ("linear shingle volume; x1 2.05s carries the " +
+      "fixed hash-agg setup; per-shingle cost flat (PLANS round-13)"),
+    "q44_multimodal_features" -> ("decode-bound by contract: three real " +
+      "JDK codecs, linear in payload count"),
+    "q144_fuzzy_match" -> ("blocked edit-distance with per-block caps; " +
+      "block density rises on the replica fixture but stays cap-bounded"),
+    "q69_interpolate" -> ("linear windowed interpolation; sub-second x1 " +
+      "fixed cost amortizing out")
   )
 
   // ---- tiny parsers for the BENCH_FULL artifact (no JSON lib on the
@@ -104,6 +138,19 @@ class ScaleSpec extends AnyFunSuite {
       }
     }.sortBy(-_._2)
 
+  test("x1/x100 boards cover the IDENTICAL query set") {
+    // r15 advice: violations() pairs by key, so a renamed or newly-added
+    // query missing its x1 twin would silently escape the superlinear
+    // gate; keyset equality closes that hole before any ratio is computed
+    val (round, j1, j100) = newestPair().getOrElse(fail("no board pair"))
+    val (q1, q100) = (queriesOf(j1), queriesOf(j100))
+    val onlyX1 = q1.keySet -- q100.keySet
+    val onlyX100 = q100.keySet -- q1.keySet
+    assert(onlyX1.isEmpty && onlyX100.isEmpty,
+      s"r$round board pair is not the same query set — x1-only: " +
+        s"${onlyX1.mkString(", ")}; x100-only: ${onlyX100.mkString(", ")}")
+  }
+
   test("x100 board: every row under the linear bound or exempt by name") {
     val (round, j1, j100) = newestPair().getOrElse(
       fail("boards/ has no bench_r{N}_x1/x100.json pair — commit the " +
@@ -134,6 +181,31 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("warn tier: every 35x-110x row carries a by-name rationale") {
+    val (round, j1, j100) = newestPair().getOrElse(fail("no board pair"))
+    val (q1, q100) = (queriesOf(j1), queriesOf(j100))
+    val eff = q100.flatMap { case (k, t100) =>
+      q1.get(k).map(t1 => k -> t100 / math.max(t1, Floor)) }
+    val WarnAt = 35.0
+    val KeepAbove = 25.0 // hysteresis: entries stay valid down to 25x
+    val liveExempt = (k: String) =>
+      exempt.get(k).exists(_.expiresAfter.forall(round <= _))
+    val unexplained = eff.filter { case (k, r) =>
+      r > WarnAt && r <= Bound && !liveExempt(k) && !warnWhy.contains(k)
+    }
+    assert(unexplained.isEmpty,
+      s"r$round rows in the ${WarnAt.toInt}x-${Bound.toInt}x band without " +
+        "a warnWhy rationale: " +
+        unexplained.map { case (k, r) => f"$k=$r%.0fx" }.mkString(", ") +
+        " — document the family or fix the plan")
+    // staleness is informational, not a failure: a row LEAVING the band
+    // is an improvement, and box noise near the boundary must not flap
+    val stale = warnWhy.keys.filter(k => eff.get(k).forall(_ < KeepAbove))
+    if (stale.nonEmpty)
+      info(s"warnWhy entries now under ${KeepAbove.toInt}x (consider " +
+        s"removing): ${stale.mkString(", ")}")
+  }
+
   test("exempt rows exist in the board (stale-whitelist tripwire)") {
     val (round, _, j100) = newestPair().getOrElse(fail("no board pair"))
     val q100 = queriesOf(j100)
@@ -143,9 +215,9 @@ class ScaleSpec extends AnyFunSuite {
       s"exemptions for rows absent from the r$round board: ${stale.mkString(", ")}")
   }
 
-  test("exempt names are real registry rows") {
+  test("exempt and warnWhy names are real registry rows") {
     val names = Registry.all.map(_.name).toSet
-    val ghosts = exempt.keys.filterNot(names.contains)
+    val ghosts = (exempt.keys ++ warnWhy.keys).filterNot(names.contains)
     assert(ghosts.isEmpty, s"exemptions for unknown queries: ${ghosts.mkString(", ")}")
   }
 
@@ -162,5 +234,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(violations(15,
       Map("q188_ivf_portable" -> 0.5),
       Map("q188_ivf_portable" -> 250.0)).nonEmpty)
+    // r16 boards must enforce the q105/q40/q110/q124 slice fixes the
+    // way r15's enforced q188's: their exemptions died with r15
+    Seq("q105_pq_ann", "q40_cosine_topk", "q110_hard_negatives",
+        "q124_knn_label").foreach { q =>
+      assert(violations(16, Map(q -> 0.5), Map(q -> 250.0)).nonEmpty,
+        s"$q exemption should be expired for r16 boards")
+      assert(violations(15, Map(q -> 0.5), Map(q -> 250.0)).isEmpty,
+        s"$q exemption should still shield the r15 board")
+    }
   }
 }

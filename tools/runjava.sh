@@ -25,7 +25,11 @@ done < <(find "${COURSIER_CACHE:-$HOME/.cache/coursier}" \
     -print 2>/dev/null \
   | awk -F/ '{n=$NF; sub(/-[0-9][0-9A-Za-z.+-]*\.jar$/, "", n); print n "\t" $0}' \
   | sort -t "$(printf '\t')" -k1,1 -k2,2V \
-  | awk -F '\t' '{last[$1]=$2} END {for (k in last) print last[k]}')
+  | awk -F '\t' '{last[$1]=$2} END {for (k in last) print last[k]}' \
+  | sort)
+# the trailing sort makes classpath ORDER byte-stable too (advice r15:
+# awk's 'for (k in last)' iteration order is unspecified, so only the
+# jar SET was deterministic before)
 # test jars are only needed for Test/ mains; warn, don't fail, for main-tree runs
 [ "$FOUND" = 1 ] || echo "runjava.sh: no scalatest/scalacheck jars under coursier cache - Test mains will not load" >&2
 [ -e /opt/spark/jars ] || { echo "runjava.sh: /opt/spark/jars missing" >&2; exit 1; }
