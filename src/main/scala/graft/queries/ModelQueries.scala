@@ -10,6 +10,13 @@ import graft.model.Gam
   */
 object ModelQueries {
 
+  /** DuckDB-parity 4-decimal rounding (half away from zero) shared by
+    * the GLM anchor rows. */
+  private def r4(x: Double): Double = {
+    val sc = x * 10000.0
+    (if (sc >= 0) math.floor(sc + 0.5) else -math.floor(-sc + 0.5)) / 10000.0
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- M2/M3 ORACLED ANCHOR (r14 verdict #6): the NB2/Poisson GLM
@@ -36,10 +43,6 @@ object ModelQueries {
         val rows = hourly.collect()
           .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
           .sortBy(t => (t._1, t._2))
-        def r4(x: Double): Double = {
-          val sc = x * 10000.0
-          (if (sc >= 0) math.floor(sc + 0.5) else -math.floor(-sc + 0.5)) / 10000.0
-        }
         rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
           val y = rs.sortBy(_._2).map(_._3).toArray
           val ones = y.map(_ => Array(1.0))
@@ -57,6 +60,75 @@ object ModelQueries {
                      round(avg(cnt), 4) AS fitted_mean_nb,
                      round(avg(cnt), 4) AS fitted_mean_pois
               FROM h GROUP BY 1""")),
+
+    // ---- COVARIATE-BEARING GLM ANCHOR (r15 verdict #2): q196 gates
+    //      the family on an intercept-only design; this row extends
+    //      the closed form one step to a NON-TRIVIAL design matrix.
+    //      A log-link NB2/Poisson fit SATURATED in one categorical
+    //      covariate (weekday — the `weekday` factor term of M2/M3,
+    //      reference R/_analyze_data.R:206-225, dummy-encoded with one
+    //      indicator per observed level and no intercept) has
+    //      exp(β_j) = per-level mean as its exact MLE for ANY
+    //      dispersion: the score equations Σ_level (y−μ)/(1+αμ) = 0
+    //      decouple per column. So DuckDB's `avg(cnt) GROUP BY
+    //      weekday` oracles the REAL Glm.fit IRLS — now including the
+    //      Cholesky solve of a p×p weighted normal system, the
+    //      per-level working weights, and the α-profile step — where
+    //      q196 only exercised the scalar path. A broken off-diagonal
+    //      term, weight, or solve moves some level's fitted mean and
+    //      hash-mismatches. Same bounded driver-side fit contract as
+    //      q196 (the collect is the hourly frame). Weekday is Spark's
+    //      dayofweek (Sun=1); the oracle maps DuckDB's Sun=0 by +1 —
+    //      an exact integer alignment, both engines on UTC hours.
+    //      Two anchor-hardening choices, both found by running the
+    //      gate at sf0.1: (a) the gate compares the fitted TOTAL
+    //      exp(β_j)·n_level, not the mean — the total's true value is
+    //      an INTEGER (Σ of hourly counts), so the ±1e-8 fit residual
+    //      can never straddle a round-half boundary, while per-level
+    //      means like 2607/96 = 27.15625 sit EXACTLY on the 4th-decimal
+    //      half and round by fit noise; (b) maxIter = 60, because the
+    //      saturated columns start at η = 0 and a log-link IRLS
+    //      overshooting upward retreats ~1 unit of η per step — the
+    //      default 25 strands large-count fixtures (η* ≈ log ȳ + the
+    //      ±30 clamp bounds the walk at ~30 + a few quadratic steps) ----
+    Q("q197_nb_weekday_anchor",
+      (s, dir) => {
+        import s.implicits._
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+          .agg(count(lit(1)).cast("double").as("cnt"))
+          .withColumn("wd", dayofweek(col("hour_ts")))
+          .select(col("event_type"), col("hour_ts"), col("wd"), col("cnt"))
+        val rows = hourly.collect()
+          .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+            r.getInt(2), r.getDouble(3)))
+          .sortBy(t => (t._1, t._2))
+        rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (g, rs) =>
+          val obs = rs.sortBy(_._2)
+          val levels = obs.map(_._3).distinct.sorted
+          val x = obs.map(o =>
+            levels.map(l => if (o._3 == l) 1.0 else 0.0).toArray).toArray
+          val y = obs.map(_._4).toArray
+          val nb = graft.model.Glm.fit(x, y, negBin = true, maxIter = 60)
+          val po = graft.model.Glm.fit(x, y, negBin = false, maxIter = 60)
+          levels.zipWithIndex.map { case (l, j) =>
+            val n = obs.count(_._3 == l)
+            (g, l, n.toLong,
+              r4(math.exp(nb.beta(j)) * n), r4(math.exp(po.beta(j)) * n))
+          }
+        }.toDF("event_type", "weekday", "n_obs",
+          "fitted_total_nb", "fitted_total_pois")
+      },
+      Some("""WITH h AS (
+                SELECT event_type, date_trunc('hour', ts) AS hh,
+                       CAST(count(*) AS DOUBLE) AS cnt
+                FROM events GROUP BY 1, 2)
+              SELECT event_type,
+                     CAST(dayofweek(hh) + 1 AS INTEGER) AS weekday,
+                     count(*) AS n_obs,
+                     round(sum(cnt), 4) AS fitted_total_nb,
+                     round(sum(cnt), 4) AS fitted_total_pois
+              FROM h GROUP BY 1, 2""")),
 
     // ---- M2/M4: hourly count model per event_type, scored 1 week out ----
     Q("q50_gam_hourly",

@@ -104,6 +104,36 @@ class NbAnchorSpec extends AnyFunSuite {
     assert(math.abs(muB - 10.0) < 1e-5, s"muB=$muB")
   }
 
+  test("anchor 6: q197 shape — 7-level one-hot saturated design at " +
+    "LARGE counts recovers every level mean (needs the maxIter headroom)") {
+    // the q197 registry row's exact design: one indicator per level, no
+    // intercept. Large counts (~y=900) expose the cold-init walk: the
+    // non-first columns start at eta=0 and a log-link IRLS that
+    // overshoots upward retreats ~1 eta-unit per step, so the default
+    // maxIter=25 strands the Poisson limb (found live at sf0.1 — this
+    // test pins the fix and fails if the 60-iter headroom regresses)
+    val rng = new scala.util.Random(7)
+    val levels = 7
+    val perLevel = 20
+    val y = Array.tabulate(levels * perLevel) { i =>
+      val l = i / perLevel
+      (850 + 40 * l + rng.nextInt(120)).toDouble
+    }
+    val x = Array.tabulate(levels * perLevel) { i =>
+      Array.tabulate(levels)(j => if (j == i / perLevel) 1.0 else 0.0)
+    }
+    val means = (0 until levels).map(l =>
+      y.slice(l * perLevel, (l + 1) * perLevel).sum / perLevel)
+    val nb = Glm.fit(x, y, negBin = true, maxIter = 60)
+    val po = Glm.fit(x, y, negBin = false, maxIter = 60)
+    (0 until levels).foreach { j =>
+      assert(math.abs(math.exp(nb.beta(j)) - means(j)) < 1e-4 * means(j),
+        s"NB level $j: ${math.exp(nb.beta(j))} vs ${means(j)}")
+      assert(math.abs(math.exp(po.beta(j)) - means(j)) < 1e-4 * means(j),
+        s"Poisson level $j: ${math.exp(po.beta(j))} vs ${means(j)}")
+    }
+  }
+
   test("anchor 5: equidispersed data collapses to the exact Poisson fit") {
     val yc = Seq(4.0, 4.0, 4.0, 4.0)
     val f = Glm.fit(yc.map(_ => Array(1.0)).toArray, yc.toArray, negBin = true)
