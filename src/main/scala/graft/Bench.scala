@@ -63,6 +63,29 @@ object Bench {
       SparkEntry.queries.get(q)
         .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => }))
     resetEngineState(spark)
+    // Box-drift reference rows (r15 verdict #4): two cheap, plan-stable
+    // queries timed min-of-6 against a FIXED fixture dir regardless of
+    // the bench's own sfDir, stamped into the artifact as `ref_rows`.
+    // Cross-round and x1-vs-x100 total comparisons can then normalize
+    // for box speed by a field comparison instead of the manual
+    // isolated-re-measurement archaeology the r15 +19.5% swing needed
+    // (PLANS round-15: the q01/q12 min-of-6 method, now automated).
+    val refDir = sys.env.getOrElse("SPARK_GRAFT_REF_DIR", "/root/testdata/sf0.1")
+    val refRows: Seq[(String, Double)] =
+      if (!new java.io.File(refDir).isDirectory) Seq.empty
+      else Seq("q01_pricing_summary", "q12_two_level_rollup").flatMap { q =>
+        SparkEntry.queries.get(q).flatMap { fn =>
+          val ts = (1 to 6).flatMap { _ =>
+            val t0 = System.nanoTime()
+            val ok = try { graft.queries.Registry.consume(q, fn(spark, refDir)); true }
+              catch { case _: Throwable => false }
+            val dt = (System.nanoTime() - t0) / 1e9
+            resetEngineState(spark)
+            if (ok) Some(dt) else None
+          }
+          if (ts.nonEmpty) Some(q -> ts.min) else None
+        }
+      }
     // Steady-state protocol: each query runs twice with a full engine
     // reset after every execution; the reported time is the min of the
     // two passes. One pass alone conflates a query's plan cost with
@@ -81,11 +104,15 @@ object Bench {
         if (ok) Some(dt) else None
       }
       val first = (1 to 2).flatMap(_ => pass())
-      // sub-second rows carry the protocol's whole noise envelope (r8:
-      // 13 same-commit queries differed >1.5x, every one sub-second);
-      // one extra pass when both passes land under 0.5 s buys a tighter
-      // min for exactly the rows that need it, at ~nothing on the total
-      val times = if (first.nonEmpty && first.min < 0.5) first ++ pass() else first
+      // short rows carry the protocol's whole noise envelope (r8: 13
+      // same-commit queries differed >1.5x, every one sub-second). The
+      // r15 drift investigation (PLANS round-15) proved the 2-pass rule
+      // UNDER-WARMS string/hash-heavy rows — they need 4-5 executions
+      // to reach C2 steady state — so rows under 1.5 s get TWO extra
+      // passes (threshold raised 0.5 -> 1.5 per r15 verdict #3; r16
+      // re-bases the cross-round board comparison anyway)
+      val times = if (first.nonEmpty && first.min < 1.5)
+        first ++ (1 to 2).flatMap(_ => pass()) else first
       (name, if (times.nonEmpty) times.min else 0.0, times.nonEmpty)
     }
     // Output contract, rebuilt for round 12 (verdict nit #1: the single
@@ -131,7 +158,7 @@ object Bench {
     // cross-round comparisons kept needing tribal knowledge of which
     // numbers were cold vs warm-min). r13 re-bases the action to
     // noop-for-all — see Registry.consume.
-    val protocol = """"protocol":"action=noop-all;reps=min-of-2(+1 if <0.5s);engine-reset-each-pass;cold-jvm""""
+    val protocol = """"protocol":"action=noop-all;reps=min-of-2(+2 if <1.5s);engine-reset-each-pass;cold-jvm;ref-rows-min-of-6""""
     // box load stamped INSIDE the artifact (verdict r13 #7): a board
     // taken right after a 14-minute test suite reads 1.4x slower than a
     // quiet-box one, and without the load1 stamps that difference kept
@@ -160,10 +187,13 @@ object Bench {
         "--", ".", ":(exclude)BENCH_FULL.json").nonEmpty) sha + "-dirty"
       else sha
     } catch { case _: Exception => "unknown" }
+    val refJson = refRows
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val loadJson =
       s""""commit":"$commit",""" +
       s""""load1_start":${loadAtStart.map(f2).getOrElse("null")},""" +
-      s""""load1_end":${loadAtEnd.map(f2).getOrElse("null")}"""
+      s""""load1_end":${loadAtEnd.map(f2).getOrElse("null")},""" +
+      s""""ref_dir":"$refDir","ref_rows":$refJson"""
     val total = results.map(_._2).sum
     val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")

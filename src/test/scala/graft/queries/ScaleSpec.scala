@@ -109,6 +109,18 @@ class ScaleSpec extends AnyFunSuite {
   private def commitOf(json: String): Option[String] =
     """"commit"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
 
+  /** `ref_rows` block (r15 verdict #4): min-of-6 steady-state times of
+    * two plan-stable queries against a FIXED fixture dir, stamped by
+    * Bench into every board — the box-speed normalizer. Empty map on
+    * pre-r16 boards (no stamp).
+    */
+  private def refRowsOf(json: String): Map[String, Double] = {
+    val block = """"ref_rows"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(block)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   /** newest (round, x1 json, x100 json) pair under boards/ */
   private def newestPair(): Option[(Int, String, String)] = {
     val dir = java.nio.file.Paths.get("boards")
@@ -204,6 +216,52 @@ class ScaleSpec extends AnyFunSuite {
     if (stale.nonEmpty)
       info(s"warnWhy entries now under ${KeepAbove.toInt}x (consider " +
         s"removing): ${stale.mkString(", ")}")
+  }
+
+  test("ref_rows: the x1/x100 pair ran on comparable box speed") {
+    // r15 verdict #4: the +19.5% x100 swing took two days of manual
+    // forensics to attribute to the box. ref_rows makes it a field:
+    // both boards time the SAME two queries against the SAME fixed
+    // fixture dir (min-of-6, engine-reset), so a pair whose refs
+    // disagree by >1.6x was NOT a quiet same-box pair and its totals
+    // must not be quoted against each other.
+    val (round, j1, j100) = newestPair().getOrElse(fail("no board pair"))
+    val (r1, r100) = (refRowsOf(j1), refRowsOf(j100))
+    if (r1.isEmpty || r100.isEmpty) {
+      // pre-r16 boards carry no ref stamp; the requirement starts with
+      // the first stamped pair
+      assert(round <= 15, s"r$round boards must carry ref_rows stamps")
+    } else {
+      val shared = r1.keySet intersect r100.keySet
+      assert(shared.nonEmpty, "ref_rows stamps share no query")
+      shared.foreach { k =>
+        val ratio = math.max(r1(k), r100(k)) / math.max(1e-9, math.min(r1(k), r100(k)))
+        assert(ratio <= 1.6,
+          f"r$round pair box drift on ref row $k: x1=${r1(k)}%.3fs " +
+            f"x100=${r100(k)}%.3fs (${ratio}%.2fx > 1.6x) — retake the " +
+            "slower board on a quiet box")
+      }
+      // cross-round drift is informational: a slower box is not a code
+      // bug, but the normalization factor should be one glance away
+      newestPair().foreach { case (n, _, _) =>
+        val prev = (1 until n).reverse.collectFirst(Function.unlift { p =>
+          val d = java.nio.file.Paths.get("boards")
+          val a = d.resolve(s"bench_r${p}_x1.json")
+          if (java.nio.file.Files.exists(a)) {
+            val refs = refRowsOf(readFile(a))
+            if (refs.nonEmpty) Some(p -> refs) else None
+          } else None
+        })
+        prev.foreach { case (p, refs) =>
+          val common = refs.keySet intersect r1.keySet
+          if (common.nonEmpty) {
+            val factors = common.toSeq.sorted.map(k =>
+              f"$k=${r1(k) / math.max(1e-9, refs(k))}%.2fx")
+            info(s"box speed vs r$p x1 refs: ${factors.mkString(", ")}")
+          }
+        }
+      }
+    }
   }
 
   test("exempt rows exist in the board (stale-whitelist tripwire)") {
