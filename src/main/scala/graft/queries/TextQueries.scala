@@ -990,16 +990,27 @@ object TextQueries {
 
     // ---- cross-doc bigram novelty (curation-ordering signal): how much
     // of a doc's distinct-bigram vocabulary first appears in THIS doc
-    // (corpus-wide min doc_id)? Shuffles carry (doc_id, md5) only. ----
+    // (corpus-wide min doc_id)? Shuffles carry (doc_id, md5) only.
+    // r16 plan rework (was the largest non-exempt ×100 row at 80 s):
+    // per-doc dedup moves INSIDE the row — array_distinct over the
+    // hashed bigram array before the explode — which deletes the
+    // corpus-wide distinct() shuffle of the widest intermediate
+    // entirely (dedup by (doc_id, h) needs no cross-row data), and the
+    // min-doc_id join collapses into an unbounded window aggregate, so
+    // the full (doc_id, h) stream crosses the wire ONCE (by h) instead
+    // of three times (distinct, groupBy h, join probe). Semantics are
+    // bit-identical: dedup on the md5 value, exactly DISTINCT (doc_id,
+    // md5(bg)) ----
     Q("q76_ngram_novelty",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val docs = Tables.load(s, dir, "documents")
         val bg = docs.select(col("doc_id"),
-          explode(TA.wordBigrams(col("text"))).as("bg"))
-          .select(col("doc_id"), md5(col("bg")).as("h"))
-          .distinct()
-        val first = bg.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-        val per = bg.join(first, Seq("h"))
+          explode(array_distinct(transform(TA.wordBigrams(col("text")),
+            b => md5(b.cast("binary"))))).as("h"))
+        val per = bg
+          .withColumn("first_doc",
+            min(col("doc_id")).over(Window.partitionBy(col("h"))))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))

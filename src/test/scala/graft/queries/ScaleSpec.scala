@@ -82,8 +82,10 @@ class ScaleSpec extends AnyFunSuite {
       "fixed-cost-dominated (50x = amortization, not superlinear work)"),
     "q162_audio_neardup" -> ("decode-bound by contract: real WAV decode " +
       "per payload is linear; x1 is codec-warm-up-dominated"),
-    "q76_ngram_novelty" -> ("linear shingle volume; x1 2.05s carries the " +
-      "fixed hash-agg setup; per-shingle cost flat (PLANS round-13)"),
+    "q76_ngram_novelty" -> ("linear portable-md5 volume (~200 bigram " +
+      "hashes/doc is the map-side floor); r16 deleted the corpus-wide " +
+      "distinct shuffle + join (80 -> ~40 s at x100, ~21x — entry kept " +
+      "as boundary headroom)"),
     "q44_multimodal_features" -> ("decode-bound by contract: three real " +
       "JDK codecs, linear in payload count"),
     "q144_fuzzy_match" -> ("blocked edit-distance with per-block caps; " +
