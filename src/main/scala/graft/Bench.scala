@@ -135,6 +135,17 @@ object Bench {
     // comma-decimal locales and the artifact stops parsing as JSON.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // env-supplied paths are interpolated into the artifact: a quote or
+    // backslash in SPARK_GRAFT_{SF,REF}_DIR must not produce an
+    // unparseable BENCH_FULL.json (r16 advice — same care the
+    // Locale.ROOT pins apply to numbers)
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => String.format("\\u%04x", Int.box(c.toInt))
+        case c             => c.toString
+      } + "\""
     def short(k: String): String = k.takeWhile(_ != '_').stripPrefix("q")
     // a collided short name would merge two distinct queries into one
     // indistinguishable key: keep the full name for any prefix that is
@@ -193,13 +204,13 @@ object Bench {
       s""""commit":"$commit",""" +
       s""""load1_start":${loadAtStart.map(f2).getOrElse("null")},""" +
       s""""load1_end":${loadAtEnd.map(f2).getOrElse("null")},""" +
-      s""""ref_dir":"$refDir","ref_rows":$refJson"""
+      s""""ref_dir":${jsonStr(refDir)},"ref_rows":$refJson"""
     val total = results.map(_._2).sum
     val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","unit":"sec","n_queries":${results.size},$protocol,$loadJson,""" +
-      s""""queries":$fullQs,"errors":$errs,"sf":"$sfDir","value":${f3(total)}}"""
+      s""""queries":$fullQs,"errors":$errs,"sf":${jsonStr(sfDir)},"value":${f3(total)}}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     try java.nio.file.Files.writeString(fullPath, fullJson + "\n")
     catch { case e: Exception =>
@@ -216,7 +227,7 @@ object Bench {
         s""""queries":$queriesJson,"queries_omitted":$omitted,""" +
         s""""queries_file":"BENCH_FULL.json","errors":$errsShort,""" +
         s""""errors_omitted":$errsOmitted,""" +
-        s""""sf":"$sfDir","value":${f3(total)}}"""
+        s""""sf":${jsonStr(sfDir)},"value":${f3(total)}}"""
     val budget = 1400 - shortLine("{}", results.size).length
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0

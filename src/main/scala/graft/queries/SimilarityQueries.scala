@@ -30,11 +30,16 @@ object SimilarityQueries {
 
   /** Power-of-two twin of [[adaptiveNCentroids]] for the sign-bit
     * bucket family: ⌊log₂ √(N/8)⌋ bits, floor 4 (= 16 cells, so every
-    * driver-scale hash is untouched — N ≤ 2048 → 4 bits).
+    * driver-scale hash is untouched — N ≤ 2048 → 4 bits), CAP 12
+    * (= 4096 cells). The cap is the q71 oracle's plane-family size —
+    * its SQL masks a fixed 12-plane family, so the engine must never
+    * ask for a 13th sign bit (that knee is ~1.34e8 non-null
+    * embeddings); enforcing the bound here means engine and oracle
+    * share it by construction, not by comment (r16 advice).
     */
   private[queries] def adaptiveClusterBits(n: Long): Int = {
     val cells = math.max(1L, math.floor(math.sqrt(n / 8.0)).toLong)
-    math.max(4, 63 - java.lang.Long.numberOfLeadingZeros(cells))
+    math.min(12, math.max(4, 63 - java.lang.Long.numberOfLeadingZeros(cells)))
   }
 
   /** [[adaptiveNCentroids]] replayed in SQL over the filtered corpus
@@ -570,9 +575,11 @@ object SimilarityQueries {
     * max(1, ⌊√(N/8)⌋) over the isNotNull count, bits = max(4,
     * ⌊log₂ cells⌋) via a shift-compare scan (no float log2) — and the
     * bucket masks a 12-plane family to the low `bits` sign bits
-    * (12 bits = 4096 cells covers N < 1.3×10⁸; the plane family is
-    * identical for every k, so masking ≡ the engine's bits-plane
-    * signature). Candidate pairs = same cell with a SMALLER id, exact
+    * (12 bits = 4096 cells; the engine's [[adaptiveClusterBits]] caps
+    * at the same 12 — r16 advice — so past the ~1.34e8-row knee BOTH
+    * sides saturate at 4096 cells and the gate stays exact; the plane
+    * family is identical for every k, so masking ≡ the engine's
+    * bits-plane signature). Candidate pairs = same cell with a SMALLER id, exact
     * cosine fold at the 0.4 threshold, representative = the smallest
     * qualifying candidate id (Spark's `min(struct(cand, sim))` ≡
     * row_number over ORDER BY cand), and the left-join verdict over
@@ -589,12 +596,12 @@ object SimilarityQueries {
                     FROM embeddings
                     WHERE embedding IS NOT NULL AND len(embedding) >= 64),
         nbits AS (
-          SELECT GREATEST(4, (
+          SELECT LEAST(12, GREATEST(4, (
             SELECT max(t.k)
             FROM (SELECT unnest(generate_series(0, 62)) AS k) t
             WHERE (CAST(1 AS BIGINT) << t.k) <= GREATEST(1,
               CAST(floor(sqrt(CAST(cnt AS DOUBLE) / 8.0)) AS BIGINT))
-          )) AS bits
+          ))) AS bits
           FROM (SELECT count(*) AS cnt FROM embeddings
                 WHERE embedding IS NOT NULL)),
         b AS (

@@ -1000,7 +1000,13 @@ object TextQueries {
     // the full (doc_id, h) stream crosses the wire ONCE (by h) instead
     // of three times (distinct, groupBy h, join probe). Semantics are
     // bit-identical: dedup on the md5 value, exactly DISTINCT (doc_id,
-    // md5(bg)) ----
+    // md5(bg)) — the within-row array_distinct shrinks the explode, and
+    // the dropDuplicates below closes the cross-row half (two documents
+    // rows sharing a doc_id — r16 advice) for FREE: it sits after the
+    // window, whose HashPartitioning(h) already satisfies the (doc_id,
+    // h) clustering requirement, so no exchange is added (one in-place
+    // hash-aggregate pass; first_doc is functionally dependent on h, so
+    // the kept row's value is unaffected) ----
     Q("q76_ngram_novelty",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -1011,6 +1017,7 @@ object TextQueries {
         val per = bg
           .withColumn("first_doc",
             min(col("doc_id")).over(Window.partitionBy(col("h"))))
+          .dropDuplicates("doc_id", "h")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))

@@ -122,15 +122,27 @@ class NbAnchorSpec extends AnyFunSuite {
     val x = Array.tabulate(levels * perLevel) { i =>
       Array.tabulate(levels)(j => if (j == i / perLevel) 1.0 else 0.0)
     }
-    val means = (0 until levels).map(l =>
-      y.slice(l * perLevel, (l + 1) * perLevel).sum / perLevel)
+    val totals = (0 until levels).map(l =>
+      y.slice(l * perLevel, (l + 1) * perLevel).sum) // integer-valued
     val nb = Glm.fit(x, y, negBin = true, maxIter = 60)
     val po = Glm.fit(x, y, negBin = false, maxIter = 60)
+    // the q197 DuckDB gate compares round(exp(beta_j)*n, 4) against the
+    // EXACT integer level total, so the convergence bar this spec must
+    // pin is |fitted_total - total| < 5e-5 — not the ~0.09-absolute
+    // slack of a 1e-4-relative check at y~900 (r16 advice). Assert the
+    // gate's own form: half-up round-4 of the fitted total equals the
+    // integer total exactly.
+    def round4(v: Double): BigDecimal =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     (0 until levels).foreach { j =>
-      assert(math.abs(math.exp(nb.beta(j)) - means(j)) < 1e-4 * means(j),
-        s"NB level $j: ${math.exp(nb.beta(j))} vs ${means(j)}")
-      assert(math.abs(math.exp(po.beta(j)) - means(j)) < 1e-4 * means(j),
-        s"Poisson level $j: ${math.exp(po.beta(j))} vs ${means(j)}")
+      val nbTotal = math.exp(nb.beta(j)) * perLevel
+      val poTotal = math.exp(po.beta(j)) * perLevel
+      assert(math.abs(nbTotal - totals(j)) < 5e-5 &&
+        round4(nbTotal) == BigDecimal(totals(j)),
+        s"NB level $j: fitted total $nbTotal vs ${totals(j)}")
+      assert(math.abs(poTotal - totals(j)) < 5e-5 &&
+        round4(poTotal) == BigDecimal(totals(j)),
+        s"Poisson level $j: fitted total $poTotal vs ${totals(j)}")
     }
   }
 

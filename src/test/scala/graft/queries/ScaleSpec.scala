@@ -123,15 +123,30 @@ class ScaleSpec extends AnyFunSuite {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
+  /** round numbers of all x1 boards under boards/ */
+  private def x1Rounds(): Seq[Int] = {
+    val dir = java.nio.file.Paths.get("boards")
+    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+    val name = """bench_r(\d+)_x1\.json""".r
+    java.nio.file.Files.list(dir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .collect { case name(n) => n.toInt }
+  }
+
+  /** The r16 hole, as a pure predicate (verdict r16 #2): the newest x1
+    * board's round when it lacks its same-round x100 twin — the exact
+    * condition under which every pair-based test here would silently
+    * gate an OLDER round's pair (where expired exemptions may still be
+    * live), letting a missing scale board escape machine detection.
+    * Pure so the negative probe can prove a lone x1 board fails.
+    */
+  private def loneNewestX1(x1: Seq[Int], x100HasRound: Int => Boolean): Option[Int] =
+    x1.maxOption.filterNot(x100HasRound)
+
   /** newest (round, x1 json, x100 json) pair under boards/ */
   private def newestPair(): Option[(Int, String, String)] = {
     val dir = java.nio.file.Paths.get("boards")
-    if (!java.nio.file.Files.isDirectory(dir)) return None
-    val name = """bench_r(\d+)_x1\.json""".r
-    val rounds = java.nio.file.Files.list(dir).toArray.toSeq
-      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
-      .collect { case name(n) => n.toInt }
-    rounds.sorted.reverse.collectFirst {
+    x1Rounds().sorted.reverse.collectFirst {
       case n if java.nio.file.Files.exists(dir.resolve(s"bench_r${n}_x100.json")) =>
         (n,
           readFile(dir.resolve(s"bench_r${n}_x1.json")),
@@ -151,6 +166,24 @@ class ScaleSpec extends AnyFunSuite {
         if (eff > Bound && !ex) Some(k -> eff) else None
       }
     }.sortBy(-_._2)
+
+  test("the newest x1 board has its same-round x100 twin (no stale-pair fallback)") {
+    // r16 verdict #2: when the newest x1 board lacked its x100 twin,
+    // every test below quietly gated the PREVIOUS round's pair — on
+    // which that round's expired exemptions were still live — so a
+    // missing scale board kept the suite green. An x1 board without its
+    // pair must FAIL here: the gate cannot be satisfied by an absent
+    // artifact.
+    val dir = java.nio.file.Paths.get("boards")
+    val lone = loneNewestX1(x1Rounds(),
+      n => java.nio.file.Files.exists(dir.resolve(s"bench_r${n}_x100.json")))
+    lone.foreach { n =>
+      fail(s"boards/bench_r${n}_x1.json has no bench_r${n}_x100.json twin — " +
+        "the pair-based gates below would silently regress to the " +
+        s"r${newestPair().map(_._1).getOrElse(0)} pair; take and commit the " +
+        "same-commit x100 board (or remove the lone x1 board)")
+    }
+  }
 
   test("x1/x100 boards cover the IDENTICAL query set") {
     // r15 advice: violations() pairs by key, so a renamed or newly-added
@@ -303,5 +336,22 @@ class ScaleSpec extends AnyFunSuite {
       assert(violations(15, Map(q -> 0.5), Map(q -> 250.0)).isEmpty,
         s"$q exemption should still shield the r15 board")
     }
+  }
+
+  test("lone-x1 detector fires on the exact r16 shape (and only then)") {
+    // the r16 hole replayed as a pure probe: x1 boards for r14/r15/r16
+    // with x100 twins only through r15 → the NEWEST x1 (16) is lone and
+    // must be flagged, regardless of the older complete pairs existing
+    val paired = Set(14, 15)
+    assert(loneNewestX1(Seq(14, 15, 16), paired.contains) == Some(16),
+      "a newest x1 board without its x100 twin must be detected")
+    // a complete newest pair is clean even if an OLDER x1 is lone
+    // forever (r16's x100 was never taken; that hole is historical once
+    // a newer complete pair exists)
+    assert(loneNewestX1(Seq(14, 15, 16, 17), Set(14, 15, 17).contains).isEmpty,
+      "a complete newest pair must not be flagged for historical holes")
+    // and no boards at all is not a lone-x1 condition (the pair-based
+    // tests already fail loudly on an empty boards/)
+    assert(loneNewestX1(Seq.empty, _ => false).isEmpty)
   }
 }
