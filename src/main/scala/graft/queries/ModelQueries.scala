@@ -130,6 +130,77 @@ object ModelQueries {
                      round(sum(cnt), 4) AS fitted_total_pois
               FROM h GROUP BY 1, 2""")),
 
+    // ---- CUBIC-SPLINE BASIS ANCHOR (r16 verdict #3): q196/q197 gate
+    //      the GLM family; this row extends the anchor lineage to the
+    //      cr BASIS of M2/M3's s(itime) smooth (reference
+    //      R/_analyze_data.R:206-225), pushing model/Crs.scala through
+    //      the REAL Glm.fit IRLS under the DuckDB hash gate. Closed
+    //      form: the natural cubic spline's exact-polynomial class is
+    //      the LINEAR functions (f''≡0 + natural boundary), so a signal
+    //      that is exactly log-linear — y(x) = 5·2^x, an INTEGER for
+    //      x ∈ 0..7 — lies in the span of the cr basis over any knot
+    //      set covering [0,7], and the log-link Poisson/NB2 MLE must
+    //      fit every point EXACTLY (residual-zero stationary point of
+    //      a strictly concave likelihood), for ANY dispersion. The
+    //      design is n=8 distinct x per group over a k=4 cr basis —
+    //      the interior x values sit strictly BETWEEN knots, so the
+    //      fitted values flow through the piecewise-cubic cm/cp·B⁻¹D
+    //      terms of Crs.basisRow, not just the cardinal am/ap part: a
+    //      broken second-difference map, knot geometry, or WLS solve
+    //      breaks linear reproduction and hash-mismatches. (The one
+    //      Crs ingredient invisible to the linear class is the
+    //      tridiagonal B's VALUES — D·β=0 annihilates them here; they
+    //      are pinned by GamSpec's exact-rational midpoint row.) The
+    //      signal is synthesized per fixture cell (q182 precedent), the
+    //      cell multiplicities n_obs are the fixture-dependent half of
+    //      the gate, and the truth is INTEGER so the 4-decimal round
+    //      can never straddle a half boundary. ridge=1e-9: the anchor
+    //      bar is |μ̂−y| < 5e-5 ABSOLUTE at μ up to 640; the ridge bias
+    //      scales linearly (measured worst error on this design:
+    //      5.1e-6 at the default 1e-6 — passing but only 10× under the
+    //      bar — vs 5.1e-9 at 1e-9), so the smaller ridge buys four
+    //      orders of convergence headroom while keeping the PD guard.
+    //      Groups need ≥5 cells (p=4 must stay overdetermined); both
+    //      engines replay the same HAVING ----
+    Q("q198_crs_anchor",
+      (s, dir) => {
+        import s.implicits._
+        val cells = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            (hour(col("ts")) % 8).cast("int").as("x"))
+          .agg(count(lit(1)).as("n_obs"))
+        val rows = cells.collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2))
+        val crs = graft.model.Crs.uniform(0, 7, 4)
+        rows.groupBy(_._1).toSeq.sortBy(_._1)
+          .filter(_._2.length >= 5)
+          .flatMap { case (g, rs) =>
+            val obs = rs.sortBy(_._2)
+            val x = obs.map(o => crs.basisRow(o._2.toDouble)).toArray
+            val y = obs.map(o => 5.0 * (1L << o._2)).toArray
+            val nb = graft.model.Glm.fit(x, y, negBin = true,
+              maxIter = 60, ridge = 1e-9)
+            val po = graft.model.Glm.fit(x, y, negBin = false,
+              maxIter = 60, ridge = 1e-9)
+            obs.zipWithIndex.map { case (o, i) =>
+              (g, o._2, o._3,
+                r4(graft.model.Glm.predict(x(i), nb.beta)),
+                r4(graft.model.Glm.predict(x(i), po.beta)))
+            }
+          }.toDF("event_type", "x", "n_obs", "fitted_nb", "fitted_pois")
+      },
+      Some("""WITH c AS (
+                SELECT event_type, CAST(hour(ts) % 8 AS INTEGER) AS x,
+                       CAST(count(*) AS BIGINT) AS n_obs
+                FROM events GROUP BY 1, 2),
+              g AS (SELECT event_type FROM c
+                    GROUP BY 1 HAVING count(*) >= 5)
+              SELECT c.event_type, c.x, c.n_obs,
+                     round(CAST(5 * (1 << c.x) AS DOUBLE), 4) AS fitted_nb,
+                     round(CAST(5 * (1 << c.x) AS DOUBLE), 4) AS fitted_pois
+              FROM c JOIN g USING (event_type)""")),
+
     // ---- M2/M4: hourly count model per event_type, scored 1 week out ----
     Q("q50_gam_hourly",
       (s, dir) => {

@@ -47,6 +47,59 @@ class GamSpec extends SparkSpec {
     assert(quadS(line) > 0)
   }
 
+  test("Crs midpoint basis row equals its exact-rational closed form " +
+    "(pins B's tridiagonal values)") {
+    // The ONE Crs ingredient the q198 linear-reproduction anchor cannot
+    // see is the tridiagonal B's VALUES (D·β = 0 annihilates B⁻¹ for
+    // every linear signal). Pin them here by hand-derived rationals:
+    // knots {0,1,2,3} → B = [[2/3,1/6],[1/6,2/3]] (det 5/12),
+    // B⁻¹ = [[8/5,-2/5],[-2/5,8/5]], D = [[1,-2,1,0],[0,1,-2,1]],
+    // F = B⁻¹D row₁ = [8/5,-18/5,12/5,-2/5]. At x = 1/2 (segment 0):
+    // am = ap = 1/2, cm = cp = -1/16, and fFull(0) is the natural
+    // zero row, so b(1/2) = (e₀+e₁)/2 - F₁/16
+    //             = [2/5, 29/40, -3/20, 1/40].
+    // A wrong B entry (or a broken solve) moves these four numbers.
+    val cr = new Crs(Array(0.0, 1.0, 2.0, 3.0))
+    val b = cr.basisRow(0.5)
+    val want = Array(2.0 / 5, 29.0 / 40, -3.0 / 20, 1.0 / 40)
+    b.zip(want).zipWithIndex.foreach { case ((got, w), i) =>
+      assert(math.abs(got - w) < 1e-12, s"b(0.5)($i)=$got want $w")
+    }
+    // and the mirrored segment: b(2.5) must be the reverse by symmetry
+    val b2 = cr.basisRow(2.5)
+    b2.zip(want.reverse).zipWithIndex.foreach { case ((got, w), i) =>
+      assert(math.abs(got - w) < 1e-12, s"b(2.5)($i)=$got want $w")
+    }
+  }
+
+  test("q198 shape: log-linear signal over the cr basis fits exactly at " +
+    "the gate's bar (|mu - y| < 5e-5, ridge 1e-9)") {
+    // the q198 registry row's exact design: x ∈ 0..7 over
+    // Crs.uniform(0,7,4), y = 5·2^x (exactly log-linear, so in the
+    // natural-spline span). The DuckDB gate compares round(mu, 4)
+    // against the INTEGER y, so the bar is 5e-5 ABSOLUTE at mu up to
+    // 640 — this test pins the ridge=1e-9 choice (measured worst
+    // |mu-y| on this design: 5.1e-6 at the default ridge=1e-6, only
+    // 10x under the bar; 5.1e-9 at 1e-9) and fails if IRLS
+    // convergence or linear reproduction regresses.
+    val crs = Crs.uniform(0, 7, 4)
+    val xs = (0 to 7).toArray
+    val x = xs.map(v => crs.basisRow(v.toDouble))
+    val y = xs.map(v => 5.0 * (1L << v))
+    Seq(true, false).foreach { nb =>
+      val f = Glm.fit(x, y, negBin = nb, maxIter = 60, ridge = 1e-9)
+      xs.indices.foreach { i =>
+        val mu = Glm.predict(x(i), f.beta)
+        assert(math.abs(mu - y(i)) < 5e-5,
+          s"negBin=$nb x=${xs(i)}: mu=$mu vs y=${y(i)} " +
+            f"(err ${math.abs(mu - y(i))}%.2e)")
+        // the gate's own form: half-up round-4 equals the exact integer
+        val r4 = BigDecimal(mu).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        assert(r4 == BigDecimal(y(i)), s"negBin=$nb round4($mu) != ${y(i)}")
+      }
+    }
+  }
+
   test("Glm Poisson IRLS recovers log-linear rate") {
     // y ~ Poisson(exp(1 + 0.5*x)); deterministic pseudo-sample via quantiles
     val rng = new scala.util.Random(7)
