@@ -67,6 +67,30 @@ object SimilarityQueries {
     df.orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(n).repartition(col(idCol))
 
+  /** Id-only md5 slice for PAYLOAD-bearing rows (r16 verdict #6): the
+    * slice is taken over the bare id column (TakeOrdered merges 10k
+    * longs on the driver, never a payload byte) and applied to the
+    * media frame as a BROADCAST left-semi join, so payloads stay
+    * scan-local — the "payloads never shuffle" invariant holds through
+    * the cap. Same contract as [[md5Slice]]: a NO-OP at every driver
+    * fixture scale (documents ≤ 5,000 rows vs the 10k cap), oracles
+    * replay the identical ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT.
+    */
+  private def md5SliceIds(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          n: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+
+  /** Decode-bound demo rows' payload cap (q44/q162): decode work is
+    * bounded at 10k payloads per modality regardless of corpus size —
+    * the r16 ×100 board spent ~145 s on these two rows decoding 500k
+    * synthesized payloads that prove nothing 10k don't (the decode
+    * exactness is pinned per-format by MultimodalSpec + the q151/q152/
+    * q101/q153 hash oracles; scale-shape evidence for the banded
+    * family lives in the non-capped rows).
+    */
+  private val PayloadSliceCap = 10000
+
   /** The portable-IVF oracle family, generated. Coarse quantizer = the
     * `nCent` corpus vectors with the smallest md5(CAST(id AS VARCHAR))
     * (cell index = md5 rank); then `iters` FIXED-POINT Lloyd rounds
@@ -496,7 +520,9 @@ object SimilarityQueries {
     * portable signature, banding and hamming as the image leg.
     */
   private val audioNearDupOracle: String =
-    s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents
+       |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |             LIMIT 10000),
        |z0 AS (
        |  SELECT id, p,
        |    CASE WHEN p = 8 THEN CAST(18446744073709551615 - id AS UBIGINT)
@@ -1007,25 +1033,36 @@ object SimilarityQueries {
     //      all paths ----
     Q("q44_multimodal_features",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
+        val docsAll = Tables.load(s, dir, "documents")
+        // bounded payload set (r16 verdict #6): decode work capped at
+        // the 10k smallest-(md5, id) docs — a no-op at driver scales
+        // (≤ 5,000 docs), oracle replays the identical slice; the
+        // broadcast semi-join keeps payloads scan-local on the
+        // materialized path
+        val ids = broadcast(md5SliceIds(docsAll, "doc_id", PayloadSliceCap))
+        val docs = docsAll.join(ids, Seq("doc_id"), "left_semi")
+        def sliceMedia(m: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame =
+          m.join(broadcast(ids.withColumnRenamed("doc_id", "media_id")),
+            Seq("media_id"), "left_semi")
         // materialized-or-synthesized payloads (Tables.media): the synth
         // lambda keeps the pre-filter (cheap fallback), the where keeps
         // the slice exact over a full materialized table (pushed to the
         // parquet scan); identical either way
-        val pngs = Tables.media(s, dir, "media_png8")(
+        val pngs = sliceMedia(Tables.media(s, dir, "media_png8")(
             graft.ops.Multimodal.syntheticPng(
-              docs.where(col("doc_id") % 3 === 0), "doc_id"))
+              docs.where(col("doc_id") % 3 === 0), "doc_id")))
           .where(col("media_id") % 3 === 0)
           .select(col("media_id").as("__png_id"), col("payload").as("__png"))
-        val wavs = Tables.media(s, dir, "media_wav")(
+        val wavs = sliceMedia(Tables.media(s, dir, "media_wav")(
             graft.ops.Multimodal.syntheticWav(
-              docs.where(col("doc_id") % 3 === 1), "doc_id"))
+              docs.where(col("doc_id") % 3 === 1), "doc_id")))
           .where(col("media_id") % 3 === 1)
           .select(col("media_id").as("__wav_id"), col("payload").as("__wav"))
-        val avis = Tables.media(s, dir, "media_avi_f4s8r10")(
+        val avis = sliceMedia(Tables.media(s, dir, "media_avi_f4s8r10")(
             graft.ops.Multimodal.syntheticAvi(
               docs.where(col("doc_id") % 3 === 2), "doc_id",
-              frames = 4, size = 8, fps = 10))
+              frames = 4, size = 8, fps = 10)))
           .where(col("media_id") % 3 === 2)
           .select(col("media_id").as("__avi_id"), col("payload").as("__avi"))
         val media = docs
@@ -1061,7 +1098,9 @@ object SimilarityQueries {
              |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 END AS INTEGER) AS channels,
              |  CAST(CASE WHEN doc_id % 3 = 1 THEN 50
              |            WHEN doc_id % 3 = 2 THEN 400 END AS INTEGER) AS decoded_ms
-             |FROM documents""".stripMargin)),
+             |FROM (SELECT doc_id FROM documents
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             |      LIMIT 10000)""".stripMargin)),
 
     // ---- video decode under the hash oracle: the Spark side derives
     //      geometry / fps / duration by REALLY parsing RIFF/AVI bytes
@@ -1170,17 +1209,24 @@ object SimilarityQueries {
     //      per-half mean-centering → 64-bit sign signature → banded
     //      buckets → hamming verify. Same-cluster synthetic tones
     //      (id >>> 5 ZCR-envelope key) are near-identical by
-    //      construction. Runs the FULL corpus — WAV decode is one
-    //      cheap PCM pass and cluster buckets are bounded (~32), so
-    //      cost and output scale linearly. Portable 63-bit md5-plane
+    //      construction. Decode work is BOUNDED by the 10k-doc md5
+    //      payload slice (r16 verdict #6 — a no-op at driver scales,
+    //      oracle replays the identical slice; the broadcast semi-join
+    //      keeps payloads scan-local); within the slice, cluster
+    //      buckets stay bounded (~32) so pair work is linear in the
+    //      cap. Portable 63-bit md5-plane
     //      signatures put the decision under the hash oracle: 16-bit
     //      PCM round-trips exactly, so DuckDB replays samples → RMS/ZCR
     //      windows → centered halves → plane signs → hamming ----
     Q("q162_audio_neardup",
       (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val ids = broadcast(md5SliceIds(docs, "doc_id", PayloadSliceCap))
         val media = Tables.media(s, dir, "media_wav")(
-          graft.ops.Multimodal.syntheticWav(
-            Tables.load(s, dir, "documents"), "doc_id"))
+            graft.ops.Multimodal.syntheticWav(
+              docs.join(ids, Seq("doc_id"), "left_semi"), "doc_id"))
+          .join(broadcast(ids.withColumnRenamed("doc_id", "media_id")),
+            Seq("media_id"), "left_semi")
         graft.ops.Multimodal.nearDupAudio(media, windows = 8, maxHamming = 3,
           portable = true)
       },

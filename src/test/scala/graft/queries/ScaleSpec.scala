@@ -81,13 +81,17 @@ class ScaleSpec extends AnyFunSuite {
     "q86_gopher_rules" -> ("linear rule scan over text; x1 0.32s is " +
       "fixed-cost-dominated (50x = amortization, not superlinear work)"),
     "q162_audio_neardup" -> ("decode-bound by contract: real WAV decode " +
-      "per payload is linear; x1 is codec-warm-up-dominated"),
+      "per payload is linear; x1 is codec-warm-up-dominated. r17 caps " +
+      "decode at the 10k-doc md5 payload slice, so r17+ boards should " +
+      "read this row near-flat (entry kept for the r15/r16 pairs)"),
     "q76_ngram_novelty" -> ("linear portable-md5 volume (~200 bigram " +
       "hashes/doc is the map-side floor); r16 deleted the corpus-wide " +
       "distinct shuffle + join (80 -> ~40 s at x100, ~21x — entry kept " +
       "as boundary headroom)"),
     "q44_multimodal_features" -> ("decode-bound by contract: three real " +
-      "JDK codecs, linear in payload count"),
+      "JDK codecs, linear in payload count. r17 caps decode at the " +
+      "10k-doc md5 payload slice, so r17+ boards should read this row " +
+      "near-flat (entry kept for the r15/r16 pairs)"),
     "q144_fuzzy_match" -> ("blocked edit-distance with per-block caps; " +
       "block density rises on the replica fixture but stays cap-bounded"),
     "q69_interpolate" -> ("linear windowed interpolation; sub-second x1 " +
