@@ -453,6 +453,14 @@ object Dedup {
       .where(col("id_a") < col("id_b") &&
         col("__lb") >= lit(threshold) * col("__la") - lit(1e-9) &&
         col("__la") >= lit(threshold) * col("__lb") - lit(1e-9))
+      // per-ROW positional prune before the pair aggregate — same
+      // result-identity argument as incrementalDedup's (the bound uses
+      // only this row's ranks and the pair-constant lengths; a pair the
+      // post-agg filter admits keeps its first-common-token witness)
+      .where(lit(1) +
+        least(col("__la") - col("__ra"), col("__lb") - col("__rb")) >=
+        ceil(lit(threshold / (1.0 + threshold)) *
+          (col("__la") + col("__lb")) - lit(1e-9)))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(packRanks(col("__ra"), col("__rb"))).as("__pk"),
         max(col("__la")).as("__la"), max(col("__lb")).as("__lb"))
@@ -1033,6 +1041,21 @@ object Dedup {
         Seq("__tok"))
       .where(col("__lo") >= lit(threshold) * col("__ln") - lit(1e-9) &&
         col("__ln") >= lit(threshold) * col("__lo") - lit(1e-9))
+      // Per-ROW positional prune (round 17, guide §2.3 "shuffle fewer
+      // bytes"): the pair bound below depends only on (rank, rank) and
+      // the pair-constant lengths, so a row whose OWN ranks cannot
+      // reach the equi-overlap bar can be dropped before the pair
+      // aggregate ever hashes it. Result-identical: a surviving pair's
+      // first-common-token row passes this filter (its bound is the
+      // pair bound, ≥ α), so the min-packed witness is unchanged for
+      // every pair the post-agg filter admits; a pair whose witness
+      // row is pruned can only re-enter via a LATER common token and
+      // then faces the exact-Jaccard verification join, which decides
+      // membership — never the other way around.
+      .where(lit(1) +
+        least(col("__ln") - col("__rn"), col("__lo") - col("__ro")) >=
+        ceil(lit(threshold / (1.0 + threshold)) *
+          (col("__ln") + col("__lo")) - lit(1e-9)))
       .groupBy(col("__nid"), col("__oid"))
       .agg(min(packRanks(col("__rn"), col("__ro"))).as("__pk"),
         max(col("__ln")).as("__ln"), max(col("__lo")).as("__lo"))

@@ -39,23 +39,16 @@ object QualityRules {
   def gopherRules(df: DataFrame, textCol: String, idCol: String,
                   stopwords: Seq[String] = TextAnalysis.defaultStopwords,
                   t: Thresholds = Thresholds()): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val nWords = size(toks).cast("long")
-    // total characters inside words (whitespace excluded) — robust to
-    // repeated separators, unlike length(text) - (n-1)
-    val nWordChars = aggregate(transform(toks, w => length(w).cast("long")),
-      lit(0L), (acc, v) => acc + v)
-    val nStop = size(filter(toks, w => w.isInCollection(stopwords))).cast("long")
-    val nAlpha = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
-    val nChars = length(col(textCol)).cast("long")
-    // count of non-alnum, non-space chars
-    val nSymbols = nChars -
-      length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", "")).cast("long")
+    // One native pass per row (round 17): the composable battery paid an
+    // interpreted aggregate/filter lambda per token plus a per-token
+    // rlike regex for the alpha count; GopherStatsExpr computes all six
+    // counts in one compiled scan (TextStatsSpec pins bit-parity)
+    val st = graft.expressions.TextStatsExprs.gopherStats(col(textCol), stopwords)
     df.select(col(idCol),
-        nWords.as("n_words"),
-        nWordChars.as("n_word_chars"),
-        nStop.as("__nstop"), nAlpha.as("__nalpha"),
-        nChars.as("__nchars"), nSymbols.as("__nsym"))
+        st.getField("n_words").as("n_words"),
+        st.getField("n_word_chars").as("n_word_chars"),
+        st.getField("n_stop").as("__nstop"), st.getField("n_alpha").as("__nalpha"),
+        st.getField("n_chars").as("__nchars"), st.getField("n_sym").as("__nsym"))
       .select(col(idCol), col("n_words"), col("n_word_chars"),
         expr("n_word_chars * 1000000 div n_words").as("mean_word_len_ppm"),
         expr("__nstop * 1000000 div n_words").as("stopword_ppm"),
@@ -114,101 +107,39 @@ object QualityRules {
     * after trim produce no output row; docs shorter than n tokens score
     * 0 for that n.
     *
-    * Scale shape: two scans of the (id, text) projection — one explodes
-    * lines + paragraphs, one explodes tokens and forms the gram streams
-    * with `lead` windows (codegen'd; per-token Catalyst lambdas are
-    * interpreted `ArrayTransform.eval` and were measured 25× slower
-    * here — same trap as the round-11 minhash signature) — then two
-    * keyed linear aggregations: (id, kind, segment) with map-side
-    * partial combine (duplicates collapse before the wire), then (id).
-    * No join, no all-pairs, no driver round-trip; skew is bounded by
-    * the largest single document.
+    * Scale shape (round 17): ZERO exchanges — all ten signals are
+    * per-document functions of the document's own text, so the whole
+    * battery runs inside the scan via the native
+    * [[graft.expressions.RepetitionSignalsExpr]] (one compiled pass per
+    * row: segment/gram hash-map tallies, memory bounded by the largest
+    * single document — the bound the keyed hash aggregate already had).
+    * The previous composable formulation exploded every line, paragraph
+    * and n-gram into a corpus-wide (id, kind, segment) stream — ~5
+    * short STRINGS per token crossing the wire as groupBy keys, plus a
+    * per-doc window sort for the `lead` gram construction — and spent
+    * ×100-board time shuffling what never needed to leave the row
+    * (46.5 s ×100, 1.98 s ×1 measured round 16).
+    * RepetitionSignalsSpec pins the expression equal to the retired
+    * formulation on random and degenerate inputs; callers key by a
+    * unique idCol (both callers pass the fixture primary key — under
+    * the retired keyed aggregate duplicate ids would have MERGED their
+    * segment tallies, which no caller relied on).
     */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val txt = col(textCol)
-    val base = df.where(trim(txt) =!= "")
+    df.where(trim(txt) =!= "")
       .select(col(idCol).as("__id"),
-        // total token chars = length with ALL whitespace removed
-        length(regexp_replace(txt, "\\s", "")).cast("long").as("__wc"),
-        txt.as("__t"))
-    // lines + paragraphs from ONE scan: a single generator over the two
-    // tagged splits (per-doc HOF cost is O(lines), not O(tokens) — the
-    // interpreted-lambda tax is negligible at this cardinality)
-    def tag(arr: Column, kind: String): Column =
-      transform(
-        filter(transform(arr, x => trim(x)), x => x =!= ""),
-        x => struct(lit(kind).as("k"), x.as("v")))
-    val lineParaRows = base
-      .select(col("__id"), col("__wc"),
-        explode(concat(tag(split(col("__t"), "\n"), "L"),
-          tag(split(col("__t"), "\n{2,}"), "P"))).as("s"))
-      .select(col("__id"), col("__wc"),
-        col("s.k").as("__k"), col("s.v").as("__v"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__id")).orderBy(col("__pos"))
-    val gramRows = base
-      .select(col("__id"), col("__wc"),
-        posexplode(split(trim(col("__t")), "\\s+")).as(Seq("__pos", "__w")))
-      .select(col("__id"), col("__wc"), col("__w"),
-        lead(col("__w"), 1).over(win).as("__l1"),
-        lead(col("__w"), 2).over(win).as("__l2"),
-        lead(col("__w"), 3).over(win).as("__l3"))
-      .select(col("__id"), col("__wc"),
-        explode(array(
-          struct(lit("G2").as("k"),
-            when(col("__l1").isNotNull,
-              concat_ws(" ", col("__w"), col("__l1"))).as("v")),
-          struct(lit("G3").as("k"),
-            when(col("__l2").isNotNull,
-              concat_ws(" ", col("__w"), col("__l1"), col("__l2"))).as("v")),
-          struct(lit("G4").as("k"),
-            when(col("__l3").isNotNull,
-              concat_ws(" ", col("__w"), col("__l1"), col("__l2"),
-                col("__l3"))).as("v")))).as("s"))
-      .select(col("__id"), col("__wc"),
-        col("s.k").as("__k"), col("s.v").as("__v"))
-      .where(col("__v").isNotNull)
-    val ex = lineParaRows.unionByName(gramRows)
-    val counts = ex.groupBy(col("__id"), col("__k"), col("__v"))
-      .agg(count(lit(1)).as("__c"), max(col("__wc")).as("__wc"))
-    // Top gram = max count, ties to the LARGEST char mass (the
-    // conservative Gopher read: among equally-frequent top grams, flag
-    // the one covering the most characters). Encoded as max over ONE
-    // packed long — count above bit 32, space-free char length in the
-    // low 32 bits — so the aggregate stays HASH-based. The earlier
-    // string encoding (zero-padded inverted count ++ gram, min) put a
-    // STRING in the aggregation buffer, and string buffers are as
-    // immutable as structs: the round-14 tripwire caught it planning a
-    // keyed SortAggregate over the full per-doc distinct-gram stream.
-    // Only the winning gram's (count, length) matter downstream — the
-    // mass is their product — so nothing variable-width need ride the
-    // buffer at all. Count is bounded by tokens per doc < 2^31 and the
-    // char length by doc bytes < 2^32, so the packing cannot overflow.
-    val topKey = col("__c") * lit(4294967296L) +
-      length(translate(col("__v"), " ", "")).cast("long")
-    val per = counts.groupBy(col("__id"), col("__k"))
-      .agg(max(col("__wc")).as("__wc"),
-        sum(col("__c")).as("__total"),
-        sum(col("__c") - 1).as("__dups"),
-        sum(length(col("__v")).cast("long") * col("__c")).as("__chars"),
-        sum(length(col("__v")).cast("long") * (col("__c") - 1)).as("__dupchars"),
-        max(topKey).as("__top"))
-    def pick(k: String, c: Column): Column = max(when(col("__k") === k, c))
-    val topMass = shiftright(col("__top"), 32) *
-      (col("__top") % lit(4294967296L))
-    per.groupBy(col("__id"))
-      .agg(max(col("__wc")).as("__wc"),
-        pick("L", col("__total")).as("n_lines"),
-        pick("L", col("__dups")).as("__ld"),
-        pick("L", col("__chars")).as("__lc"),
-        pick("L", col("__dupchars")).as("__ldc"),
-        pick("P", col("__total")).as("n_paras"),
-        pick("P", col("__dups")).as("__pd"),
-        pick("P", col("__chars")).as("__pc"),
-        pick("P", col("__dupchars")).as("__pdc"),
-        pick("G2", topMass).as("__g2m"),
-        pick("G3", topMass).as("__g3m"),
-        pick("G4", topMass).as("__g4m"))
+        graft.expressions.RepetitionExprs.signals(txt).as("__s"))
+      // docs with no line, paragraph or gram row never reached the keyed
+      // aggregate; the expression signals that as NULL
+      .where(col("__s").isNotNull)
+      .select(col("__id"), col("__s.wc").as("__wc"),
+        col("__s.n_lines").as("n_lines"), col("__s.ld").as("__ld"),
+        col("__s.lc").as("__lc"), col("__s.ldc").as("__ldc"),
+        col("__s.n_paras").as("n_paras"), col("__s.pd").as("__pd"),
+        col("__s.pc").as("__pc"), col("__s.pdc").as("__pdc"),
+        col("__s.g2m").as("__g2m"), col("__s.g3m").as("__g3m"),
+        col("__s.g4m").as("__g4m"))
       .select(col("__id").as(idCol), col("n_lines"),
         expr("__ld * 1000000 div n_lines").as("dup_line_ppm"),
         expr("case when __lc > 0 then __ldc * 1000000 div __lc else 0 end")

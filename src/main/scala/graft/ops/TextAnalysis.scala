@@ -38,13 +38,15 @@ object TextAnalysis {
     graft.expressions.MinHashExprs.jaccardSim(a, b)
 
   /** Share of tokens found in `words` (stopword ratio — a standard
-    * fluency signal in quality filters).
+    * fluency signal in quality filters). Native single-pass expression
+    * (round 17): the composable `filter(toks, isInCollection)` lambda
+    * evaluates interpreted per token, and the quality trio re-split the
+    * text once per signal; [[graft.expressions.TextStatsExpr]] computes
+    * the whole battery in one compiled pass (TextStatsSpec pins parity
+    * with the composable form).
     */
-  def wordSetRatio(text: Column, words: Seq[String]): Column = {
-    val toks = tokens(lower(text))
-    val hits = size(filter(toks, t => t.isInCollection(words)))
-    when(size(toks) > 0, hits.cast("double") / size(toks).cast("double")).otherwise(0.0)
-  }
+  def wordSetRatio(text: Column, words: Seq[String]): Column =
+    graft.expressions.TextStatsExprs.stats(text, words).getField("stop_ratio")
 
   /** Fraction of non-alphanumeric, non-space characters. */
   def punctRatio(text: Column): Column = {
@@ -60,14 +62,10 @@ object TextAnalysis {
     * presence − punctuation noise (the length/punct/stopword-ratio recipe
     * used by web-scale corpus filters).
     */
-  def qualityScore(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
-    val n = tokenCount(text)
-    val lengthScore = least(n.cast("double") / 20.0, lit(1.0))
-    val stopScore = least(wordSetRatio(text, stopwords) * 5.0, lit(1.0))
-    val punctPenalty = punctRatio(text)
-    greatest(lit(0.0), least(lit(1.0),
-      lengthScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2))
-  }
+  def qualityScore(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    // one TextStatsExpr pass (see wordSetRatio); the expression replays
+    // the composite's exact left-associated double arithmetic
+    graft.expressions.TextStatsExprs.stats(text, stopwords).getField("quality")
 
   /** Language-ID heuristic: marker-stopword hit counts per language,
     * deterministic argmax (ties broken by the order given). Returns the

@@ -284,10 +284,17 @@ object TextQueries {
     // ---- quality scoring: length / stopword / punctuation recipe ----
     Q("q31_quality_score",
       (s, dir) => {
+        // ONE TextStatsExpr instance feeds all three signals (round 17):
+        // the per-function route planned an independent punct regexp pass
+        // plus duplicate stats trees the conditional-rounding CASE hid
+        // from subexpression elimination — same values by TextStatsSpec
+        // parity (punct_ratio is the identical quotient), one compiled
+        // pass per row instead of three
+        val st = graft.expressions.TextStatsExprs.stats(col("text"), stop)
         Tables.load(s, dir, "documents").select(col("doc_id"),
-          round(TA.wordSetRatio(col("text"), stop), 6).as("stop_ratio"),
-          round(TA.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TA.qualityScore(col("text"), stop), 6).as("quality"))
+          round(st.getField("stop_ratio"), 6).as("stop_ratio"),
+          round(st.getField("punct_ratio"), 6).as("punct_ratio"),
+          round(st.getField("quality"), 6).as("quality"))
       },
       Some(s"""WITH f AS (
                |  SELECT doc_id,
