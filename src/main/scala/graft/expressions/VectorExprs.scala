@@ -70,6 +70,21 @@ object VectorExprs {
   def hashedBow(tokens: Column, dim: Int, portable: Boolean = false): Column =
     ExpressionUtils.column(HashedBowExpr(ExpressionUtils.expression(tokens), dim, portable))
 
+  /** Johnson–Lindenstrauss ±1 projection of a quantized vector as one
+    * compiled pass: proj_k = Σ_j sign(j,k) · floor(x_j·10⁶), where
+    * sign(j,k) = +1 when `conv(substr(md5(j || "_k"),1,8),16,10) % 2 = 0`
+    * — the exact md5 matrix the composable posexplode → 16-conditional-
+    * sum groupBy derived PER ELEMENT PER OUTPUT (dims × k md5 evals per
+    * vector, plus a corpus×dims explode and a keyed shuffle, for what is
+    * a fixed ±1 matrix). Signs are memoized per (j,k) process-wide.
+    * NULL/empty arrays return NULL (the explode produced no rows for
+    * them); an all-null element set returns a row of NULL sums (SQL sum
+    * over empty input), matching the aggregate bit for bit
+    * (JlProjectSpec pins it).
+    */
+  def jlProject(vec: Column, k: Int): Column =
+    ExpressionUtils.column(JlProjectExpr(ExpressionUtils.expression(vec), k))
+
   /** Portable md5-Rademacher LSH sign bits in one compiled loop (see
     * [[PortableLshSigExpr]]); NULL for NULL or shorter-than-dim vectors.
     */
@@ -615,5 +630,96 @@ object PortableLshSigExpr {
       k += 1
     }
     sig
+  }
+}
+
+/** JL ±1 projection — see [[VectorExprs.jlProject]]. Input must be
+  * array<double> (the operator casts); output struct has k nullable
+  * long fields proj_0..proj_{k-1}.
+  */
+case class JlProjectExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"jl_project needs array<double>, got $t")
+  }
+  override def dataType: DataType = StructType((0 until k).map(i =>
+    StructField(s"proj_$i", LongType, nullable = true)))
+  override def prettyName: String = "jl_project"
+  // NULL/empty arrays yield NULL even on non-null input
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    JlProjectExpr.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.JlProjectExpr.compute($c, $k);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): JlProjectExpr =
+    copy(child = newChild)
+}
+
+object JlProjectExpr {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  // memoized sign rows: signs(j) = packed bits for ALL 64 possible
+  // outputs of position j (bit kk set = NEGATIVE sign) — always the
+  // full 64, so a row cached under a small k serves any later k.
+  // Grows on demand; reads are lock-free once published.
+  @volatile private var signRows: Array[Long] = new Array[Long](0)
+  private def signRow(j: Int): Long = {
+    val cur = signRows
+    if (j < cur.length) return cur(j)
+    synchronized {
+      val have = signRows
+      if (j < have.length) return have(j)
+      val next = java.util.Arrays.copyOf(have, math.max(j + 1, have.length * 2 + 8))
+      val md = digests.get()
+      var jj = have.length
+      while (jj < next.length) {
+        var bits = 0L
+        var kk = 0
+        while (kk < 64) {
+          md.reset()
+          val d = md.digest(s"${jj}_$kk".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // conv(substr(md5,1,8),16,10) % 2 == low bit of the 4th digest byte
+          if ((d(3) & 1) == 1) bits |= (1L << kk)
+          kk += 1
+        }
+        next(jj) = bits
+        jj += 1
+      }
+      signRows = next
+      next(j)
+    }
+  }
+
+  def compute(v: ArrayData, k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    require(k <= 64, s"jl_project supports k <= 64, got $k")
+    val n = v.numElements()
+    if (n == 0) return null
+    val sums = new Array[Long](k)
+    var any = false
+    var j = 0
+    while (j < n) {
+      if (!v.isNullAt(j)) {
+        any = true
+        val xq = math.floor(v.getDouble(j) * 1000000.0).toLong
+        val bits = signRow(j)
+        var kk = 0
+        while (kk < k) {
+          if (((bits >> kk) & 1L) == 0L) sums(kk) += xq else sums(kk) -= xq
+          kk += 1
+        }
+      }
+      j += 1
+    }
+    val out = new Array[Any](k)
+    if (any) { var kk = 0; while (kk < k) { out(kk) = sums(kk); kk += 1 } }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 }

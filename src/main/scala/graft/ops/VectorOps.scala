@@ -217,16 +217,18 @@ object VectorOps {
   def jlProject(df: DataFrame, vecCol: String, idCol: String,
                 k: Int = 16): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // One native pass per row (round 17): the composable posexplode →
+    // 16-conditional-sum groupBy re-derived the fixed ±1 md5 matrix per
+    // ELEMENT per OUTPUT (dims × k md5 evals per vector) and shuffled a
+    // corpus×dims row stream for a per-row linear map. JlProjectExpr
+    // memoizes the sign matrix and projects in one compiled loop — zero
+    // exchanges; JlProjectSpec pins bit-parity including the null/empty
+    // and all-null-element edge shapes.
     val asD = col(vecCol).cast("array<double>")
-    val q = df.select(col(idCol), posexplode(asD).as(Seq("__j", "__x")))
-      .select(col(idCol), col("__j"),
-        floor(col("__x") * 1000000.0).cast("long").as("__xq"))
-    val sums = (0 until k).map { kk =>
-      val bit = conv(substring(
-        md5(concat(col("__j").cast("string"), lit(s"_$kk"))), 1, 8), 16, 10)
-        .cast("long") % 2
-      sum(when(bit === 0, col("__xq")).otherwise(-col("__xq"))).as(s"proj_$kk")
-    }
-    q.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val p = graft.expressions.VectorExprs.jlProject(asD, k)
+    df.select(col(idCol), p.as("__p"))
+      .where(col("__p").isNotNull)
+      .select(col(idCol) +: (0 until k).map(kk =>
+        col(s"__p.proj_$kk").as(s"proj_$kk")): _*)
   }
 }

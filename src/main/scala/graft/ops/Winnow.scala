@@ -50,8 +50,12 @@ object Winnow {
   def fingerprints(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 8, w: Int = 4): DataFrame = {
     val selected = selectedFps(df, textCol, idCol, k, w)
+    // (id, fp) rows are UNIQUE by construction — WinnowFpsExpr emits the
+    // DISTINCT selected set per doc — so count(*) ≡ count(DISTINCT id)
+    // per fingerprint, without the two-phase distinct-aggregate expand
+    // the countDistinct planned (round 17; QualityOpsSpec pins the counts)
     val sharing = selected.groupBy(col("__fp"))
-      .agg(countDistinct(col(idCol)).as("__ndocs"))
+      .agg(count(lit(1)).as("__ndocs"))
     val perDoc = selected.join(sharing, Seq("__fp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_fp"),
