@@ -74,12 +74,17 @@ class ScaleSpec extends AnyFunSuite {
     */
   private val warnWhy: Map[String, String] = Map(
     "q31_quality_score" -> ("linear per-doc feature scan; the 74x is " +
-      "the sub-second x1's fixed plan/scan cost amortizing out"),
+      "the sub-second x1's fixed plan/scan cost amortizing out. r17 " +
+      "moved the battery into one native TextStatsExpr pass (x100 " +
+      "71 -> 1.5 s isolated), so r17+ boards should read near-flat " +
+      "(entry kept for the r15/r16 pairs)"),
     "q41_lsh_ann" -> ("single-table LSH demo with a FIXED 8-bit code " +
       "(256 buckets) by contract, so in-bucket pair work grows with " +
       "density; the adaptive-cell rows (q45/q71/q178) are the scale path"),
     "q86_gopher_rules" -> ("linear rule scan over text; x1 0.32s is " +
-      "fixed-cost-dominated (50x = amortization, not superlinear work)"),
+      "fixed-cost-dominated (50x = amortization, not superlinear work). " +
+      "r17 fused the battery into GopherStatsExpr (x100 24.6 -> 0.7 s " +
+      "isolated), so r17+ boards should read near-flat"),
     "q162_audio_neardup" -> ("decode-bound by contract: real WAV decode " +
       "per payload is linear; x1 is codec-warm-up-dominated. r17 caps " +
       "decode at the 10k-doc md5 payload slice, so r17+ boards should " +
